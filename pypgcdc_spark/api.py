@@ -1,0 +1,95 @@
+"""Public engine API — the library surface a reference user lands on.
+
+Twin of the reference's embedding entry point (SURVEY §3.2:
+``LogicalReplicationReader(...)`` + ``consume_stream``): here the handle is
+a :class:`PgCdcEngine` whose methods return DataFrames/StreamingQueries, so
+every downstream capability (joins, aggregation, windows, SQL, the
+extension operators) is the full Spark surface instead of a callback sink.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.cdc.apply import DeleteAwareMerger, current_state, typed_state
+from pypgcdc_spark.cdc.models import TableSchema
+from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+
+
+class PgCdcEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        spark.dataSource.register(PgCdcDataSource)
+
+    # -- sources ---------------------------------------------------------
+    def stream(self, path: str, max_tx_per_batch: int = 0, num_partitions: int = 4) -> DataFrame:
+        """Streaming change-event envelope (flat schema, models.ENVELOPE_DDL)."""
+        reader = (
+            self.spark.readStream.format("pgcdc")
+            .option("path", path)
+            .option("numPartitions", str(num_partitions))
+        )
+        if max_tx_per_batch:
+            reader = reader.option("maxTxPerBatch", str(max_tx_per_batch))
+        return reader.load()
+
+    def snapshot(self, path: str) -> DataFrame:
+        """Batch read of the full change log (initial-sync path, S3)."""
+        return self.spark.read.format("pgcdc").option("path", path).load()
+
+    # -- transforms -------------------------------------------------------
+    @staticmethod
+    def with_envelope_structs(df: DataFrame) -> DataFrame:
+        """Regroup the flat source columns into the nested envelope
+        (FIXTURES.md §7 shape: tx/source structs)."""
+        return df.select(
+            "op",
+            "lsn",
+            F.struct("tx_id", "begin_lsn", "commit_lsn", "commit_ts").alias("tx"),
+            F.struct("database", "namespace", "table").alias("source"),
+            "key",
+            "before",
+            "after",
+        )
+
+    @staticmethod
+    def current_state(env: DataFrame, key_fields=None) -> DataFrame:
+        return current_state(env, key_fields)
+
+    @staticmethod
+    def typed_view(env: DataFrame, schema: TableSchema) -> DataFrame:
+        return typed_state(env, schema)
+
+    # -- sinks -------------------------------------------------------------
+    def materialize(
+        self,
+        env_stream: DataFrame,
+        schema: TableSchema,
+        target_path: str,
+        checkpoint: str,
+        drain: bool = True,
+    ):
+        """Continuously merge the change stream into a current-state table
+        (the reference DataStore's job, done as foreachBatch MERGE).
+
+        With ``drain=True`` processes everything currently in the log
+        through as many rate-limited micro-batches as needed, then stops
+        (Python sources don't support Trigger.AvailableNow in Spark 4.1,
+        so this uses ``processAllAvailable`` — same semantics as the
+        reference's ``consume_stream(max_count=...)`` loop, K6).
+        """
+        merger = DeleteAwareMerger(self.spark, schema, target_path)
+        writer = (
+            env_stream.writeStream.foreachBatch(merger)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        query = writer.start()
+        if drain:
+            query.processAllAvailable()
+            query.stop()
+            query.awaitTermination(60)
+        return query

@@ -1,0 +1,240 @@
+"""``pgcdc`` — a Structured Streaming source for Postgres-CDC change events.
+
+PySpark Python Data Source API (Spark ≥ 4.0) implementation of the
+reference's replication reader (SURVEY §2.1 S1-S6, §3.1 trace): register
+with ``spark.dataSource.register(PgCdcDataSource)`` then::
+
+    env = (spark.readStream.format("pgcdc")
+           .option("path", "/path/to/replay.log")
+           .option("maxTxPerBatch", 100)
+           .load())
+
+The stream emits the flat change-event envelope (``models.ENVELOPE_DDL``).
+
+Offset model (reference K2/K3, ``reader.py:139,161-163``):
+
+* an offset is ``{"pos": <byte offset at a tx boundary>, "lsn": <last
+  commit lsn>, "registry": <schema registry JSON>}``;
+* offsets only land on transaction boundaries, so every micro-batch holds
+  whole Begin..Commit spans and the transform's tx context never crosses a
+  partition;
+* the schema registry rides inside the offset, so a restart from
+  checkpoint restores table schemas without rescanning — the reference
+  instead re-learns from Relation messages and silently caches stale
+  schemas (Q4);
+* ``commit(end)`` durably acks the offset to ``<path>.ack`` — the replay
+  analog of ``send_feedback(flush_lsn)``; a live backend forwards it to
+  the walsender so Postgres can recycle WAL.
+
+Scale notes: the driver only scans frame *headers* to find boundaries;
+payload decode happens executor-side, parallel across transactions
+(``numPartitions`` splits each batch at tx boundaries — already more
+parallel than the reference's single thread).  A production deployment
+points the same reader at a live replication socket (one tailer writes the
+log; see ``postgres_live.py``), making the log both the replay buffer and
+the at-least-once boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from pypgcdc_spark.cdc.models import ENVELOPE_DDL
+from pypgcdc_spark.cdc.registry import SchemaRegistry
+from pypgcdc_spark.cdc.transform import MessageTransformer
+from pypgcdc_spark.sources import replay
+
+
+@dataclass
+class TxRangePartition(InputPartition):
+    path: str
+    start_pos: int
+    end_pos: int
+    registry_json: str
+    database: str
+
+
+def _read_range(part: TxRangePartition) -> Iterator[Tuple]:
+    registry = SchemaRegistry.loads(part.registry_json)
+    registry.database = part.database
+    xform = MessageTransformer(registry=registry)
+    for fr in replay.scan_frames(part.path, part.start_pos, part.end_pos):
+        for ev in xform.feed(fr.lsn, fr.payload):
+            yield ev.as_flat_tuple()
+
+
+def _plan_partitions(
+    path: str,
+    start_pos: int,
+    end_pos: int,
+    registry_json: str,
+    database: str,
+    num_partitions: int,
+) -> Sequence[TxRangePartition]:
+    """Split [start_pos, end_pos) into ≤ num_partitions contiguous chunks
+    that each hold whole transactions."""
+    if start_pos >= end_pos:
+        return []
+    ranges = [
+        (s, e)
+        for s, e in replay.tx_boundaries(path, start_pos)
+        if e <= end_pos
+    ]
+    if not ranges:
+        return []
+    total = ranges[-1][1] - ranges[0][0]
+    target = max(1, total // max(1, num_partitions))
+    parts: List[TxRangePartition] = []
+    chunk_start = ranges[0][0]
+    acc = 0
+    for s, e in ranges:
+        acc += e - s
+        if acc >= target and len(parts) < num_partitions - 1:
+            parts.append(TxRangePartition(path, chunk_start, e, registry_json, database))
+            chunk_start = e
+            acc = 0
+    if chunk_start < ranges[-1][1]:
+        parts.append(
+            TxRangePartition(path, chunk_start, ranges[-1][1], registry_json, database)
+        )
+    return parts
+
+
+class PgCdcStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgcdc source requires option 'path' (replay log)")
+        self.database = options.get("database", "replay")
+        self.max_tx = int(options.get("maxtxperbatch", 0) or 0)
+        self.num_partitions = int(options.get("numpartitions", 4) or 4)
+        # Incremental driver-side scan state (rebuilt lazily after restart).
+        self._scanned_pos = 0
+        self._registry = SchemaRegistry(database=self.database)
+        self._last_lsn = 0
+        self._pending: List[Tuple[int, int]] = []  # whole-tx ranges not yet offered
+
+    # -- driver-side scanning -------------------------------------------
+    def _scan_forward(self) -> None:
+        """Advance over newly appended frames: collect tx boundaries and
+        fold Relation messages into the driver registry (schema inference,
+        reference T6 reader.py:243-302, here at frame-header cost)."""
+        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        if size <= self._scanned_pos:
+            return
+        range_start = None
+        last_complete = self._scanned_pos
+        for fr in replay.scan_frames(self.path, self._scanned_pos):
+            kind = fr.payload[:1]
+            if range_start is None:
+                range_start = fr.start_pos
+            if kind == b"R":
+                from pypgcdc_spark.cdc import pgoutput as pg
+
+                self._registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+            elif kind == b"C":
+                self._pending.append((range_start, fr.end_pos))
+                self._last_lsn = fr.lsn
+                range_start = None
+            last_complete = fr.end_pos
+        # Frames after the last commit stay unscanned so a torn/open tx is
+        # re-examined next tick.
+        self._scanned_pos = self._pending[-1][1] if self._pending else last_complete
+
+    def _offset(self, pos: int) -> dict:
+        return {"pos": pos, "lsn": self._last_lsn, "registry": self._registry.dumps()}
+
+    # -- DataSourceStreamReader contract ---------------------------------
+    def initialOffset(self) -> dict:
+        return {"pos": 0, "lsn": 0, "registry": SchemaRegistry(self.database).dumps()}
+
+    def latestOffset(self) -> dict:
+        self._scan_forward()
+        if not self._pending:
+            return self._offset(self._scanned_pos)
+        if self.max_tx and len(self._pending) > self.max_tx:
+            cut = self._pending[self.max_tx - 1][1]
+            self._pending = self._pending[self.max_tx :]
+            return self._offset(cut)
+        cut = self._pending[-1][1]
+        self._pending = []
+        return self._offset(cut)
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return _plan_partitions(
+            self.path,
+            int(start["pos"]),
+            int(end["pos"]),
+            end.get("registry") or start.get("registry") or SchemaRegistry().dumps(),
+            self.database,
+            self.num_partitions,
+        )
+
+    def read(self, partition: TxRangePartition) -> Iterator[Tuple]:
+        return _read_range(partition)
+
+    def commit(self, end: dict) -> None:
+        # Durable ack — replay analog of send_feedback(flush_lsn=...)
+        # (reference reader.py:161-163 / stores.py:83, quirk Q7 fixed: the
+        # acked value is the commit *end* LSN).
+        with open(self.path + ".ack", "w") as f:
+            json.dump({"pos": end["pos"], "lsn": end["lsn"]}, f)
+
+    def stop(self) -> None:
+        pass
+
+
+class PgCdcBatchReader(DataSourceReader):
+    """Batch read of the full log — the snapshot/bootstrap path (S3):
+    ``spark.read.format("pgcdc").option("path", ...).load()``."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgcdc source requires option 'path'")
+        self.database = options.get("database", "replay")
+        self.num_partitions = int(options.get("numpartitions", 4) or 4)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        registry = SchemaRegistry(database=self.database)
+        from pypgcdc_spark.cdc import pgoutput as pg
+
+        for fr in replay.scan_frames(self.path):
+            if fr.payload[:1] == b"R":
+                registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+        size = os.path.getsize(self.path)
+        parts = _plan_partitions(
+            self.path, 0, size, registry.dumps(), self.database, self.num_partitions
+        )
+        return parts or [TxRangePartition(self.path, 0, size, registry.dumps(), self.database)]
+
+    def read(self, partition: TxRangePartition) -> Iterator[Tuple]:
+        return _read_range(partition)
+
+
+class PgCdcDataSource(DataSource):
+    """format("pgcdc") — change-event envelope source (stream + batch)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgcdc"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def streamReader(self, schema) -> PgCdcStreamReader:
+        return PgCdcStreamReader(self.options)
+
+    def reader(self, schema) -> PgCdcBatchReader:
+        return PgCdcBatchReader(self.options)

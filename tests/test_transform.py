@@ -1,0 +1,126 @@
+"""Transform-layer unit tests (no Spark): message stream -> ChangeEvents.
+
+Asserts the same contract the reference's MagicMock-sink integration tests
+assert (handler/op counts per committed transaction — FIXTURES.md §7:
+begin=4, change=4, commit=4 for the canonical workload)."""
+
+import pytest
+
+from pypgcdc_spark.cdc import pgoutput as pg
+from pypgcdc_spark.cdc.models import TOAST_UNCHANGED
+from pypgcdc_spark.cdc.registry import SchemaRegistry
+from pypgcdc_spark.cdc.transform import MessageTransformer
+from pypgcdc_spark.sources.replay import scan_frames
+from pypgcdc_spark.testing import (
+    INTEGRATION_COLS,
+    INTEGRATION_RELID,
+    write_reference_workload,
+)
+
+
+def _run_workload(path):
+    xform = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    for fr in scan_frames(str(path)):
+        events.extend(xform.feed(fr.lsn, fr.payload))
+    return xform, events
+
+
+def test_reference_workload_event_counts(tmp_path):
+    log = tmp_path / "ref.log"
+    write_reference_workload(str(log))
+    xform, events = _run_workload(log)
+
+    # 4 transactions → 4 data events; B/C/R never become rows.
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
+    assert xform.stats.relations == 2
+    assert xform.stats.events == 4
+
+    ins, upd, dele, marker = events
+    assert ins.table == "integration" and ins.after["json_data"] == '{"data": 10}'
+    assert ins.before is None and ins.key == {"id": "10"}
+    assert upd.after["json_data"] == '{"data": 20}'
+    assert dele.op == "D" and dele.after is None and dele.key["id"] == "10"
+    assert marker.table == "control" and marker.after == {"id": "1", "command": "exit"}
+
+    # Transaction metadata rides on every event (tx struct, FIXTURES §7).
+    assert all(e.tx_id is not None and e.commit_ts is not None for e in events)
+    # LSNs strictly increase in stream order.
+    lsns = [e.lsn for e in events]
+    assert lsns == sorted(lsns) and len(set(lsns)) == len(lsns)
+
+
+def test_toast_unchanged_sentinel_not_null(tmp_path):
+    xform = MessageTransformer(registry=SchemaRegistry())
+    rel = pg.encode_relation(INTEGRATION_RELID, "public", "integration", INTEGRATION_COLS)
+    list(xform.feed(1, rel))
+    upd = pg.encode_update(
+        INTEGRATION_RELID,
+        ["1", None, "2.00", "2024-01-01 00:00:00+00", "ignored"],
+        toast_unchanged={4},
+    )
+    (ev,) = list(xform.feed(2, upd))
+    assert ev.after["text_data"] == TOAST_UNCHANGED  # distinct from NULL (Q6)
+    assert ev.after["json_data"] is None
+
+
+def test_update_with_full_before_image_key(tmp_path):
+    xform = MessageTransformer(registry=SchemaRegistry())
+    list(xform.feed(1, pg.encode_relation(INTEGRATION_RELID, "public", "t", INTEGRATION_COLS)))
+    upd = pg.encode_update(
+        INTEGRATION_RELID,
+        ["1", "new", "1.00", "2024-01-01 00:00:00+00", "n"],
+        old_values=["1", "old", "1.00", "2024-01-01 00:00:00+00", "o"],
+        old_category="O",
+    )
+    (ev,) = list(xform.feed(2, upd))
+    assert ev.before["json_data"] == "old"
+    assert ev.key["json_data"] == "old"  # full before-image becomes the key
+
+
+def test_truncate_emits_rows(tmp_path):
+    # The reference's truncate path is dead code (Q3); ours emits op='T'.
+    xform = MessageTransformer(registry=SchemaRegistry())
+    list(xform.feed(1, pg.encode_relation(INTEGRATION_RELID, "public", "t", INTEGRATION_COLS)))
+    evs = list(xform.feed(2, pg.encode_truncate([INTEGRATION_RELID])))
+    assert len(evs) == 1 and evs[0].op == "T" and evs[0].table == "t"
+
+
+def test_origin_and_type_ignored_not_crash():
+    xform = MessageTransformer(registry=SchemaRegistry())
+    assert list(xform.feed(1, pg.encode_origin(5, "n1"))) == []
+    assert list(xform.feed(2, pg.encode_type(600, "public", "mood"))) == []
+    assert xform.stats.ignored_origin == 1 and xform.stats.ignored_type == 1
+
+
+def test_event_before_relation_raises():
+    xform = MessageTransformer(registry=SchemaRegistry())
+    with pytest.raises(LookupError):
+        list(xform.feed(1, pg.encode_insert(999, ["1"])))
+
+
+def test_registry_schema_evolution_versioned():
+    # Q4 fix: a changed Relation message creates a new schema version.
+    reg = SchemaRegistry()
+    r1 = pg.decode_relation(pg.encode_relation(5, "public", "t", [(True, "id", 23, -1)]))
+    r2 = pg.decode_relation(
+        pg.encode_relation(5, "public", "t", [(True, "id", 23, -1), (False, "v", 25, -1)])
+    )
+    reg.register_relation(r1, lsn=10)
+    reg.register_relation(r1, lsn=20)  # identical → no new version
+    reg.register_relation(r2, lsn=30)
+    assert len(reg._versions[("replay", 5)]) == 2
+    assert len(reg.get_at_lsn(5, 15).column_definitions) == 1
+    assert len(reg.get_at_lsn(5, 35).column_definitions) == 2
+    # Round-trips through JSON (checkpoint persistence).
+    reg2 = SchemaRegistry.loads(reg.dumps())
+    assert len(reg2.get(5).column_definitions) == 2
+
+
+def test_decimal_typing_from_atttypmod():
+    # Q5 fix: numeric(10,2) → DecimalType(10,2), not float.
+    from pypgcdc_spark.cdc.models import pg_type_to_spark
+
+    t = pg_type_to_spark("numeric", ((10 << 16) | 2) + 4)
+    assert str(t) == "DecimalType(10,2)"
+    assert str(pg_type_to_spark("numeric(12,3)")) == "DecimalType(12,3)"
