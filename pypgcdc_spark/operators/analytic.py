@@ -1,0 +1,473 @@
+"""Analytic surface: window functions (rank/analytic/frames), set
+operations, sort/top-k, scalar function families, subquery shapes
+(SURVEY §2.2 rows 11-15).
+
+Window determinism convention: every ORDER BY inside a window carries a
+unique tiebreak column so running values are identical across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.operators.relational import D, dec, money  # noqa: F401
+from pypgcdc_spark.queries import load, query
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, orderkey, totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey AS orderkey,
+             ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)), 2)::DOUBLE AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 5
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-K per group via row_number — the canonical window dedup shape
+    (same operator as CDC apply's last-writer-wins)."""
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderkey").alias("orderkey"),
+            money(dec("o_totalprice")).alias("totalprice"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "win_running_customer_spend",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative sum per key (ROWS frame, deterministic tiebreak)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            money(F.sum(dec("o_totalprice")).over(w)).alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "win_lag_event_deltas",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(gap_us) AS total_gap_us
+    FROM (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """lag() analytic: inter-event gaps per user, aggregated by type."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+    )
+
+
+@query(
+    "win_ntile_price_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2)::DOUBLE AS lo,
+           ROUND(MAX(o_totalprice), 2)::DOUBLE AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    ) GROUP BY quartile
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """ntile(4) quartile bucketing over a global order."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "win_range_frame_price_density",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
+    FROM orders WHERE o_custkey % 100 = 0
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE value frame (how many orders priced within $1000 below mine).
+    RANGE semantics make tie order irrelevant → deterministic."""
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.filter(F.col("o_custkey") % 100 == 0).createOrReplaceTempView("orders_rf")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey,
+               COUNT(*) OVER (ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k
+        FROM orders_rf
+        """
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_event,
+           LAST_VALUE(event_type)  OVER w AS last_event,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first_value/last_value with full-partition frame (per-user journey)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_event"),
+            F.last("event_type").over(w).alias("last_event"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_intersect_except",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         machinery AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         big_buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM machinery)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM big_buyers)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM big_buyers)
+    """,
+)
+def setop_all(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT in one result (one row per set op)."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 300_000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    u = building.union(machinery).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = building.intersect(big).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = (
+        building.distinct()
+        .subtract(big)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "n")
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)::DOUBLE AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_topk(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort materialized)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            money(dec("o_totalprice")).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'A', '_') AS seg_mangled,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_string(spark, sf_dir):
+    """String function family (upper/substr/length/replace/concat)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.regexp_replace("c_mktsegment", "A", "_").alias("seg_mangled"),
+            F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+                "seg_nation"
+            ),
+        )
+        .groupBy("name_prefix", "name_len", "seg_mangled", "seg_nation")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           (dayofweek(o_orderdate) + 1) AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS volume
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_date(spark, sf_dir):
+    """Date/time extraction + truncation family.
+
+    Note: Spark dayofweek() is 1=Sunday; DuckDB dayofweek() is 0=Sunday —
+    normalized here to the Spark convention via +1.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "dow", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("volume"),
+        )
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+    SELECT
+      ROUND(SUM(CAST(ROUND(sqrt(value), 4) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_sqrt,
+      ROUND(SUM(CAST(ROUND(ln(value + 1), 4) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_log,
+      ROUND(SUM(CAST(abs(ceil(value) - floor(value)) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_frac_ind,
+      ROUND(SUM(CAST(pow(value % 7, 2) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_pow
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    """,
+)
+def scalar_math(spark, sf_dir):
+    """Math function family (sqrt/ln/abs/ceil/floor/pow/mod); per-value
+    results rounded to 4dp before the exact sum so libm differences can't leak in."""
+    (events,) = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return events.filter(v.isNotNull() & (v >= 0)).agg(
+        money(F.sum(F.round(F.sqrt(v), 4).cast("decimal(18,4)"))).alias("sum_sqrt"),
+        money(F.sum(F.round(F.log(v + 1), 4).cast("decimal(18,4)"))).alias("sum_log"),
+        money(
+            F.sum(F.abs(F.ceil(v) - F.floor(v)).cast("decimal(18,4)"))
+        ).alias("sum_frac_ind"),
+        money(F.sum(F.pow(v % 7, 2).cast("decimal(18,4)"))).alias("sum_pow"),
+    )
+
+
+@query(
+    "scalar_json_extraction",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k_val, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scalar_json(spark, sf_dir):
+    """JSON path extraction on the events props column (the reference's
+    jsonb handling, reader.py:67-68, done with engine JSON functions)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").alias("k_val"), "event_type"
+        )
+        .groupBy("k_val", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_case_in_between",
+    oracle="""
+    SELECT CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 'low'
+                WHEN o_totalprice BETWEEN 50000 AND 200000 THEN 'mid'
+                ELSE 'high' END AS price_class,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'rush' ELSE 'normal' END AS urgency,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_case(spark, sf_dir):
+    """CASE / IN / BETWEEN predicate family."""
+    (orders,) = load(spark, sf_dir, "orders")
+    price_class = (
+        F.when(F.col("o_totalprice").between(0, 50_000), "low")
+        .when(F.col("o_totalprice").between(50_000, 200_000), "mid")
+        .otherwise("high")
+    )
+    urgency = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rush"
+    ).otherwise("normal")
+    return (
+        orders.select(price_class.alias("price_class"), urgency.alias("urgency"))
+        .groupBy("price_class", "urgency")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_orders_above_customer_avg",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_above
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE / COUNT(*) AS avg_price
+          FROM orders GROUP BY o_custkey) a
+      ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    GROUP BY c.c_mktsegment
+    """,
+)
+def subq_above_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (decorrelated by hand into a
+    join-aggregate, which is what Catalyst would do anyway)."""
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("a_custkey")).agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.join(avg_per_cust, F.col("o_custkey") == F.col("a_custkey"))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@query(
+    "subq_in_top_nations",
+    oracle="""
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_nationkey IN (
+      SELECT c_nationkey FROM customer GROUP BY c_nationkey
+      ORDER BY COUNT(*) DESC, c_nationkey ASC LIMIT 5)
+    ORDER BY s_name
+    """,
+)
+def subq_in(spark, sf_dir):
+    """IN-subquery shape → left-semi join against a computed top-N set."""
+    supp, cust = load(spark, sf_dir, "supplier", "customer")
+    top_nations = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("c_nationkey"))
+        .limit(5)
+        .select("c_nationkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(top_nations),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -1,0 +1,136 @@
+"""CDC semantics as verifiable queries over the fixture tables.
+
+The core apply-changes operator (SURVEY §7.1) must be oracle-checkable, so
+here the ``events`` table is interpreted as a keyed change stream —
+``user_id`` = replica-identity key, ``event_id`` = LSN (total order),
+``event_type`` mapped to ops — and the engine's last-writer-wins /
+delete-wins semantics are expressed in both Spark and ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.operators.relational import money
+from pypgcdc_spark.queries import load, query
+
+# op mapping: error → DELETE, everything else → UPSERT.
+_OP = "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+
+
+@query(
+    "cdc_apply_current_state",
+    oracle=f"""
+    SELECT user_id, event_type AS last_event,
+           ROUND(CAST(value AS DECIMAL(18,4)), 2)::DOUBLE AS last_value
+    FROM (
+      SELECT *, {_OP} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_current_state(spark, sf_dir):
+    """Apply-changes: last-writer-wins per key by LSN order, a terminal
+    delete removes the key (identical plan to apply.current_state —
+    one shuffle on the key, window dedup)."""
+    (events,) = load(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.withColumn("op", op)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event"),
+            money(F.col("value").cast("decimal(18,4)")).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "cdc_oplog_stats",
+    oracle=f"""
+    SELECT {_OP} AS op, COUNT(*) AS n_ops, COUNT(DISTINCT user_id) AS n_keys,
+           MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_oplog_stats(spark, sf_dir):
+    """Change-log operational stats (op mix, key cardinality, LSN range) —
+    the monitoring query a CDC operator runs continuously."""
+    (events,) = load(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    return (
+        events.select(op.alias("op"), "user_id", "event_id")
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.min("event_id").alias("first_lsn"),
+            F.max("event_id").alias("last_lsn"),
+        )
+    )
+
+
+@query(
+    "cdc_before_after_diff",
+    oracle="""
+    -- Per-key value transitions: the before/after envelope columns of an
+    -- UPDATE, reconstructed from consecutive versions.
+    SELECT user_id,
+           COUNT(*) AS n_updates,
+           ROUND(SUM(CAST(ROUND(value - prev_value, 2) AS DECIMAL(18,4))), 2)::DOUBLE AS net_change
+    FROM (
+      SELECT user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      FROM events WHERE event_type <> 'error'
+    ) WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def cdc_before_after_diff(spark, sf_dir):
+    """Before/after image deltas per key (UPDATE envelope semantics)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        events.filter(F.col("event_type") != "error")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            money(
+                F.sum(F.round(F.col("value") - F.col("prev_value"), 2).cast("decimal(18,4)"))
+            ).alias("net_change"),
+        )
+    )
+
+
+@query(
+    "cdc_tx_grouping",
+    oracle="""
+    -- Transaction assembly: consecutive events of one user within the same
+    -- minute ≈ one transaction (B..C span); per-tx row counts and commit ts.
+    SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS commit_minute,
+           COUNT(*) AS events_in_tx
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def cdc_tx_grouping(spark, sf_dir):
+    """Transaction grouping (multiple changes sharing a commit window)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "commit_minute"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("events_in_tx"))
+        .filter(F.col("events_in_tx") > 1)
+    )

@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact hash-dedup, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-
+cosine near-dup, all over the ``documents`` / ``embeddings`` fixture
+tables.  Scale-first design notes per operator are in the docstrings; the
+cross-engine determinism trick throughout is **md5** (identical hex in
+Spark and DuckDB), used both as the dedup fingerprint and as the MinHash /
+SimHash / hyperplane hash family.
+
+All thresholds are module constants so the oracle SQL (f-strings) and the
+Spark code can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+JACCARD_THRESHOLD = 0.2
+N_MINHASH = 16  # minhash signature length
+N_BANDS = 4  # LSH bands (4 rows per band)
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+COSINE_NEARDUP = 0.30  # fixture embeddings are ~random; planted max ≈ 0.4
+
+# Shared SQL fragment: distinct 3-word shingles per document.
+_SHINGLES_SQL = """
+    words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+           FROM words, unnest(range(len(w) - 2)) AS t(i) WHERE len(w) >= 3)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc: explode a slide-window zip.
+
+    Stays entirely in Tungsten (split/slice/concat are codegen'd); no
+    Python UDF in the shingling hot path."""
+    (docs,) = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(0), n - 3)  # 0-based start of each 3-gram
+    return (
+        words.filter(n >= 3)
+        .select("doc_id", F.explode(idx).alias("i"), "w")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+                F.element_at("w", F.col("i") + 3),
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_unique,
+           MIN(doc_id) AS sample_doc
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalize (lower/trim/collapse-ws) → md5 → hash-group.
+
+    At 100 TB this is one shuffle on the fingerprint; group-by on a
+    64-bit-prefix of md5 would cut shuffle width further."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", "source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 3) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the ground truth MinHash
+    approximates).  Inverted-index self-join on shingle → candidate pairs
+    share ≥1 shingle; rare-shingle vocab keeps the join sparse.  At scale,
+    drop shingles with document-frequency above a cap first (stop-shingle
+    pruning) — the classic trick to bound the quadratic term."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    b = sh.select(F.col("doc_id").alias("doc_b_id"), "shingle")
+    inter = (
+        sh.join(b, "shingle")
+        .filter(F.col("doc_id") < F.col("doc_b_id"))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, mh): mh = min over shingles of md5(seed || ':' || s).
+
+    The min of hex strings is a valid MinHash (uniform order statistic);
+    staying in string space keeps Spark/DuckDB byte-identical."""
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, s.seed, MIN(md5(s.seed || ':' || shingle)) AS mh
+           FROM sh, (SELECT unnest(range({N_MINHASH})) AS seed) s
+           GROUP BY doc_id, s.seed),
+    bands AS (SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
+                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+              FROM mh GROUP BY doc_id, seed // {N_MINHASH // N_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 3) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup: {N}-hash signatures, {B} bands →
+    candidates = pairs agreeing on ≥1 whole band → verify exact Jaccard.
+
+    This is the 100 TB path: candidate generation is a bucket-equi-join on
+    (band, band_hash) — shuffle ∝ corpus size, never ∝ pairs.  The exact
+    verify join only touches candidate docs."""
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.struct("seed", "mh"))).mh, ",")
+            ).alias("band_hash")
+        )
+    )
+    other = bands.select(
+        F.col("doc_id").alias("doc_b_id"), "band", "band_hash"
+    )
+    cand = (
+        bands.join(other, ["band", "band_hash"])
+        .filter(F.col("doc_id") < F.col("doc_b_id"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-verify candidates.
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+                 FROM documents),
+    bits AS (SELECT doc_id, b.bit,
+                    CASE WHEN (('0x' || substr(md5(tk), 1, 4))::INTEGER >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END AS w
+             FROM tok, (SELECT unnest(range({SIMHASH_BITS})) AS bit) b),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN wsum > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+            FROM (SELECT doc_id, bit, SUM(w) AS wsum FROM bits GROUP BY 1, 2)
+            GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM sig a JOIN sig b
+                ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: {BITS}-bit signature = sign of per-bit vote over
+    token hashes; candidate pairs share the high byte (prefix-bucket LSH,
+    keeps the pair join linear in corpus size); emit pairs with Hamming
+    distance ≤ {H}."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tk"))
+        .distinct()
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    tok16 = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10).cast("int").alias("h16")
+    )
+    votes = (
+        tok16.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("(h16 >> bit) & 1") == 1, 1).otherwise(-1).alias("w"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("wsum") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    other = sig.select(F.col("doc_id").alias("doc_b_id"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
+    return (
+        sig.join(
+            other,
+            (F.expr("simhash >> 8") == F.expr("sim_b >> 8"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding ea, b.embedding eb
+              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    ex AS (SELECT vec_a, vec_b, ea[i]::DOUBLE AS x, eb[i]::DOUBLE AS y
+           FROM pairs, unnest(generate_series(1, 64)) t(i)),
+    cos AS (SELECT vec_a, vec_b,
+                   SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS c
+            FROM ex GROUP BY 1, 2)
+    SELECT vec_a, vec_b, ROUND(c, 3) AS cosine FROM cos WHERE c >= {COSINE_NEARDUP}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force — correct baseline;
+    the LSH-bucketed scale path is ``ann_lsh_bucketed`` in similarity.py).
+
+    Dot products run as JVM higher-order functions (zip_with + aggregate in
+    double), not a Python UDF."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+
+    def dot(u, v):
+        prod = F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    norm = lambda u: F.sqrt(dot(u, u))  # noqa: E731
+    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cos)
+        .filter(F.col("c") >= COSINE_NEARDUP)
+        .select("vec_a", "vec_b", F.round("c", 3).alias("cosine"))
+    )

@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; random-hyperplane
+LSH bucketing is the 100 TB path (candidates from an equi-join on the
+signature, never an all-pairs product).  Both are oracle-checked — the
+hyperplane family is derived from md5 so DuckDB computes the *same*
+planes.
+
+The dot-product kernel is a JVM higher-order function (zip_with +
+aggregate over doubles): vectorizable, codegen-able, no Python in the
+per-pair hot path.  A Pandas-UDF variant (numpy matmul per Arrow batch) is
+provided for wide-k workloads where BLAS wins: ``ann_topk_pandas``
+(same result set, exercised in tests; the oracle entry uses the JVM path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8  # LSH signature bits
+_DIM = 64
+
+# Deterministic pseudo-random hyperplanes shared with the oracle:
+# component(plane p, dim i) = hex16(md5(p || ':' || i)) / 32768 - 1  ∈ [-1, 1)
+_PLANES_SQL = f"""
+    planes AS (SELECT p.p, d.i,
+                      (('0x' || substr(md5(p.p || ':' || d.i), 1, 4))::INTEGER / 32768.0 - 1) AS c
+               FROM (SELECT unnest(range({N_PLANES})) AS p) p,
+                    (SELECT unnest(range(1, {_DIM + 1})) AS i) d)
+"""
+
+
+def _dot(u, v):
+    prod = F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(u, v):
+    return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ec FROM embeddings),
+    ex AS (SELECT query_id, cand_id, eq[i]::DOUBLE AS x, ec[i]::DOUBLE AS y
+           FROM q, c, unnest(generate_series(1, {_DIM})) t(i)
+           WHERE query_id <> cand_id),
+    cos AS (SELECT query_id, cand_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+            FROM ex GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM cos)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact k-NN: broadcast the query set against the corpus, cosine in
+    JVM, per-query top-k via window.  Ranking uses the *rounded* cosine
+    (+ id tiebreak) so rank order is engine-independent.
+
+    At scale: queries broadcast (they're small), corpus scan is
+    embarrassingly parallel, per-partition top-k via the window — no
+    corpus shuffle at all."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("eq"), F.col("ec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_PLANES_SQL},
+    comp AS (SELECT e.vec_id, p.p, SUM(e.embedding[p.i]::DOUBLE * p.c) AS proj
+             FROM embeddings e, planes p
+             GROUP BY e.vec_id, p.p),
+    sig AS (SELECT vec_id,
+                   SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+            FROM comp GROUP BY vec_id),
+    q AS (SELECT s.vec_id AS query_id, s.bucket, e.embedding AS eq
+          FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id < {N_QUERIES}),
+    c AS (SELECT s.vec_id AS cand_id, s.bucket, e.embedding AS ec
+          FROM sig s JOIN embeddings e USING (vec_id)),
+    cand AS (SELECT query_id, cand_id, eq, ec FROM q JOIN c USING (bucket)
+             WHERE query_id <> cand_id),
+    ex AS (SELECT query_id, cand_id, eq[i]::DOUBLE AS x, ec[i]::DOUBLE AS y
+           FROM cand, unnest(generate_series(1, {_DIM})) t(i)),
+    cos AS (SELECT query_id, cand_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+            FROM ex GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM cos)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Approximate k-NN via random-hyperplane LSH: {P}-bit sign signature →
+    candidates share the exact bucket → exact cosine re-rank inside the
+    bucket.  The bucket join is an equi-join: at 100 TB candidates shuffle
+    by bucket id, cost ∝ bucket occupancy, never |corpus|².
+
+    Projections are computed by posexplode + broadcast-join against the
+    plane table — one shuffle-free pass over the corpus."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p")).crossJoin(
+        spark.range(1, _DIM + 1).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "p",
+        "i",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string"))), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            / 32768.0
+            - 1
+        ).alias("c"),
+    )
+    comp = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("i", F.col("pos") + 1)
+        .join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("val").cast("double") * F.col("c")).alias("proj"))
+    )
+    sig = comp.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1L, p)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("bucket")
+    )
+    embs = emb.select("vec_id", "embedding")
+    q = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .join(embs, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "bucket", F.col("embedding").alias("eq"))
+    )
+    c = sig.join(embs, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), "bucket", F.col("embedding").alias("ec")
+    )
+    cand = q.join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    scored = cand.select(
+        "query_id", "cand_id", F.round(_cosine(F.col("eq"), F.col("ec")), 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def ann_topk_pandas(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """BLAS-path exact k-NN: numpy matmul per Arrow batch via mapInPandas.
+
+    Same results as ``ann_topk_bruteforce`` (asserted in tests); wins when
+    k and the query set are large enough that matrix-matrix beats
+    codegen'd per-pair loops.  Queries ride along as a broadcast variable —
+    classic design for 1000-executor fan-out."""
+    import numpy as np
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < n_queries).collect()  # tiny: the query set
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T  # (n_queries, batch)
+            n_q, n_c = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_c),
+                    "cand_id": np.tile(c_ids, n_q),
+                    "cosine": np.round(sims.ravel(), 4),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    scored = emb.mapInPandas(
+        score, "query_id long, cand_id long, cosine double"
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,182 @@
+"""Event-time windowing operators (SURVEY §2.2 streaming rows).
+
+These are the *semantics* of the streaming operators — ``window()``,
+sliding windows, ``session_window()`` — evaluated here in batch mode so the
+DuckDB oracle can verify them (Spark's window functions are identical in
+batch and streaming; the streaming-specific machinery — watermarks, state
+store, late-data drop — is exercised in ``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.operators.relational import dec, money
+from pypgcdc_spark.queries import load, query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """1-hour tumbling window aggregation (streaming groupBy(window(...))
+    shape; with a stream source this takes withWatermark("ts", ...))."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    -- A 1h window sliding by 30m assigns each event to exactly 2 windows:
+    -- starts at floor30(ts) and floor30(ts)-30m (same enumeration Spark's
+    -- window(ts,'1 hour','30 minutes') performs).
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - i.i * INTERVAL '30 minutes' AS ws, value
+      FROM events, (SELECT 0 AS i UNION ALL SELECT 1) i
+    )
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """1-hour window sliding every 30 minutes (overlapping windows)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    -- Gaps-and-islands sessionization, 30-minute inactivity gap: new
+    -- session when ts - prev_ts > 30m; session end = last ts + gap
+    -- (matches Spark session_window(ts, '30 minutes') start/end).
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS session_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session windows with a 30-minute inactivity gap (session_window —
+    the streaming stateful-agg shape — verified against a gaps-and-islands
+    oracle)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "asof_join_purchase_last_click",
+    oracle="""
+    -- DuckDB has a native ASOF JOIN; Spark composes it from a union +
+    -- conditional last() window (implementation below) — same semantics:
+    -- for each purchase, the most recent prior-or-equal click by that user.
+    SELECT p.user_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one): union both sides, per-user
+    ordered window carries the latest click forward, keep purchase rows.
+
+    One shuffle on user_id, no range explosion — the scalable composition
+    for time-series alignment (vs merge_asof per group via applyInPandas,
+    which this beats by staying in Tungsten)."""
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_click"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # Clicks sort before purchases at equal ts (is_click desc) so that a
+    # click at exactly the purchase ts is visible to it (>= semantics).
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ev_ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click") == 1, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_click") == 0).select(
+        "user_id",
+        "purchase_id",
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )

@@ -1,0 +1,209 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — the pre-training corpus hygiene pass, over the
+``documents`` table.
+
+Everything is built-in-function Spark (regexp / split / aggregate):
+string kernels stay in Tungsten codegen, nothing row-at-a-time in Python.
+All scoring formulas are integer/exact arithmetic (or rounded at fixed
+points) so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+# Tiny deterministic stopword profiles (language-ID heuristic).
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+EN_STOPWORDS = ["the", "a", "and", "or", "of", "to", "in", "is"]
+
+
+def _sql_count_tokens(words_expr: str, vocab: list) -> str:
+    """DuckDB: count of tokens ∈ vocab via list_filter + list_contains."""
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    return f"len(list_filter({words_expr}, x -> list_contains({vocab_sql}, x)))"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT lang, string_split(lower(text), ' ') AS w, length(text) AS n_chars
+               FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(w)) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           ROUND(SUM(len(w))::DOUBLE / COUNT(*), 2) AS avg_tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting + corpus size stats per language tag."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    return (
+        docs.select("lang", F.size(w).alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.sum("n_tok").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+    )
+
+
+@query(
+    "text_bpe_ish_tokens",
+    oracle=r"""
+    -- BPE-ish subword proxy: word chunks + digit runs + punctuation marks,
+    -- via the same regex in both engines.
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def text_bpe_ish_tokens(spark, sf_dir):
+    """Regex token counting (BPE-proxy token budget estimation)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return (
+        docs.select("source", F.size(toks).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_bpe_tokens"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+           + CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END
+           + CASE WHEN {_sql_count_tokens('w', EN_STOPWORDS)} * 100 >= len(w) * 5 THEN 1 ELSE 0 END
+           + CASE WHEN len(list_filter(w, x -> length(x) > 15)) = 0 THEN 1 ELSE 0 END
+             AS quality
+      FROM t
+    )
+    SELECT source, quality, COUNT(*) AS n_docs FROM scored GROUP BY 1, 2
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality score 0-4 (length band, token count, stopword
+    density ≥5%, no over-long garbage tokens) — integer point system, no
+    float thresholds, so it is exactly reproducible."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    n_chars = F.length("text")
+    n_tok = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_long = F.size(F.filter(w, lambda x: F.length(x) > 15))
+    quality = (
+        F.when(n_chars.between(100, 5000), 1).otherwise(0)
+        + F.when(n_tok >= 20, 1).otherwise(0)
+        + F.when(n_stop * 100 >= n_tok * 5, 1).otherwise(0)
+        + F.when(n_long == 0, 1).otherwise(0)
+    )
+    return (
+        docs.select("source", quality.alias("quality"))
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        scores.append(f"{_sql_count_tokens('w', words)} AS score_{lang}")
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, lang AS labeled_lang, {', '.join(scores)} FROM t),
+    best AS (
+      SELECT doc_id, labeled_lang,
+             CASE GREATEST(score_en, score_de, score_es, score_fr)
+                  WHEN 0 THEN 'unknown'
+                  WHEN score_en THEN 'en'
+                  WHEN score_de THEN 'de'
+                  WHEN score_es THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM s
+    )
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n FROM best GROUP BY 1, 2
+    """
+
+
+@query("text_langid_confusion", oracle=_langid_sql())
+def text_langid(spark, sf_dir):
+    """n-gram-free language ID: stopword-profile hit counts with a fixed
+    priority tiebreak (en > de > es > fr), confusion-matrix output against
+    the labeled ``lang`` column."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    d = docs.select("doc_id", F.col("lang").alias("labeled_lang"), w.alias("w"))
+    def _contains_counter(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(x) for x in words])
+        d = d.withColumn(
+            f"score_{lang}", F.size(F.filter("w", _contains_counter(arr)))
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(F.col("score_en") == best, "en")
+        .when(F.col("score_de") == best, "de")
+        .when(F.col("score_es") == best, "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select("labeled_lang", predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    -- Canonical content fingerprint: md5 over the sorted distinct token
+    -- set (order/whitespace/duplication insensitive).
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fingerprint) AS n_distinct_fp
+    FROM fp GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over the sorted distinct token set —
+    catches shuffled/re-whitespaced copies that exact dedup misses."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    )
+    return (
+        docs.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        )
+    )
