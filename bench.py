@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end into the noop sink (forces the full plan,
+no result materialization on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "join_self_lineitem_pairs",
+    "agg_cube_orders",
+    "win_topk_orders_per_segment",
+    "stream_session_window",
+    "asof_join_purchase_last_click",
+    "cdc_apply_current_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "text_quality_score",
+    "multimodal_binary_features",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pypgcdc_spark.queries import REGISTRY, ensure_registered
+    from pypgcdc_spark.session import get_spark
+
+    ensure_registered()
+    spark = get_spark("pypgcdc-bench", cpus=cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+
+    # Warm the JVM/parquet footers once with a trivial action (excluded
+    # from timings; the driver baseline measures steady-state throughput).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Physical-plan guardrails: the properties that matter at 100 TB.
+
+A correctness-green query that lost its filter pushdown or broadcast
+would still pass the oracle — these tests pin the *plan*, not the rows."""
+
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from pypgcdc_spark.queries import REGISTRY, ensure_registered
+
+ensure_registered()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: shipdate/discount/quantity predicates
+    must appear in PushedFilters on the lineitem scan."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    """Q6 touches 4 columns; the scan must not read the other 7."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    (schema,) = read_schemas(df)
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"):
+        assert f"{col}:" not in schema, f"{col} not pruned: {schema}"
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert f"{col}:" in schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_six_way_join_single_fact_shuffle(spark, sf_dir):
+    """Q5 joins 6 tables; with all dims broadcast, only the
+    lineitem⋈orders pair (plus the final agg) may shuffle."""
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # exchanges: 2 join inputs + 1 aggregation = 3 (AQE may reuse/elide).
+    assert shuffle_count(df) <= 4, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # AQE defers codegen planning to execution; disable it to inspect the
+    # static plan (execution behavior is identical per stage).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+        assert codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_cdc_apply_single_shuffle(spark, sf_dir):
+    """Apply-changes must be exactly one shuffle (the key partition for
+    the window) — a second exchange would double the cost of every
+    micro-batch at scale."""
+    df = REGISTRY["cdc_apply_current_state"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, f"expected 1 exchange, got {shuffle_count(df)}"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject, never a total sort."""
+    from pypgcdc_spark.plans.inspect import count_op
+
+    df = REGISTRY["sort_topk_global"].fn(spark, sf_dir)
+    assert count_op(df, "TakeOrderedAndProject") >= 1
+
+
+def test_envelope_current_state_plan(spark, tmp_path):
+    """CDC current_state over the pgcdc source: one shuffle, broadcast for
+    the truncate set."""
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.cdc.apply import current_state
+    from pypgcdc_spark.testing import write_upsert_workload
+
+    log = tmp_path / "plan.log"
+    write_upsert_workload(str(log), n_keys=10, n_updates=20)
+    engine = PgCdcEngine(spark)
+    state = current_state(engine.snapshot(str(log)))
+    assert has_broadcast_join(state)
