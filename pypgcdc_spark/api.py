@@ -63,6 +63,35 @@ class PgCdcEngine:
     def typed_view(env: DataFrame, schema: TableSchema) -> DataFrame:
         return typed_state(env, schema)
 
+    # -- SQL surface -------------------------------------------------------
+    def register_tables(self, sf_dir: str) -> None:
+        """Register every fixture table as a temp view → full spark.sql
+        access (the engine's SQL front door)."""
+        from pypgcdc_spark.queries import TABLES, load
+
+        for name, df in zip(TABLES, load(self.spark, sf_dir, *TABLES)):
+            df.createOrReplaceTempView(name)
+
+    def register_cdc_views(self, log_path: str, prefix: str = "") -> list:
+        """Register the envelope plus a typed current-state view per table
+        found in the log; returns the view names."""
+        from pypgcdc_spark.cdc import pgoutput as pg
+        from pypgcdc_spark.cdc.registry import SchemaRegistry
+        from pypgcdc_spark.sources.replay import scan_frames
+
+        registry = SchemaRegistry()
+        for fr in scan_frames(log_path):
+            if fr.payload[:1] == b"R":
+                registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+        env = self.snapshot(log_path)
+        env.createOrReplaceTempView(f"{prefix}cdc_envelope")
+        names = [f"{prefix}cdc_envelope"]
+        for schema in registry.tables():
+            view = f"{prefix}{schema.table}_current"
+            typed_state(env, schema).createOrReplaceTempView(view)
+            names.append(view)
+        return names
+
     # -- sinks -------------------------------------------------------------
     def materialize(
         self,

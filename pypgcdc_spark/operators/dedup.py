@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pypgcdc_spark.functions.text_kernels import distinct_shingles, hash32, normalized_text
+from pypgcdc_spark.functions.vector import cosine as vcosine
 from pypgcdc_spark.queries import load, query
 
 JACCARD_THRESHOLD = 0.2
@@ -40,25 +42,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stays entirely in Tungsten (split/slice/concat are codegen'd); no
     Python UDF in the shingling hot path."""
     (docs,) = load(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
-    n = F.size("w")
-    # Build + dedupe the shingle set *inside the row* (transform +
-    # array_distinct), then explode: set semantics with zero shuffle —
-    # a DISTINCT here would shuffle the full corpus×shingles row count.
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-                F.element_at("w", i + 3),
-            ),
-        )
-    )
-    return (
-        words.filter(n >= 3)
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3).select(
+        "doc_id", F.explode(distinct_shingles(F.col("text"))).alias("shingle")
     )
 
 
@@ -82,7 +67,7 @@ def dedup_exact(spark, sf_dir):
     At 100 TB this is one shuffle on the fingerprint; group-by on a
     64-bit-prefix of md5 would cut shuffle width further."""
     (docs,) = load(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    fp = F.md5(normalized_text(F.col("text")))
     return (
         docs.select("doc_id", "source", fp.alias("fingerprint"))
         .groupBy("source")
@@ -145,8 +130,7 @@ def minhash_signatures_wide(sh: DataFrame) -> DataFrame:
     row explosion and a single md5 per shingle (measured 3× faster than
     the 16×md5 variant at sf0.1; this is what keeps the operator linear
     at 100 TB corpus scale)."""
-    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    withh = sh.select("doc_id", h32.alias("h32"))
+    withh = sh.select("doc_id", hash32(F.col("shingle")).alias("h32"))
     return withh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(2 * s + 1) * F.col("h32") + F.lit(s)) % F.lit(MINHASH_PRIME)).alias(
@@ -345,12 +329,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
 
-    def dot(u, v):
-        prod = F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-
-    norm = lambda u: F.sqrt(dot(u, u))  # noqa: E731
-    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    cos = vcosine(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("c", cos)

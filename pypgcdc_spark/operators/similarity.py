@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pypgcdc_spark.functions.vector import cosine as _cosine_kernel
 from pypgcdc_spark.queries import load, query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -37,13 +38,7 @@ _PLANES_SQL = f"""
 """
 
 
-def _dot(u, v):
-    prod = F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _cosine(u, v):
-    return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
+_cosine = _cosine_kernel
 
 
 @query(

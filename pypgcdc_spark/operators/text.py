@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pypgcdc_spark.functions.text_kernels import content_fingerprint
 from pypgcdc_spark.queries import load, query
 
 # Tiny deterministic stopword profiles (language-ID heuristic).
@@ -196,9 +197,7 @@ def text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 over the sorted distinct token set —
     catches shuffled/re-whitespaced copies that exact dedup misses."""
     (docs,) = load(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
-    )
+    fp = content_fingerprint(F.col("text"))
     return (
         docs.select("source", fp.alias("fingerprint"))
         .groupBy("source")

@@ -80,6 +80,7 @@ def ensure_registered() -> None:
         cdc_queries,
         dedup,
         multimodal,
+        python_exts,
         relational,
         similarity,
         streaming_windows,

@@ -1,0 +1,120 @@
+"""Engine API surface tests: CLI, SQL catalog, schema evolution e2e."""
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+
+def test_cli_materializes_all_tables(tmp_path):
+    from pypgcdc_spark.testing import write_reference_workload
+
+    log = tmp_path / "cli.log"
+    write_reference_workload(str(log))
+    out = tmp_path / "state"
+    r = subprocess.run(
+        [sys.executable, "-m", "pypgcdc_spark", "--log", str(log), "--out", str(out), "--cpus", "2"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "integration" in r.stdout and "control" in r.stdout
+    # integration: I then U then D → 0 current rows; control: 1 marker row.
+    assert "public.integration: 0 current rows" in r.stdout
+    assert "public.control: 1 current rows" in r.stdout
+
+
+def test_sql_catalog_over_fixtures(spark, sf_dir):
+    from pypgcdc_spark.api import PgCdcEngine
+
+    engine = PgCdcEngine(spark)
+    engine.register_tables(sf_dir)
+    row = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY n DESC, r_name LIMIT 1
+        """
+    ).first()
+    assert row.n > 0
+
+
+def test_sql_views_over_cdc_log(spark, tmp_path):
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.testing import write_upsert_workload
+
+    log = tmp_path / "views.log"
+    expected = write_upsert_workload(str(log), n_keys=15, n_updates=40)
+    engine = PgCdcEngine(spark)
+    views = engine.register_cdc_views(str(log))
+    assert "cdc_envelope" in views and "integration_current" in views
+    n_env = spark.sql("SELECT COUNT(*) c FROM cdc_envelope").first().c
+    assert n_env == 55  # 15 seed inserts + 40 change events
+    got = sorted(
+        (str(r.id), r.text_data)
+        for r in spark.sql("SELECT id, text_data FROM integration_current").collect()
+    )
+    assert got == expected
+
+
+def test_schema_evolution_add_column_e2e(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN mid-stream: the versioned registry (Q4 fix)
+    lets rows before and after the change decode with their own schema;
+    the typed view uses the latest."""
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.apply import typed_state
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.sources.replay import scan_frames
+    from pypgcdc_spark.testing import WorkloadWriter
+
+    log = tmp_path / "evo.log"
+    relid = 777
+    v1_cols = [(True, "id", 23, -1), (False, "name", 25, -1)]
+    v2_cols = v1_cols + [(False, "email", 25, -1)]
+    w = WorkloadWriter(str(log))
+    w.relation(relid, "people", v1_cols)
+    w.tx([pg.encode_insert(relid, ["1", "ada"])])
+    w.relation(relid, "people", v2_cols)  # ALTER TABLE ADD COLUMN email
+    w.tx([pg.encode_insert(relid, ["2", "grace", "g@x.io"])])
+    w.tx([pg.encode_update(relid, ["1", "ada", "a@x.io"])])
+    w.close()
+
+    engine = PgCdcEngine(spark)
+    env = engine.snapshot(str(log))
+    reg = SchemaRegistry()
+    for fr in scan_frames(str(log)):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+    assert len(reg._versions[("replay", relid)]) == 2
+
+    state = typed_state(env, reg.get(relid))
+    rows = {r.id: (r.name, r.email) for r in state.collect()}
+    assert rows == {1: ("ada", "a@x.io"), 2: ("grace", "g@x.io")}
+
+    # Historical typed view: version in force before the ALTER has 2 cols.
+    v1 = reg.get_at_lsn(relid, lsn=1015)
+    assert [c.name for c in v1.column_definitions] == ["id", "name"]
+
+
+def test_vector_kernels(spark):
+    from pypgcdc_spark.functions.vector import add, cosine, dot, l2_distance, scale
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), ([1.0, 2.0, 2.0], [1.0, 2.0, 2.0])],
+        "a array<float>, b array<float>",
+    )
+    r = df.select(
+        F.round(dot("a", "b"), 6).alias("dot"),
+        F.round(cosine("a", "b"), 6).alias("cos"),
+        F.round(l2_distance("a", "b"), 6).alias("l2"),
+        scale("a", F.lit(2.0)).alias("scaled"),
+        add("a", "b").alias("added"),
+    ).collect()
+    assert r[0].dot == 0.0 and r[0].cos == 0.0
+    assert abs(r[0].l2 - 2**0.5) < 1e-6
+    assert r[1].cos == 1.0 and r[1].l2 == 0.0
+    assert r[1].scaled == [2.0, 4.0, 4.0]
