@@ -42,8 +42,16 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stays entirely in Tungsten (split/slice/concat are codegen'd); no
     Python UDF in the shingling hot path."""
     (docs,) = load(spark, sf_dir, "documents")
-    return docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3).select(
-        "doc_id", F.explode(distinct_shingles(F.col("text"))).alias("shingle")
+    # The corpus arrives as one parquet file → one input partition; without
+    # a spread, one core does ALL the shingling+hashing. Repartitioning the
+    # (small) doc rows costs ~nothing and parallelizes the explode across
+    # the cluster — at 100 TB the input is many files and this is a no-op
+    # sized to defaultParallelism.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts, "doc_id")
+        .filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select("doc_id", F.explode(distinct_shingles(F.col("text"))).alias("shingle"))
     )
 
 
@@ -263,39 +271,44 @@ def dedup_simhash(spark, sf_dir):
     keeps the pair join linear in corpus size); emit pairs with Hamming
     distance ≤ {H}."""
     (docs,) = load(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tk"))
-        .distinct()
+    # Distinct tokens *inside the row* (no corpus-wide DISTINCT shuffle),
+    # then ONE groupBy(doc) with {BITS} per-bit vote aggregates — the naive
+    # layout (token×bit rows + (doc,bit) groupBy) costs two extra shuffles
+    # and a 16× row explosion.
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tk"),
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     tok16 = tok.select(
         "doc_id", F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10).cast("int").alias("h16")
     )
-    votes = (
-        tok16.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(F.expr("(h16 >> bit) & 1") == 1, 1).otherwise(-1).alias("w"),
+    votes = tok16.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h16 >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("wsum"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    # Bucket as a real column → the pair join is a hash EQUI-join on the
+    # prefix (shuffle by bucket), not a nested-loop over all pairs; cache
+    # the signatures so both join sides share one token-pipeline compute.
+    sig = votes.select(
+        "doc_id", sig_expr.alias("simhash"), (sig_expr.bitwiseAND(0xFF00)).alias("bucket")
+    ).cache()
+    other = sig.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("simhash").alias("sim_b"), "bucket"
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("wsum") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
-    other = sig.select(F.col("doc_id").alias("doc_b_id"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
     return (
-        sig.join(
-            other,
-            (F.expr("simhash >> 8") == F.expr("sim_b >> 8"))
-            & (F.col("doc_id") < F.col("doc_b_id")),
-        )
+        sig.join(other, ["bucket"])
+        .filter(F.col("doc_id") < F.col("doc_b_id"))
         .select(
             F.col("doc_id").alias("doc_a"),
             F.col("doc_b_id").alias("doc_b"),
