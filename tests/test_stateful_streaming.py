@@ -1,0 +1,142 @@
+"""Custom stateful operators + stream joins: the state-store machinery."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 1, 1)
+
+CHANGES_DDL = "user_id LONG, lsn LONG, op STRING, value DOUBLE, ts TIMESTAMP"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, CHANGES_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_key_version_tracker_state_across_batches(spark, tmp_path):
+    from pypgcdc_spark.streaming.stateful import key_version_tracker
+
+    src = str(tmp_path / "src")
+    _write(
+        spark,
+        src,
+        [
+            (1, 10, "I", 1.0, T0),
+            (1, 20, "U", 2.0, T0),
+            (2, 30, "I", 3.0, T0),
+        ],
+    )
+    stream = spark.readStream.schema(CHANGES_DDL).parquet(src)
+    q = (
+        key_version_tracker(stream.select("user_id", "lsn", "op"))
+        .writeStream.format("memory")
+        .queryName("kv_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # Batch 2: key 1 gets deleted; state must carry n_versions across batches.
+    _write(spark, src, [(1, 40, "D", None, T0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM kv_sink ORDER BY last_lsn"
+    ).collect()
+    # Latest emission per key wins:
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_versions, r.last_lsn, r.alive)
+    assert latest[1] == (3, 40, False)  # I,U then D; state accumulated
+    assert latest[2] == (1, 30, True)
+
+
+def test_running_value_stats_exact_cents(spark, tmp_path):
+    from pypgcdc_spark.streaming.stateful import running_value_stats
+
+    src = str(tmp_path / "src")
+    _write(spark, src, [(7, 1, "I", 1.25, T0), (7, 2, "U", 2.50, T0)])
+    stream = spark.readStream.schema(CHANGES_DDL).parquet(src)
+    q = (
+        running_value_stats(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName("rs_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write(spark, src, [(7, 3, "U", 0.25, T0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (r.n_events, r.total_cents)
+        for r in spark.sql("SELECT * FROM rs_sink WHERE user_id = 7").collect()
+    )
+    assert rows[-1] == (3, 400)  # 125 + 250 + 25 cents
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Streaming events enriched with a static dimension (broadcast)."""
+    ev = str(tmp_path / "ev")
+    _write(spark, ev, [(0, 1, "I", 5.0, T0), (1, 2, "I", 6.0, T0)])
+    users = spark.createDataFrame(
+        [(0, "free"), (1, "pro")], "user_id LONG, tier STRING"
+    )
+    stream = spark.readStream.schema(CHANGES_DDL).parquet(ev)
+    joined = stream.join(F.broadcast(users), "user_id").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.tier: r.n for r in spark.sql("SELECT * FROM ss_sink").collect()}
+    assert got == {"free": 1, "pro": 1}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range — the
+    interval-join shape (purchase matched to clicks ≤10min earlier)."""
+    clicks_p = str(tmp_path / "clicks")
+    buys_p = str(tmp_path / "buys")
+    _write(spark, clicks_p, [(1, 1, "C", 0.0, T0 + timedelta(minutes=1))])
+    _write(spark, buys_p, [(1, 2, "B", 9.0, T0 + timedelta(minutes=5))])
+
+    clicks = (
+        spark.readStream.schema(CHANGES_DDL)
+        .parquet(clicks_p)
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        spark.readStream.schema(CHANGES_DDL)
+        .parquet(buys_p)
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("iv_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user_id, click_ts, buy_ts FROM iv_sink").collect()
+    assert len(rows) == 1
+    assert rows[0].click_ts == T0 + timedelta(minutes=1)
