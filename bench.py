@@ -24,6 +24,9 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q9_profit_by_nation_year",
+    "q13_customer_order_distribution",
+    "q21_sole_late_supplier",
     "join_self_lineitem_pairs",
     "agg_cube_orders",
     "win_topk_orders_per_segment",

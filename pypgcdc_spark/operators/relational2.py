@@ -1,0 +1,326 @@
+"""Second tranche of TPC-H-shape analytics: the decorrelation-heavy
+archetypes (Q13/15/16/17/19/21/22 shapes, adapted — the fixture star schema
+has no partsupp table, so part-supplier relationships come via lineitem).
+
+Same numeric conventions as relational.py (exact decimal sums, rounded
+DOUBLE emission, total-order tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.operators.relational import dec, money
+from pypgcdc_spark.queries import load, query
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - CAST(l.l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))), 2)::DOUBLE AS amount
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation × year
+    (4 broadcast dims on one fact pass + LIKE pushdown)."""
+    li, supp, part, orders, nat = load(
+        spark, sf_dir, "lineitem", "supplier", "part", "orders", "nation"
+    )
+    disc_factor = (F.lit(1) - dec("l_discount")).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%a%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(money(F.sum(dec("l_extendedprice") * disc_factor)).alias("amount"))
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13: left-outer join + double aggregation (distribution of
+    per-customer order counts, zero-order customers included)."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           ROUND(r.total, 2)::DOUBLE AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total = (SELECT MAX(total) FROM revenue)
+    ORDER BY suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: view + scalar-subquery max (decorrelated to a window
+    max — one pass, no re-aggregation)."""
+    li, supp = load(spark, sf_dir, "lineitem", "supplier")
+    disc_factor = (F.lit(1) - dec("l_discount")).cast("decimal(18,4)")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(dec("l_extendedprice") * disc_factor).alias("total"))
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("mx", F.max("total").over(w)).filter(
+        F.col("total") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            money(F.col("total")).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_part_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN anti-join + multi-key count distinct."""
+    li, part, supp = load(spark, sf_dir, "lineitem", "part", "supplier")
+    excluded = supp.filter(F.col("s_name").like("%7%")).select("s_suppkey")
+    return (
+        li.join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.5 * (SUM(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE / COUNT(*)) AS half_avg
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < a.half_avg
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17: correlated avg-per-part subquery, decorrelated into a
+    per-part aggregate joined back to the fact (the plan Catalyst's
+    decorrelation would emit; written explicitly for the oracle's sake)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("half_avg")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l.l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19: disjunction of conjunctive brackets across two tables
+    (exercises CNF conversion / partial pushdown)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    disc_factor = (F.lit(1) - dec("l_discount")).cast("decimal(18,4)")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        money(F.sum(dec("l_extendedprice") * disc_factor)).alias("revenue")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    -- Q21 shape via window counts (no partsupp): orders with lines from
+    -- >1 supplier where exactly one supplier shipped after order date;
+    -- count those sole-late suppliers.
+    WITH flags AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      FROM flags GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS name, COUNT(*) AS numwait
+    FROM flags f
+      JOIN per_order po ON f.l_orderkey = po.l_orderkey
+      JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, name
+    LIMIT 20
+    """,
+)
+def q21_sole_late(spark, sf_dir):
+    """TPC-H Q21 shape: the exists/not-exists pair expressed as grouped
+    flags + window-free re-join — one pass over the fact instead of two
+    correlated subquery scans."""
+    li, orders, supp = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    flags = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flags.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        flags.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))::DOUBLE / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c.c_name, 10, 1) AS name_digit,
+           COUNT(*) AS numcust,
+           ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2)::DOUBLE AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY substr(c.c_name, 10, 1)
+    """,
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-average subquery (broadcast single row) +
+    NOT EXISTS anti-join (no *recent* orders) + substring bucketing."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )

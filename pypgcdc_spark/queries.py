@@ -82,6 +82,7 @@ def ensure_registered() -> None:
         multimodal,
         python_exts,
         relational,
+        relational2,
         similarity,
         streaming_windows,
         text,
