@@ -55,9 +55,12 @@ def main():
     spark = get_spark("pypgcdc-bench", cpus=cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
-    # Warm the JVM/parquet footers once with a trivial action (excluded
-    # from timings; the driver baseline measures steady-state throughput).
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM and parquet footers/page cache once with trivial
+    # count actions (excluded from timings — the suite measures
+    # steady-state engine throughput, not cold-start disk reads).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events ts
+    for t in ("region", "orders", "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings = {}
     for name in HEADLINE:

@@ -78,6 +78,7 @@ def ensure_registered() -> None:
     from pypgcdc_spark.operators import (  # noqa: F401
         analytic,
         cdc_queries,
+        collections_fns,
         dedup,
         multimodal,
         python_exts,
