@@ -80,6 +80,7 @@ def ensure_registered() -> None:
         cdc_queries,
         collections_fns,
         dedup,
+        ml_lsh,
         multimodal,
         python_exts,
         relational,

@@ -118,3 +118,37 @@ def test_vector_kernels(spark):
     assert abs(r[0].l2 - 2**0.5) < 1e-6
     assert r[1].cos == 1.0 and r[1].l2 == 0.0
     assert r[1].scaled == [2.0, 4.0, 4.0]
+
+
+def test_ml_minhash_recall_vs_exact(spark, sf_dir):
+    """MLlib MinHashLSH must recover the exact near-dup pairs the
+    brute-force jaccard operator finds (recall ≥ 0.9 at matched
+    thresholds) — the meaningful correctness notion for approx indexes."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pypgcdc_spark.operators.dedup import dedup_ngram_jaccard
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    if not exact:
+        return  # nothing planted at this SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("tokens")
+    )
+    feats = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
+    ).transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(feats)
+    approx = {
+        (r["datasetA"].doc_id, r["datasetB"].doc_id)
+        for r in model.approxSimilarityJoin(feats, feats, 0.9, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}: exact={len(exact)}, hit={len(exact & approx)}"

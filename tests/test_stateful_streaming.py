@@ -140,3 +140,36 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT user_id, click_ts, buy_ts FROM iv_sink").collect()
     assert len(rows) == 1
     assert rows[0].click_ts == T0 + timedelta(minutes=1)
+
+
+def test_transform_with_state_latest_version_feed(spark, tmp_path):
+    """State API v2: duplicate/out-of-order replays emit nothing; only
+    genuine version advances flow downstream."""
+    pytest.importorskip("google.protobuf", reason="state v2 needs protobuf")
+    from pypgcdc_spark.streaming.stateful_v2 import latest_version_feed
+
+    src = str(tmp_path / "src")
+    _write(spark, src, [(1, 10, "I", 1.0, T0), (1, 20, "U", 2.0, T0), (2, 5, "I", 9.0, T0)])
+    stream = spark.readStream.schema(CHANGES_DDL).parquet(src)
+    q = (
+        latest_version_feed(stream.select("user_id", "lsn", "op", "value"))
+        .writeStream.format("memory")
+        .queryName("tw_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # Batch 2: a replay (lsn 20 again), an out-of-order older row (lsn 15),
+    # and one genuine advance for key 2.
+    _write(spark, src, [(1, 20, "U", 2.0, T0), (1, 15, "U", 1.5, T0), (2, 30, "D", 0.0, T0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [
+        (r.user_id, r.lsn, r.op)
+        for r in spark.sql("SELECT * FROM tw_sink ORDER BY user_id, lsn").collect()
+    ]
+    # Key 1: only the batch-1 emission (lsn 20); replays suppressed.
+    # Key 2: lsn 5 then the advance to 30.
+    assert rows == [(1, 20, "U"), (2, 5, "I"), (2, 30, "D")]
