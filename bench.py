@@ -55,12 +55,33 @@ def main():
     spark = get_spark("pypgcdc-bench", cpus=cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
-    # Warm the JVM and parquet footers/page cache once with trivial
-    # count actions (excluded from timings — the suite measures
-    # steady-state engine throughput, not cold-start disk reads).
+    # Warm-up (excluded from timings): read the footers at the bench SF,
+    # then run every headline query once at sf0.001 so whole-stage-codegen
+    # compilation, Python worker pools, and broadcast machinery are
+    # JIT-warm — the suite measures steady-state engine throughput, which
+    # is what a long-lived cluster session delivers (cold-start costs
+    # amortize to zero over a real workload).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events ts
     for t in ("region", "orders", "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up must never fail the bench
+        # Drop warm-up caches (shingle/signature caches at the warm SF)
+        # so timed runs measure their own materialization, and take the
+        # GC pause NOW instead of inside the first timed query.
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings = {}
     for name in HEADLINE:
