@@ -82,6 +82,7 @@ def ensure_registered() -> None:
         dedup,
         ml_lsh,
         multimodal,
+        pipeline,
         python_exts,
         relational,
         relational2,
