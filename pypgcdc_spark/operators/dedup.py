@@ -108,7 +108,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     share ≥1 shingle; rare-shingle vocab keeps the join sparse.  At scale,
     drop shingles with document-frequency above a cap first (stop-shingle
     pruning) — the classic trick to bound the quadratic term."""
-    sh = _shingles(spark, sf_dir).cache()
+    # localCheckpoint (eager) materializes the shingle set exactly once;
+    # a lazy cache() lets concurrent DAG branches race to compute it
+    # (measured 2-3x slower and high-variance at sf0.1).
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     b = sh.select(F.col("doc_id").alias("doc_b_id"), "shingle")
     inter = (
@@ -195,7 +198,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     This is the 100 TB path: candidate generation is a bucket-equi-join on
     (band, band_hash) — shuffle ∝ corpus size, never ∝ pairs.  The exact
     verify join only touches candidate docs."""
-    sh = _shingles(spark, sf_dir).cache()  # shared by signatures + verify
+    # Eager one-shot materialization shared by signatures + verify (see
+    # dedup_ngram_jaccard note on cache-race variance).
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
     sigs = minhash_signatures_wide(sh)
     # band_hash = md5 of the band's minhashes joined in seed order; unpivot

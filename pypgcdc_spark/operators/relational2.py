@@ -272,12 +272,15 @@ def q21_sole_late(spark, sf_dir):
             ).alias("is_late")
         )
     )
-    per_order = flags.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    # Per-order totals as window aggregates over the already-partitioned
+    # flags — one pass, no self-join recompute (the agg shuffle on
+    # (l_orderkey, l_suppkey) already co-locates each order's rows).
+    w = Window.partitionBy("l_orderkey")
+    flags = flags.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
     )
     return (
-        flags.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        flags.filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
