@@ -63,6 +63,7 @@ class TxRangePartition(InputPartition):
     end_pos: int
     registry_json: str
     database: str
+    on_decode_error: str = "fail"  # "fail" | "skip"
 
 
 def _read_range(part: TxRangePartition) -> Iterator[Tuple]:
@@ -70,7 +71,16 @@ def _read_range(part: TxRangePartition) -> Iterator[Tuple]:
     registry.database = part.database
     xform = MessageTransformer(registry=registry)
     for fr in replay.scan_frames(part.path, part.start_pos, part.end_pos):
-        for ev in xform.feed(fr.lsn, fr.payload):
+        try:
+            events = list(xform.feed(fr.lsn, fr.payload))
+        except (ValueError, LookupError, IndexError, UnicodeDecodeError):
+            # Corrupt/unknown frame. Default is fail-fast (a CDC gap is
+            # data loss); option onDecodeError=skip trades completeness
+            # for liveness and is surfaced in the transform stats.
+            if part.on_decode_error == "skip":
+                continue
+            raise
+        for ev in events:
             yield ev.as_flat_tuple()
 
 
@@ -81,6 +91,7 @@ def _plan_partitions(
     registry_json: str,
     database: str,
     num_partitions: int,
+    on_decode_error: str = "fail",
 ) -> Sequence[TxRangePartition]:
     """Split [start_pos, end_pos) into ≤ num_partitions contiguous chunks
     that each hold whole transactions."""
@@ -101,12 +112,14 @@ def _plan_partitions(
     for s, e in ranges:
         acc += e - s
         if acc >= target and len(parts) < num_partitions - 1:
-            parts.append(TxRangePartition(path, chunk_start, e, registry_json, database))
+            parts.append(TxRangePartition(path, chunk_start, e, registry_json, database, on_decode_error))
             chunk_start = e
             acc = 0
     if chunk_start < ranges[-1][1]:
         parts.append(
-            TxRangePartition(path, chunk_start, ranges[-1][1], registry_json, database)
+            TxRangePartition(
+                path, chunk_start, ranges[-1][1], registry_json, database, on_decode_error
+            )
         )
     return parts
 
@@ -119,6 +132,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
         self.database = options.get("database", "replay")
         self.max_tx = int(options.get("maxtxperbatch", 0) or 0)
         self.num_partitions = int(options.get("numpartitions", 4) or 4)
+        self.on_decode_error = options.get("ondecodeerror", "fail").lower()
         # Incremental driver-side scan state (rebuilt lazily after restart).
         self._scanned_pos = 0
         self._registry = SchemaRegistry(database=self.database)
@@ -179,6 +193,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
             end.get("registry") or start.get("registry") or SchemaRegistry().dumps(),
             self.database,
             self.num_partitions,
+            self.on_decode_error,
         )
 
     def read(self, partition: TxRangePartition) -> Iterator[Tuple]:
@@ -205,6 +220,7 @@ class PgCdcBatchReader(DataSourceReader):
             raise ValueError("pgcdc source requires option 'path'")
         self.database = options.get("database", "replay")
         self.num_partitions = int(options.get("numpartitions", 4) or 4)
+        self.on_decode_error = options.get("ondecodeerror", "fail").lower()
 
     def partitions(self) -> Sequence[InputPartition]:
         registry = SchemaRegistry(database=self.database)
@@ -215,9 +231,19 @@ class PgCdcBatchReader(DataSourceReader):
                 registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
         size = os.path.getsize(self.path)
         parts = _plan_partitions(
-            self.path, 0, size, registry.dumps(), self.database, self.num_partitions
+            self.path,
+            0,
+            size,
+            registry.dumps(),
+            self.database,
+            self.num_partitions,
+            self.on_decode_error,
         )
-        return parts or [TxRangePartition(self.path, 0, size, registry.dumps(), self.database)]
+        return parts or [
+            TxRangePartition(
+                self.path, 0, size, registry.dumps(), self.database, self.on_decode_error
+            )
+        ]
 
     def read(self, partition: TxRangePartition) -> Iterator[Tuple]:
         return _read_range(partition)

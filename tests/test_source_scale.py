@@ -77,3 +77,45 @@ def test_parallel_partitions_and_boundaries(spark, tmp_path):
     ids = df.select(F.col("after").getItem("id").cast("long").alias("id"))
     assert ids.agg(F.countDistinct("id")).first()[0] == n_rows
     assert df.filter(F.col("tx_id").isNull()).count() == 0
+
+
+def test_on_decode_error_policy(spark, tmp_path):
+    """A corrupt frame fails fast by default; onDecodeError=skip keeps the
+    stream alive and drops only the bad frame."""
+    import pytest
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+    from pypgcdc_spark.testing import INTEGRATION_COLS, INTEGRATION_RELID, WorkloadWriter
+
+    log = str(tmp_path / "bad.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "t", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, ["1", None, "1.00", None, "a"])])
+    w.close()
+    # Append a whole "transaction" whose data frame is garbage.
+    wr = ReplayLogWriter(log)
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    wr.append(9000, pg.encode_begin(9100, ts, 999))
+    wr.append(9010, b"Zgarbage-not-a-message")
+    wr.append(9020, pg.encode_commit(9100, 9020, ts))
+    wr.close()
+    w2 = WorkloadWriter(log, start_lsn=10_000)
+    w2.tx([pg.encode_insert(INTEGRATION_RELID, ["2", None, "2.00", None, "b"])])
+    w2.close()
+
+    spark.dataSource.register(PgCdcDataSource)
+    strict = spark.read.format("pgcdc").option("path", log).load()
+    with pytest.raises(Exception):
+        strict.count()
+
+    lenient = (
+        spark.read.format("pgcdc")
+        .option("path", log)
+        .option("onDecodeError", "skip")
+        .load()
+    )
+    rows = lenient.orderBy("lsn").collect()
+    assert [r.after["id"] for r in rows] == ["1", "2"]
