@@ -40,6 +40,18 @@ def decode_image(payload: bytes):  # pragma: no cover - deliberate stub
     raise NotImplementedError("image codecs not available in this environment")
 
 
+def resize_image(payload: bytes, w: int, h: int):  # pragma: no cover - stub
+    """STUB (no PIL in container): production resize kernel plugs in here;
+    runs inside the same mapInPandas batch loop as decode."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover - stub
+    """STUB (no video libs): frame sampling for video payloads — yields
+    (frame_idx, frame_bytes); batch shape identical to decode."""
+    raise NotImplementedError("video codecs not available in this environment")
+
+
 def fake_decode_features(payload: bytes) -> tuple:
     """Deterministic stand-in for decode+feature-extract: byte length,
     content hash, and a pseudo-feature derived from the first hash byte."""

@@ -206,3 +206,67 @@ def text_fingerprint(spark, sf_dir):
             F.countDistinct("fingerprint").alias("n_distinct_fp"),
         )
     )
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (pick min hash among W consecutive grams)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    -- Winnowing (rolling-hash) fingerprints: hash every {WINNOW_K}-char
+    -- gram, keep the minimum in each window of {WINNOW_W} consecutive
+    -- grams (classic local document fingerprinting); compare corpora by
+    -- their distinct fingerprint counts + cross-doc collisions.
+    WITH grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substr(lower(text), i + 1, {WINNOW_K})), 1, 8))::BIGINT AS h,
+             i AS pos
+      FROM documents, unnest(range(length(text) - {WINNOW_K})) t(i)
+      WHERE length(text) > {WINNOW_K} AND doc_id < 200
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT COUNT(*) AS n_fingerprints,
+           COUNT(DISTINCT fp) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_cross_doc_hits
+    FROM winnowed
+    """,
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash (winnowing) fingerprints: per-position char-gram hash,
+    window-min selection — the classic local fingerprinting scheme whose
+    collisions localize *where* two documents overlap (vs whole-doc
+    hashing).  Bounded to 200 docs: char-gram explosion is O(text bytes);
+    the full-corpus variant would pre-filter with MinHash candidates."""
+    (docs,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from pypgcdc_spark.functions.text_kernels import hash32
+
+    docs = docs.filter((F.length("text") > WINNOW_K) & (F.col("doc_id") < 200))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, length(text) - {WINNOW_K + 1}), "
+                f"i -> substr(lower(text), i + 1, {WINNOW_K}))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash32(F.col("gram")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    winnowed = grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return winnowed.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_cross_doc_hits"),
+    )
