@@ -86,7 +86,7 @@ def win_running_sum(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(gap_us) AS total_gap_us
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
     FROM (
       SELECT event_type,
              epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us

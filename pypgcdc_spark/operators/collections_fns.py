@@ -23,7 +23,7 @@ from pypgcdc_spark.queries import load, query
     SELECT array_to_string(statuses, ',') AS status_set,
            len(keys) AS n_orders,
            COUNT(*) AS n_customers,
-           SUM(CASE WHEN list_contains(statuses, 'P') THEN 1 ELSE 0 END) AS with_pending
+           CAST(SUM(CASE WHEN list_contains(statuses, 'P') THEN 1 ELSE 0 END) AS BIGINT) AS with_pending
     FROM t GROUP BY 1, 2
     """,
 )
@@ -109,7 +109,7 @@ def scalar_map_functions(spark, sf_dir):
     )
     SELECT user_id,
            len(cents) AS n_events,
-           list_sum(list_filter(cents, (x, i) -> types[i] <> 'error')) AS non_error_cents,
+           CAST(list_sum(list_filter(cents, (x, i) -> types[i] <> 'error')) AS BIGINT) AS non_error_cents,
            list_max(cents) AS max_cents
     FROM arr
     """,

@@ -106,7 +106,7 @@ def extract_features(media: DataFrame) -> DataFrame:
       FROM documents
     )
     SELECT source, COUNT(*) AS n_media,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT content_md5) AS n_distinct_payloads,
            ROUND(SUM(('0x' || substr(content_md5, 1, 2))::INTEGER) / 255.0, 2) AS sum_feat0
     FROM f GROUP BY source

@@ -46,11 +46,11 @@ from pypgcdc_spark.queries import load, query
     )
     SELECT lang,
            COUNT(*) AS n_input,
-           SUM(CASE WHEN q >= 2 THEN 1 ELSE 0 END) AS n_quality,
-           SUM(CASE WHEN q >= 2 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
-                    THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN q >= 2 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
-                    THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(SUM(CASE WHEN q >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN q >= 2 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN q >= 2 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM quality GROUP BY lang
     """,
 )

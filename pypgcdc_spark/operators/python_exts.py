@@ -66,7 +66,7 @@ def udtf_shingle_expand(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS max_cents
     FROM customer GROUP BY c_mktsegment
     """,
@@ -99,7 +99,7 @@ def udaf_segment_stats(spark, sf_dir):
     "pandas_udf_value_cents",
     oracle="""
     SELECT event_type,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY event_type
     """,
 )
@@ -164,10 +164,13 @@ def approx_distinct_and_quantiles(spark, sf_dir):
     companion exact-aggregate queries (agg_distinct_suppliers, win_ntile)
     pin correctness of the exact paths."""
     (li,) = load(spark, sf_dir, "lineitem")
+    # Quantiles emitted as three scalar columns (not one array column):
+    # the driver's rows-only canonicalizer sorts result columns in pandas,
+    # which crashes on unhashable list cells.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("price_p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("price_p99"),
     )

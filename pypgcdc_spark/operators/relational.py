@@ -445,9 +445,9 @@ def join_semi(spark, sf_dir):
     oracle="""
     WITH c AS (SELECT c_custkey FROM customer),
          o AS (SELECT DISTINCT o_custkey FROM orders)
-    SELECT SUM(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS both_sides,
-           SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS customer_only,
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orders_only
+    SELECT CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_sides,
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customer_only,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_only
     FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
     """,
 )

@@ -38,8 +38,8 @@ def _sql_count_tokens(words_expr: str, vocab: list) -> str:
                FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(w)) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(SUM(len(w))::DOUBLE / COUNT(*), 2) AS avg_tokens_per_doc
     FROM t GROUP BY lang
     """,
@@ -68,7 +68,7 @@ def text_token_stats(spark, sf_dir):
     -- BPE-ish subword proxy: word chunks + digit runs + punctuation marks,
     -- via the same regex in both engines.
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
     """,

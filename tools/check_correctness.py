@@ -24,22 +24,44 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_value(v):
+    """Normalize one pandas cell.  Deliberately does NOT unify int vs float:
+    the driver hashes DuckDB HUGEINT→float64 `123.0` differently from
+    Spark's int64 `123` (CORRECTNESS_r01 root cause), so we must too."""
+    import numpy as np
+
     if v is None:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # Canonical float formatting (17 sig digits round-trips doubles).
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v)).lower()
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"
+        return repr(f)
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    try:
+        import pandas as pd
+
+        if v is pd.NaT or v is pd.NA:
+            return "∅"
+    except Exception:
+        pass
     return str(v)
 
 
-def frame_fingerprint(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    body = sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+def frame_fingerprint(pdf):
+    """Canonicalize a *pandas* frame the way the driver does: columns sorted
+    by name, then a pandas sort_values over every column (this is what
+    crashes on list-typed cells — a crash here is a real driver crash, do
+    not work around it), then a value hash."""
+    sorted_cols = sorted(pdf.columns)
+    pdf = pdf[sorted_cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=sorted_cols, kind="mergesort")
+    body = sorted(
+        tuple(norm_value(v) for v in row) for row in pdf.itertuples(index=False)
+    )
     import hashlib
 
     h = hashlib.sha256()
@@ -72,31 +94,41 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            spdf = sdf.toPandas()
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: SPARK ERROR {str(e).splitlines()[0][:200]}")
             continue
         if name not in oracles:
-            rows_only.append((name, len(srows)))
-            print(f"○ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            # The driver still canonicalizes rows-only results — a list
+            # column crashes there too, so fingerprint to catch it.
+            try:
+                frame_fingerprint(spdf)
+            except Exception as e:
+                failed.append((name, f"ROWS-ONLY CANON ERROR: {e}"))
+                print(f"✗ {name}: ROWS-ONLY CANON ERROR {str(e).splitlines()[0][:200]}")
+                continue
+            rows_only.append((name, len(spdf)))
+            print(f"○ {name}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"✗ {name}: DUCKDB ERROR {str(e).splitlines()[0][:200]}")
             continue
-        sc, sh, sbody = frame_fingerprint(scols, srows)
-        dc, dh, dbody = frame_fingerprint(dcols, drows)
+        try:
+            sc, sh, sbody = frame_fingerprint(spdf)
+            dc, dh, dbody = frame_fingerprint(dpdf)
+        except Exception as e:
+            failed.append((name, f"CANON ERROR: {e}"))
+            print(f"✗ {name}: CANON ERROR {str(e).splitlines()[0][:200]}")
+            continue
         problems = []
         if sc != dc:
             problems.append(f"cols {sc} vs {dc}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount {len(spdf)} vs {len(dpdf)}")
         if not problems and sh != dh:
             diff = [
                 (a, b) for a, b in zip(sbody, dbody) if a != b
@@ -107,7 +139,7 @@ def main():
             print(f"✗ {name}: {'; '.join(problems)[:400]}")
         else:
             passed.append(name)
-            print(f"✓ {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"✓ {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
 
     print(
         f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
