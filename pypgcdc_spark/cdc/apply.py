@@ -130,8 +130,15 @@ def typed_state(env: DataFrame, schema: TableSchema) -> DataFrame:
         if f.name in key_cols:
             continue
         raw = F.col(f"_raw_{f.name}")
+        # NULL-safe TOAST test: a genuine NULL must produce a non-null
+        # struct (so last() takes it), not a NULL comparison that last()
+        # skips — otherwise an UPDATE setting a column to NULL silently
+        # keeps the previous value (ADVICE r1).
         carried = F.last(
-            F.when(raw != F.lit(TOAST_UNCHANGED), F.struct(raw.alias("v"))),
+            F.when(
+                raw.isNull() | (raw != F.lit(TOAST_UNCHANGED)),
+                F.struct(raw.alias("v")),
+            ),
             ignorenulls=True,
         ).over(wff)["v"]
         df = df.withColumn(f"_raw_{f.name}", carried)

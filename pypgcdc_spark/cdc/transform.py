@@ -40,7 +40,8 @@ def _tuple_to_dict(td: pg.TupleData, schema: TableSchema) -> Dict[str, Optional[
 @dataclass
 class _TxContext:
     tx_id: int
-    begin_lsn: int
+    begin_lsn: int  # frame LSN of the Begin message itself
+    final_lsn: int  # Begin.final_lsn = the transaction's END lsn (spec)
     commit_ts: object
 
 
@@ -62,7 +63,10 @@ class MessageTransformer:
         """Transform one raw replication message; yields 0..n envelope rows."""
         msg = pg.decode_message(payload)
         if isinstance(msg, pg.Begin):
-            self._tx = _TxContext(msg.tx_xid, msg.final_lsn, msg.commit_ts)
+            # begin_lsn = the Begin frame's own LSN; Begin.final_lsn is the
+            # tx *end* LSN per spec and populates commit_lsn (ADVICE r1: the
+            # two were previously conflated, both set to final_lsn).
+            self._tx = _TxContext(msg.tx_xid, lsn, msg.final_lsn, msg.commit_ts)
             return
         if isinstance(msg, pg.Commit):
             # Offset to ack is the commit *end* LSN — named what it is,
@@ -100,13 +104,13 @@ class MessageTransformer:
                 _tuple_to_dict(msg.old_tuple, schema) if msg.old_tuple is not None else None
             )
             ev = self._event("U", lsn, schema, before=before, after=after)
-            # Key: full before-image if replica identity sent one, else the
-            # pkey projection of after (reference T5, reader.py:230-241).
-            ev.key = (
-                dict(before)
-                if before is not None
-                else {k: after.get(k) for k in schema.get_key_columns()}
-            )
+            # Key: ALWAYS the pkey projection (values from the before-image
+            # when replica identity sent one, else from after). A full
+            # before-image key (RI FULL / 'K' padding) would never collide
+            # with the pkey-projected Insert keys, so current_state's
+            # key-partitioned dedup would keep superseded rows (ADVICE r1).
+            key_src = before if before is not None else after
+            ev.key = {k: key_src.get(k) for k in schema.get_key_columns()}
             self.stats.events += 1
             yield ev
             return
@@ -114,7 +118,9 @@ class MessageTransformer:
             schema = self._schema(msg.relation_id)
             before = _tuple_to_dict(msg.old_tuple, schema)
             ev = self._event("D", lsn, schema, before=before)
-            ev.key = dict(before)
+            # Same pkey projection as Insert/Update — a Delete must land in
+            # the same key partition as the rows it tombstones (ADVICE r1).
+            ev.key = {k: before.get(k) for k in schema.get_key_columns()}
             self.stats.events += 1
             yield ev
             return
@@ -143,7 +149,7 @@ class MessageTransformer:
             lsn=lsn,
             tx_id=tx.tx_id if tx else None,
             begin_lsn=tx.begin_lsn if tx else None,
-            commit_lsn=tx.begin_lsn if tx else None,
+            commit_lsn=tx.final_lsn if tx else None,
             commit_ts=tx.commit_ts if tx else None,
             database=schema.db if schema else None,
             namespace=schema.namespace if schema else None,

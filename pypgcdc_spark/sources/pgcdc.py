@@ -138,6 +138,11 @@ class PgCdcStreamReader(DataSourceStreamReader):
         self._registry = SchemaRegistry(database=self.database)
         self._last_lsn = 0
         self._pending: List[Tuple[int, int]] = []  # whole-tx ranges not yet offered
+        # Highest offset already handed to Spark (checkpoint floor). After a
+        # restart the scan state rebuilds from 0, so without this floor
+        # latestOffset could emit a cut BELOW the checkpointed start offset
+        # (offsets going backwards, stale re-acks — ADVICE r1).
+        self._offset_floor = 0
 
     # -- driver-side scanning -------------------------------------------
     def _scan_forward(self) -> None:
@@ -163,8 +168,17 @@ class PgCdcStreamReader(DataSourceStreamReader):
                 range_start = None
             last_complete = fr.end_pos
         # Frames after the last commit stay unscanned so a torn/open tx is
-        # re-examined next tick.
-        self._scanned_pos = self._pending[-1][1] if self._pending else last_complete
+        # re-examined next tick: if the tail holds an open (uncommitted)
+        # range, rewind to its first frame — advancing to last_complete
+        # would skip the open tx's Begin/Insert frames once its Commit
+        # lands, silently losing them (ADVICE r1). Re-scanning is safe:
+        # register_relation is idempotent on unchanged schemas.
+        if range_start is not None:
+            self._scanned_pos = range_start
+        elif self._pending:
+            self._scanned_pos = self._pending[-1][1]
+        else:
+            self._scanned_pos = last_complete
 
     def _offset(self, pos: int) -> dict:
         return {"pos": pos, "lsn": self._last_lsn, "registry": self._registry.dumps()}
@@ -175,17 +189,24 @@ class PgCdcStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         self._scan_forward()
+        # Drop tx ranges the checkpoint already covers (restart catch-up).
+        if self._offset_floor:
+            self._pending = [r for r in self._pending if r[1] > self._offset_floor]
         if not self._pending:
-            return self._offset(self._scanned_pos)
-        if self.max_tx and len(self._pending) > self.max_tx:
+            cut = max(self._scanned_pos, self._offset_floor)
+        elif self.max_tx and len(self._pending) > self.max_tx:
             cut = self._pending[self.max_tx - 1][1]
             self._pending = self._pending[self.max_tx :]
-            return self._offset(cut)
-        cut = self._pending[-1][1]
-        self._pending = []
+        else:
+            cut = self._pending[-1][1]
+            self._pending = []
+        self._offset_floor = max(self._offset_floor, cut)
         return self._offset(cut)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # The checkpointed start offset is authoritative: never re-offer
+        # anything at or below it.
+        self._offset_floor = max(self._offset_floor, int(start["pos"]))
         return _plan_partitions(
             self.path,
             int(start["pos"]),
@@ -203,8 +224,14 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # Durable ack — replay analog of send_feedback(flush_lsn=...)
         # (reference reader.py:161-163 / stores.py:83, quirk Q7 fixed: the
         # acked value is the commit *end* LSN).
+        pos = int(end["pos"])
+        if pos < self._offset_floor:
+            # Stale re-ack from a pre-restart batch replay: the flush
+            # position (like walsender flush_lsn) must never move backwards.
+            return
+        self._offset_floor = pos
         with open(self.path + ".ack", "w") as f:
-            json.dump({"pos": end["pos"], "lsn": end["lsn"]}, f)
+            json.dump({"pos": pos, "lsn": end["lsn"]}, f)
 
     def stop(self) -> None:
         pass

@@ -52,7 +52,9 @@ class WorkloadWriter:
         """One Begin..Commit transaction containing ``messages``."""
         ts = ts or (_T0 + timedelta(seconds=self.xid))
         self.xid += 1
-        commit_lsn = self.lsn + 10 * (len(messages) + 1)
+        # Begin.final_lsn is the transaction's END lsn per the pgoutput
+        # spec — i.e. the LSN the Commit frame lands on.
+        commit_lsn = self.lsn + 10 * (len(messages) + 2)
         self.writer.append(self._next(), pg.encode_begin(commit_lsn, ts, self.xid))
         for m in messages:
             self.writer.append(self._next(), m)

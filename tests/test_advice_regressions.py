@@ -1,0 +1,191 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test reproduces one reported defect scenario and pins the fixed
+behavior:
+
+1. an open (uncommitted) transaction spanning two ``latestOffset`` ticks
+   must not lose its early frames (sources/pgcdc.py ``_scan_forward``);
+2. an UPDATE that sets a column to NULL must materialize NULL, not carry
+   the previous value forward through the TOAST window (cdc/apply.py);
+3. Delete / Update-with-before-image events must key on the pkey
+   projection so ``current_state`` dedups them against Inserts
+   (cdc/transform.py);
+4. after a checkpoint restart the stream offsets must never move
+   backwards and stale re-acks must not rewind the ``.ack`` sidecar;
+5. ``begin_lsn`` is the Begin frame's own LSN and ``commit_lsn`` the tx
+   end LSN (previously both were Begin.final_lsn).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pypgcdc_spark.cdc import pgoutput as pg
+from pypgcdc_spark.cdc.apply import current_state, typed_state
+from pypgcdc_spark.cdc.registry import SchemaRegistry
+from pypgcdc_spark.cdc.transform import MessageTransformer
+from pypgcdc_spark.sources.pgcdc import PgCdcStreamReader
+from pypgcdc_spark.sources.replay import ReplayLogWriter, scan_frames
+from pypgcdc_spark.testing import (
+    INTEGRATION_COLS,
+    INTEGRATION_RELID,
+    WorkloadWriter,
+    write_reference_workload,
+)
+
+_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _row(k, v, text="t"):
+    return [str(k), f'{{"data": {v}}}', f"{v}.00", "2024-01-01 00:00:00+00", text]
+
+
+def _drain(reader, start, end):
+    rows = []
+    for p in reader.partitions(start, end):
+        rows.extend(reader.read(p))
+    return rows  # flat envelope tuples: (op, lsn, tx_id, begin_lsn, commit_lsn, ...)
+
+
+# -- 1. open-transaction tail across latestOffset ticks -------------------
+
+
+def test_open_tx_across_ticks_not_lost(tmp_path):
+    log = str(tmp_path / "open.log")
+    w = ReplayLogWriter(log)
+    w.append(10, pg.encode_relation(INTEGRATION_RELID, "public", "integration", INTEGRATION_COLS))
+    # tx1: complete
+    w.append(20, pg.encode_begin(40, _TS, 101))
+    w.append(30, pg.encode_insert(INTEGRATION_RELID, _row(1, 1)))
+    w.append(40, pg.encode_commit(40, 40, _TS))
+    # tx2: OPEN — Begin + Insert appended, Commit still in flight
+    w.append(50, pg.encode_begin(70, _TS, 102))
+    w.append(60, pg.encode_insert(INTEGRATION_RELID, _row(2, 2)))
+    w.close()
+
+    r = PgCdcStreamReader({"path": log})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    batch1 = _drain(r, o0, o1)
+    assert [t[0] for t in batch1] == ["I"]  # only tx1 offered
+
+    # The open tx commits, and another full tx lands, before the next tick.
+    w2 = ReplayLogWriter(log)
+    w2.append(70, pg.encode_commit(70, 70, _TS))
+    w2.append(80, pg.encode_begin(100, _TS, 103))
+    w2.append(90, pg.encode_insert(INTEGRATION_RELID, _row(3, 3)))
+    w2.append(100, pg.encode_commit(100, 100, _TS))
+    w2.close()
+
+    o2 = r.latestOffset()
+    batch2 = _drain(r, o1, o2)
+    # Defect: tx2's Begin/Insert frames were skipped (scan pos had advanced
+    # past them), losing the insert and its tx context.
+    assert [t[0] for t in batch2] == ["I", "I"]
+    assert all(t[2] is not None for t in batch2), "tx context must be attached"
+    assert {t[2] for t in batch2} == {102, 103}
+
+
+# -- 2. UPDATE to NULL must not TOAST-carry the old value ------------------
+
+
+def test_update_to_null_materializes_null(spark, tmp_path):
+    log = str(tmp_path / "null.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, _row(1, 1, text="hello"))])
+    # Explicit NULL for text_data (wire category 'n'), NOT a TOAST 'u'.
+    w.tx([pg.encode_update(INTEGRATION_RELID, ["1", '{"data": 2}', "2.00", "2024-01-01 00:00:00+00", None])])
+    w.close()
+
+    from pypgcdc_spark.api import PgCdcEngine
+
+    env = PgCdcEngine(spark).snapshot(log)
+    reg = SchemaRegistry()
+    for fr in scan_frames(log):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+    state = typed_state(env, reg.get(INTEGRATION_RELID)).collect()
+    assert len(state) == 1
+    assert state[0].text_data is None, "UPDATE-to-NULL must not keep the old value"
+    assert state[0].json_data == '{"data": 2}'
+
+
+# -- 3. D/U key projection under replica identity FULL ---------------------
+
+
+def test_delete_full_identity_removes_row(spark, tmp_path):
+    log = str(tmp_path / "rifull.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, _row(7, 7))])
+    w.tx([pg.encode_insert(INTEGRATION_RELID, _row(8, 8))])
+    # REPLICA IDENTITY FULL: before-images carry every column.
+    w.tx([pg.encode_update(INTEGRATION_RELID, _row(8, 88), old_values=_row(8, 8), old_category="O")])
+    w.tx([pg.encode_delete(INTEGRATION_RELID, _row(7, 7), old_category="O")])
+    w.close()
+
+    from pypgcdc_spark.api import PgCdcEngine
+
+    env = PgCdcEngine(spark).snapshot(log)
+    rows = current_state(env).collect()
+    # Defect: full-image keys never collided with pkey-projected Insert
+    # keys, so the deleted row stayed live and the update duplicated.
+    assert sorted(r.key["id"] for r in rows) == ["8"]
+    assert rows[0].after["json_data"] == '{"data": 88}'
+
+
+# -- 4. restart offset floor ----------------------------------------------
+
+
+def test_restart_offsets_never_go_backwards(tmp_path):
+    log = str(tmp_path / "restart.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    for i in range(6):
+        w.tx([pg.encode_insert(INTEGRATION_RELID, _row(i, i))])
+    w.close()
+
+    r1 = PgCdcStreamReader({"path": log, "maxtxperbatch": 2})
+    o1 = r1.latestOffset()  # tx1-2
+    o2 = r1.latestOffset()  # tx3-4
+    r1.commit(o2)  # Spark durably processed through tx4
+    import json
+
+    assert json.load(open(log + ".ack"))["pos"] == o2["pos"]
+
+    # Restart: fresh reader rebuilds its scan state from byte 0.
+    r2 = PgCdcStreamReader({"path": log, "maxtxperbatch": 2})
+    oa = r2.latestOffset()
+    # Spark plans (o2, oa); planning must teach the reader the checkpoint
+    # floor even when oa fell behind it.
+    assert r2.partitions(o2, oa) == [] or oa["pos"] >= o2["pos"]
+    r2.commit(oa)  # stale re-ack must not rewind the sidecar
+    assert json.load(open(log + ".ack"))["pos"] >= o2["pos"]
+
+    ob = r2.latestOffset()
+    assert ob["pos"] > o2["pos"], "offsets must resume above the checkpoint"
+    batch = _drain(r2, o2, ob)
+    # Exactly the two unprocessed transactions, no replays of tx1-4.
+    assert [t[0] for t in batch] == ["I", "I"]
+    assert sorted(t[2] for t in batch) == [105, 106]
+
+
+# -- 5. begin_lsn / commit_lsn labeling ------------------------------------
+
+
+def test_begin_and_commit_lsn_are_distinct_and_ordered(tmp_path):
+    log = tmp_path / "lsn.log"
+    write_reference_workload(str(log))
+    xform = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    commit_frame_lsns = set()
+    for fr in scan_frames(str(log)):
+        if fr.payload[:1] == b"C":
+            commit_frame_lsns.add(fr.lsn)
+        events.extend(xform.feed(fr.lsn, fr.payload))
+    assert events
+    for ev in events:
+        assert ev.begin_lsn < ev.lsn, "begin_lsn must be the Begin frame LSN"
+        assert ev.lsn < ev.commit_lsn, "commit_lsn must be the tx END lsn"
+        assert ev.commit_lsn in commit_frame_lsns

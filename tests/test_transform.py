@@ -75,7 +75,10 @@ def test_update_with_full_before_image_key(tmp_path):
     )
     (ev,) = list(xform.feed(2, upd))
     assert ev.before["json_data"] == "old"
-    assert ev.key["json_data"] == "old"  # full before-image becomes the key
+    # Key is ALWAYS the pkey projection (values from the before-image when
+    # present) so D/U events land in the same dedup partition as Inserts —
+    # a full-image key would never collide with Insert keys (ADVICE r1).
+    assert ev.key == {"id": "1"}
 
 
 def test_truncate_emits_rows(tmp_path):
