@@ -323,12 +323,95 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+# Banded sign-LSH parameters for the candidate generation. At real-world
+# near-dup thresholds (cosine ≥ 0.9, collision prob p = 1-θ/π ≈ 0.9) the
+# bits-per-band k scales with log2(corpus/bucket-target) while p^k stays
+# high; the fixture's deliberately weak threshold (0.30 over ~random
+# vectors, p ≈ 0.6) forces small k — with k=4, L=24 the theoretical recall
+# at the threshold is ≈ 0.96 (pinned ≥ 0.85 against the exact variant in
+# tests).  Output-cardinality note: at θ=0.30 on random data ~1% of ALL
+# pairs qualify, so ANY implementation is Ω(result) — LSH's job is the
+# plan *shape*: shuffle keyed by (band, signature), never an n² cartesian.
+EMB_BANDS = 24  # L hash tables
+EMB_BITS = 4  # k sign bits per band
+
+_EMB_PLANES_SQL = f"""
+    planes AS (SELECT b.b, j.j, d.i,
+                      (('0x' || substr(md5('e:' || b.b || ':' || j.j || ':' || d.i), 1, 4))::INTEGER
+                       / 32768.0 - 1) AS c
+               FROM (SELECT unnest(range({EMB_BANDS})) AS b) b,
+                    (SELECT unnest(range({EMB_BITS})) AS j) j,
+                    (SELECT unnest(range(1, 65)) AS i) d)
+"""
+
+
+def _emb_band_signatures(spark, emb):
+    """Per-(vector, band) sign signature from md5-derived hyperplanes —
+    deterministic and engine-independent, so the DuckDB oracle computes the
+    exact same candidate set."""
+    planes = (
+        spark.range(EMB_BANDS)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(spark.range(EMB_BITS).select(F.col("id").cast("int").alias("j")))
+        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "b",
+            "j",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("e"),
+                                F.col("b").cast("string"),
+                                F.col("j").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                / 32768.0
+                - 1
+            ).alias("c"),
+        )
+    )
+    comp = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("i", F.col("pos") + 1)
+        .join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "b", "j")
+        .agg(F.sum(F.col("val").cast("double") * F.col("c")).alias("proj"))
+    )
+    return comp.groupBy("vec_id", "b").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1L, j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("s")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding ea, b.embedding eb
-              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    WITH {_EMB_PLANES_SQL},
+    comp AS (SELECT e.vec_id, p.b, p.j, SUM(e.embedding[p.i]::DOUBLE * p.c) AS proj
+             FROM embeddings e, planes p GROUP BY 1, 2, 3),
+    sig AS (SELECT vec_id, b,
+                   SUM(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS s
+            FROM comp GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+             FROM sig a JOIN sig b2 ON a.b = b2.b AND a.s = b2.s
+                                   AND a.vec_id < b2.vec_id),
+    pairs AS (SELECT vec_a, vec_b, ea.embedding AS ea, eb.embedding AS eb
+              FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+                        JOIN embeddings eb ON eb.vec_id = vec_b),
     ex AS (SELECT vec_a, vec_b, ea[i]::DOUBLE AS x, eb[i]::DOUBLE AS y
            FROM pairs, unnest(generate_series(1, 64)) t(i)),
     cos AS (SELECT vec_a, vec_b,
@@ -338,19 +421,62 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute force — correct baseline;
-    the LSH-bucketed scale path is ``ann_lsh_bucketed`` in similarity.py).
+    """Embedding-cosine near-dup pairs, LSH-bounded (round-2 rework: the
+    round-1 version was the one cartesian in the repo — VERDICT r1 #8):
+    banded sign-LSH candidates ({EMB_BANDS} bands × {EMB_BITS} bits,
+    md5-derived planes shared with the oracle) → DISTINCT pair union →
+    exact cosine re-verify on candidates only.  Every join is an equi-join
+    (band, signature) or a key lookup; the exact-but-quadratic variant is
+    quarantined in ``dedup_embedding_cosine_exact`` behind a corpus-size
+    guard and pins this query's recall in tests.
 
     Dot products run as JVM higher-order functions (zip_with + aggregate in
     double), not a Python UDF."""
     (emb,) = load(spark, sf_dir, "embeddings")
+    # Signatures are consumed by both sides of the pair join: checkpoint
+    # once so the plane-projection pipeline runs a single time.
+    sig = _emb_band_signatures(spark, emb).localCheckpoint(eager=True)
+    other = sig.select(
+        F.col("vec_id").alias("vec_b_id"), F.col("b").alias("b2"), F.col("s").alias("s2")
+    )
+    cand = (
+        sig.join(
+            other,
+            (F.col("b") == F.col("b2"))
+            & (F.col("s") == F.col("s2"))
+            & (F.col("vec_id") < F.col("vec_b_id")),
+        )
+        .select(F.col("vec_id").alias("vec_a"), F.col("vec_b_id").alias("vec_b"))
+        .distinct()
+    )
+    embs_a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    embs_b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(embs_a, "vec_a")
+        .join(embs_b, "vec_b")
+        .withColumn("c", vcosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= COSINE_NEARDUP)
+        .select("vec_a", "vec_b", F.round("c", 3).alias("cosine"))
+    )
+
+
+def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):
+    """All-pairs exact baseline — O(n²), NOT registered as a query.  Kept
+    only to measure the LSH variant's recall in tests; the guard refuses
+    corpora where the cartesian would be a scale bug rather than a
+    ground-truth fixture run."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"exact all-pairs cosine over {n} vectors exceeds the "
+            f"{max_vectors}-vector guard; use dedup_embedding_cosine (LSH)"
+        )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-
-    cos = vcosine(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("c", cos)
+        .withColumn("c", vcosine(F.col("ea"), F.col("eb")))
         .filter(F.col("c") >= COSINE_NEARDUP)
         .select("vec_a", "vec_b", F.round("c", 3).alias("cosine"))
     )

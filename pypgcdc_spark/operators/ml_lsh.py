@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from pypgcdc_spark.queries import load, query
 
-EUCLIDEAN_RADIUS = 9.0  # fixture vectors are ~N(0,1)^64: |a-b| ≈ sqrt(128)≈11.3
+# Fixture embeddings are unit-normalized (measured: background pair
+# distance ≈ 1.42 = √2, planted near-dups ≥ 1.11), so the neighbor radius
+# is the euclidean image of the cosine threshold: d = √(2 − 2·cos θ).
+from pypgcdc_spark.operators.dedup import COSINE_NEARDUP
+
+EUCLIDEAN_RADIUS = (2.0 - 2.0 * COSINE_NEARDUP) ** 0.5  # ≈ 1.183
+WORD_JACCARD_SIM = 0.97  # planted dup pairs; background word-jaccard p50≈0.62
 
 
 def _vector_df(spark, sf_dir: str) -> DataFrame:
@@ -32,28 +38,40 @@ def _vector_df(spark, sf_dir: str) -> DataFrame:
 @query("ml_brp_lsh_neighbor_pairs", oracle=None)
 def ml_brp_lsh_neighbor_pairs(spark, sf_dir):
     """BucketedRandomProjectionLSH approxSimilarityJoin: euclidean
-    near-neighbor pairs below a radius, summarized (pair count + distance
-    stats).  Rows-only: the hash family is JVM-internal."""
+    near-neighbor PAIRS below the radius — one row per pair with the exact
+    distance MLlib computes on candidates, so the rows-only check records a
+    meaningful pair count (round-2: was a 1-row summary).  Parameters are
+    sized for ~certain recall at the fixture geometry (unit vectors:
+    target pairs at d ≤ 1.18, per-table projection of the difference
+    ≈ d/√dim ≈ 0.15 ≪ bucketLength → 16 tables miss ~nothing); recall vs
+    the exact kernel is pinned in tests."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     df = _vector_df(spark, sf_dir)
     model = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=16, seed=42
     ).fit(df)
     pairs = model.approxSimilarityJoin(df, df, EUCLIDEAN_RADIUS, distCol="dist").filter(
         F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
     )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.min("dist"), 3).alias("min_dist"),
-        F.round(F.max("dist"), 3).alias("max_dist"),
+    return pairs.select(
+        F.col("datasetA.vec_id").alias("vec_a"),
+        F.col("datasetB.vec_id").alias("vec_b"),
+        F.round("dist", 2).alias("dist"),
     )
 
 
 @query("ml_minhash_lsh_jaccard_pairs", oracle=None)
 def ml_minhash_lsh_jaccard_pairs(spark, sf_dir):
     """MinHashLSH over binarized token sets (documents → token indices via
-    HashingTF) — MLlib's native near-dup path; summarized pair stats."""
+    HashingTF) — MLlib's native near-dup path, emitting one row per pair at
+    word-jaccard similarity ≥ {WORD_JACCARD_SIM} — the planted-duplicate
+    band; the fixture's background word-jaccard is huge (p50 ≈ 0.62, docs
+    share a small vocabulary), so only a high threshold means "near-dup"
+    (round-2: was a 1-row summary).  The distance filter is exact (MLlib
+    computes true jaccard on candidates); 32 single-hash tables make
+    candidate recall at s ≥ 0.97 certain, so the row set matches the exact
+    ground-truth pair set — pinned in tests."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -62,13 +80,14 @@ def ml_minhash_lsh_jaccard_pairs(spark, sf_dir):
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks)
-    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=32, seed=42).fit(
         feats
     )
-    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist").filter(
-        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
-    )
-    return pairs.filter(F.col("jaccard_dist") <= 0.8).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.min("jaccard_dist"), 3).alias("min_dist"),
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - WORD_JACCARD_SIM + 1e-9, distCol="jaccard_dist"
+    ).filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    return pairs.select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round(F.lit(1.0) - F.col("jaccard_dist"), 3).alias("jaccard_sim"),
     )

@@ -180,3 +180,53 @@ def asof_join(spark, sf_dir):
         "purchase_id",
         F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
     )
+
+
+@query(
+    "stream_stateful_running_stats",
+    oracle="""
+    -- The stateful operator's final state must equal the batch aggregate:
+    -- per-user event count + exact integer-cent value sum.
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_stats(spark, sf_dir):
+    """REAL stateful streaming, not a batch re-expression: runs
+    ``streaming.stateful.running_value_stats`` (applyInPandasWithState,
+    per-key state store, update mode) over a file stream of the events
+    table, drains it, and returns the final per-key state — which must
+    hash-match the batch-SQL oracle. State is monotone (n_events strictly
+    grows per emission), so the final row per key is the max-n_events one
+    regardless of how the source was micro-batched."""
+    import uuid
+
+    from pypgcdc_spark.streaming.stateful import running_value_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The parquet file-stream source requires a directory: stream the
+    # sf_dir itself, glob-filtered down to the events table.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "ss_" + uuid.uuid4().hex[:12]
+    q = (
+        running_value_stats(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
+    )

@@ -152,3 +152,58 @@ def test_ml_minhash_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall {recall}: exact={len(exact)}, hit={len(exact & approx)}"
+
+
+def test_ml_brp_recall_vs_exact(spark, sf_dir):
+    """MLlib BRP-LSH pair rows must recover the exact euclidean
+    near-neighbor pairs (recall ≥ 0.95 with 16 tables at the fixture
+    geometry) and never emit a pair outside the radius."""
+    from pypgcdc_spark.functions.vector import l2_distance
+    from pypgcdc_spark.operators.ml_lsh import (
+        EUCLIDEAN_RADIUS,
+        ml_brp_lsh_neighbor_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(l2_distance(F.col("ea"), F.col("eb")) <= EUCLIDEAN_RADIUS)
+        .collect()
+    }
+    got = {(r.vec_a, r.vec_b) for r in ml_brp_lsh_neighbor_pairs(spark, sf_dir).collect()}
+    assert got <= exact, "exact distance filter must hold on emitted pairs"
+    if exact:
+        assert len(got) / len(exact) >= 0.95
+
+
+def test_ml_minhash_pairs_equal_exact_ground_truth(spark, sf_dir):
+    """With 32 single-hash tables, candidate recall at sim ≥ 0.97 is
+    certain, and the emitted pair set must EQUAL the exact word-jaccard
+    thresholded pairs (sf0.001 corpus is small enough for the exact
+    cross-check)."""
+    from pypgcdc_spark.operators.ml_lsh import (
+        WORD_JACCARD_SIM,
+        ml_minhash_lsh_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("w")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb"))
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter / union >= WORD_JACCARD_SIM)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b) for r in ml_minhash_lsh_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert got == exact

@@ -88,3 +88,44 @@ def test_envelope_current_state_plan(spark, tmp_path):
     engine = PgCdcEngine(spark)
     state = current_state(engine.snapshot(str(log)))
     assert has_broadcast_join(state)
+
+
+def test_embedding_cosine_has_no_cartesian(spark, sf_dir):
+    """Round-2 rework (VERDICT r1 #8): the near-dup pair query must plan
+    equi-joins on (band, signature) — never a cartesian / nested-loop
+    product."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_embedding_cosine_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH-bounded pairs must be a subset of the exact all-pairs result
+    with recall ≥ 0.85 at the fixture threshold (theoretical ≈ 0.96 for
+    24 bands × 4 bits at p ≈ 0.6)."""
+    from pypgcdc_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_exact,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    assert lsh <= exact, "LSH must never invent pairs (exact re-verify)"
+    assert len(lsh) / len(exact) >= 0.85
+
+
+def test_embedding_cosine_exact_guard():
+    import pytest as _pytest
+
+    from pypgcdc_spark.operators.dedup import dedup_embedding_cosine_exact
+    from pypgcdc_spark.session import get_spark
+
+    with _pytest.raises(ValueError, match="guard"):
+        dedup_embedding_cosine_exact(
+            get_spark("guard-test", cpus=2), "/root/testdata/sf0.001", max_vectors=1
+        )

@@ -175,7 +175,9 @@ def test_multimodal_stub_and_features(spark, sf_dir):
         media_table,
     )
 
-    with pytest.raises(NotImplementedError):
+    # Round 2: PPM/BMP decode is real (see test_multimodal_codec.py);
+    # compressed formats without a codec lib are a clean error.
+    with pytest.raises(ValueError, match="unsupported image payload"):
         decode_image(b"\xff\xd8\xff")
 
     media = media_table(spark, sf_dir)

@@ -85,8 +85,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # Check the FULL inventory (primary + extended) — the driver only sees
+    # queries(), but every registered operator must stay oracle-green here.
+    qs = entrymod.extended_queries()
+    oracles = entrymod.extended_oracle_sql()
+    primary = set(entrymod.queries())
+    print(f"{len(primary)} primary (driver-facing) / {len(qs)} total")
+    assert len(primary) <= 50, "primary set exceeds the driver's 50-entry gate"
     names = [n for n in qs if not filters or any(f in n for f in filters)]
 
     passed, failed, rows_only = [], [], []
