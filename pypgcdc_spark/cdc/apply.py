@@ -93,13 +93,21 @@ def current_state(env: DataFrame, key_fields: Optional[List[str]] = None) -> Dat
     )
 
 
-def typed_state(env: DataFrame, schema: TableSchema) -> DataFrame:
+def typed_state(
+    env: DataFrame, schema: TableSchema, json_as_variant: bool = False
+) -> DataFrame:
     """Current state of one table as typed columns (the reference's
     ``table_model(**after)`` coercion, reader.py:274-292, done by Catalyst
     casts instead of pydantic).
 
     Includes in-batch TOAST carry-forward: a column whose wire category was
     'u' takes the most recent real value for the same key at a lower LSN.
+
+    ``json_as_variant=True`` materializes json/jsonb columns as Spark 4
+    VariantType (``parse_json``) instead of raw strings — queryable with
+    ``variant_get`` path extraction without reparsing per query (the
+    engine-native analog of the reference's pydantic ``Json`` coercion,
+    reader.py:67-68).
     """
     key_cols = schema.get_key_columns()
     struct = schema.to_struct_type()
@@ -150,9 +158,17 @@ def typed_state(env: DataFrame, schema: TableSchema) -> DataFrame:
         df.withColumn("_rn", F.row_number().over(wdedup))
         .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
     )
-    return df.select(
-        *[F.col(f"_raw_{f.name}").cast(f.dataType).alias(f.name) for f in struct.fields]
-    )
+    json_cols = {
+        c.name for c in schema.column_definitions if c.type_name in ("json", "jsonb")
+    }
+
+    def out_col(f):
+        raw = F.col(f"_raw_{f.name}")
+        if json_as_variant and f.name in json_cols:
+            return F.parse_json(raw).alias(f.name)
+        return raw.cast(f.dataType).alias(f.name)
+
+    return df.select(*[out_col(f) for f in struct.fields])
 
 
 class DeleteAwareMerger:

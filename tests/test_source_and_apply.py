@@ -162,3 +162,43 @@ def test_materialize_foreachbatch_merge(engine, spark, tmp_path):
         (str(r.id), r.text_data) for r in spark.read.parquet(target).collect()
     )
     assert got == expected
+
+
+def test_typed_state_json_as_variant(engine, spark, tmp_path):
+    """json/jsonb columns materialize as Spark VariantType when requested,
+    queryable with variant_get without per-query reparsing."""
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.sources.replay import scan_frames
+    from pypgcdc_spark.testing import (
+        INTEGRATION_COLS,
+        INTEGRATION_RELID,
+        WorkloadWriter,
+    )
+
+    log = str(tmp_path / "var.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, ["1", '{"data": {"x": 7}}', "1.00", None, "a"])])
+    w.tx([pg.encode_insert(INTEGRATION_RELID, ["2", '{"data": {"x": 9}}', "2.00", None, "b"])])
+    w.close()
+
+    env = engine.snapshot(log)
+    reg = SchemaRegistry()
+    for fr in scan_frames(log):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+    state = typed_state(env, reg.get(INTEGRATION_RELID), json_as_variant=True)
+    assert dict((f.name, f.dataType.simpleString()) for f in state.schema.fields)[
+        "json_data"
+    ] == "variant"
+    got = {
+        (r.id, r.x)
+        for r in state.select(
+            "id",
+            F.try_variant_get("json_data", "$.data.x", "int").alias("x"),
+        ).collect()
+    }
+    assert got == {(1, 7), (2, 9)}
