@@ -13,6 +13,14 @@ import-gated and exercised only structurally; the DataSource never imports
 it.  Acks flow back by polling the ``<path>.ack`` sidecar the source's
 ``commit()`` writes and forwarding ``send_feedback(flush_lsn=lsn)``
 (reference ``reader.py:161-163``).
+
+Round 2: ``pypgcdc_spark.sources.pgwire.WireReplicationTailer`` is the
+preferred, dependency-free implementation of the same contract — a
+clean-room protocol-v3 client (SCRAM/MD5 auth, walsender CopyBoth
+streaming, standby-status acks) whose handshake, streaming, and ack
+propagation ARE testable here, against the fake walsender in
+``tests/test_pgwire.py``.  This psycopg2 variant remains as the
+battle-tested-driver alternative for deployments that prefer it.
 """
 
 from __future__ import annotations
