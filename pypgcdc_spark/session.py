@@ -37,6 +37,15 @@ def configure(builder):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Streaming state: RocksDB provider — bounded executor memory and
+        # incremental (changelog) checkpoints; the required choice once
+        # stateful-operator state outgrows the JVM heap (session windows /
+        # applyInPandasWithState over high-cardinality keys at 100 TB).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
 
 
