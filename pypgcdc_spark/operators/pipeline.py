@@ -87,3 +87,47 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+SAMPLE_PCT = 10  # deterministic 10% sample
+
+
+@query(
+    "pipeline_deterministic_sample",
+    oracle=f"""
+    -- Reproducible hash-bucket sampling (the scale-safe way to sample a
+    -- corpus: no RNG state, any engine/worker re-derives membership from
+    -- the key alone). Bucket = first 16 bits of md5(doc_id) mod 100.
+    WITH s AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN bucket < {SAMPLE_PCT} THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum,
+           MIN(CASE WHEN bucket < {SAMPLE_PCT} THEN doc_id END) AS first_sampled
+    FROM s GROUP BY source
+    """,
+)
+def pipeline_deterministic_sample(spark, sf_dir):
+    """Deterministic hash-bucket sampling: md5(key) % 100 < pct.  Unlike
+    ``df.sample()`` (RNG + partition-order dependent), membership is a pure
+    function of the key — re-runnable, engine-independent, and exactly what
+    a 100 TB pipeline needs for stable held-out splits.  The id-sum
+    checksum pins that BOTH engines picked the same rows, not just the
+    same number of rows."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    s = docs.select("doc_id", "source", bucket.alias("bucket"))
+    in_sample = F.col("bucket") < SAMPLE_PCT
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(in_sample, F.col("doc_id")).otherwise(0)).alias("sampled_id_sum"),
+        F.min(F.when(in_sample, F.col("doc_id"))).alias("first_sampled"),
+    )

@@ -270,3 +270,79 @@ def text_winnow_fingerprint(spark, sf_dir):
         F.countDistinct("fp").alias("n_distinct"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_cross_doc_hits"),
     )
+
+
+STOP_SHINGLE_MIN_DF = 2  # appears in ≥2 docs = shared/boilerplate content
+STOP_SHINGLE_TOPK = 20
+
+
+@query(
+    "text_stop_shingles",
+    oracle=f"""
+    -- Corpus-level boilerplate mining: the most-shared 3-gram shingles by
+    -- document frequency — the stop-shingle report that bounds the
+    -- quadratic tail of shingle-join dedup at scale (the knob SCALE.md
+    -- names for minhash/jaccard bucket occupancy: drop shingles above a
+    -- df cap before the pair join).
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+           FROM words, unnest(range(len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT shingle, CAST(df AS BIGINT) AS df
+    FROM df
+    WHERE df >= {STOP_SHINGLE_MIN_DF}
+    ORDER BY df DESC, shingle ASC
+    LIMIT {STOP_SHINGLE_TOPK}
+    """,
+)
+def text_stop_shingles(spark, sf_dir):
+    """Stop-shingle (boilerplate) mining: rank distinct 3-gram shingles by
+    document frequency, keep the most-shared ones.  One shuffle on the
+    shingle, TakeOrderedAndProject caps the result."""
+    from pypgcdc_spark.operators.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= STOP_SHINGLE_MIN_DF)
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(STOP_SHINGLE_TOPK)
+    )
+
+
+VOCAB_TOPK = 25
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    -- Vocabulary statistics (tokenizer/vocab-building primitive): corpus
+    -- term frequency + document frequency, deterministic top-k.
+    WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents)
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM words
+    GROUP BY word
+    ORDER BY tf DESC, word ASC
+    LIMIT {VOCAB_TOPK}
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k by term frequency (+ document frequency) —
+    one shuffle on the token; TakeOrderedAndProject caps the result."""
+    (docs,) = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(VOCAB_TOPK)
+    )

@@ -70,10 +70,18 @@ EXTENDED = frozenset(
         "q16_part_supplier_counts",
         "q19_disjunctive_predicates",  # pushdown pinned in tests/test_plans.py
         "q22_global_sales_opportunity",
-        # Scalar-function families beyond the kept date/string/json/array set.
+        # Scalar-function families beyond the kept date/json/array set
+        # (string exprs — md5/substr/concat_ws/regexp — appear in nearly
+        # every other oracle, so the category stays amply evidenced).
         "scalar_case_in_between",
         "scalar_map_functions",
         "scalar_math_functions",
+        "scalar_string_functions",
+        # countDistinct is primary-evidenced in multimodal_binary_features
+        # and scalar_json_extraction; approx_distinct stays primary.
+        "agg_distinct_suppliers",
+        # Window family keeps lag/running/topk primary.
+        "win_range_frame_price_density",
         # Sliding = tumbling + slide; tumbling & session kept.
         "stream_sliding_window",
         # Correlated-scalar decorrelation covered by q17; IN-subquery kept.
