@@ -106,3 +106,72 @@ def test_synth_image_matches_oracle_formula():
         vsum = sum(int(a.sum()) for _, _, _, a in sample_frames(synth_video(doc_id), 2))
         s2 = (s + 22) % 256
         assert vsum == expected + (n * s2 + n * (n - 1) // 2 - 256 * max(0, s2 + n - 256))
+
+
+# -- property-based roundtrips (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _images(draw):
+        w = draw(st.integers(min_value=1, max_value=16))
+        h = draw(st.integers(min_value=1, max_value=16))
+        data = draw(
+            st.binary(min_size=w * h * 3, max_size=w * h * 3)
+        )
+        return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+    @settings(max_examples=50, deadline=None)
+    @given(_images())
+    def test_ppm_roundtrip_property(img):
+        w, h, arr = img
+        dw, dh, got = decode_image(encode_ppm(w, h, arr.tobytes()))
+        assert (dw, dh) == (w, h)
+        np.testing.assert_array_equal(got, arr)
+
+    @settings(max_examples=50, deadline=None)
+    @given(_images())
+    def test_bmp_roundtrip_property(img):
+        w, h, arr = img
+        dw, dh, got = decode_image(_encode_bmp24(w, h, arr))
+        assert (dw, dh) == (w, h)
+        np.testing.assert_array_equal(got, arr)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        _images(),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_resize_property(img, out_w, out_h):
+        w, h, arr = img
+        out = resize_image(arr, out_w, out_h)
+        assert out.shape == (out_h, out_w, 3)
+        # Every output pixel is a source pixel at the NN-mapped index.
+        for y in range(out_h):
+            for x in range(out_w):
+                np.testing.assert_array_equal(
+                    out[y, x], arr[(y * h) // out_h, (x * w) // out_w]
+                )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(_images(), min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=4),
+    )
+    def test_frame_sampling_property(imgs, every_n):
+        frames = [encode_ppm(w, h, a.tobytes()) for w, h, a in imgs]
+        sampled = list(sample_frames(encode_video(frames), every_n=every_n))
+        assert [s[0] for s in sampled] == list(range(0, len(frames), every_n))
+        for idx, w, h, arr in sampled:
+            ew, eh, earr = imgs[idx]
+            assert (w, h) == (ew, eh)
+            np.testing.assert_array_equal(arr, earr)
