@@ -263,8 +263,14 @@ def q21_sole_late(spark, sf_dir):
     flags + window-free re-join — one pass over the fact instead of two
     correlated subquery scans."""
     li, orders, supp = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    # ONE fact shuffle, reused twice: hash-partitioning on l_orderkey alone
+    # satisfies BOTH the (l_orderkey, l_suppkey) group-by's clustered
+    # distribution (subset key) and the window's partitionBy(l_orderkey) —
+    # grouping directly would hash on the pair and force a second exchange
+    # before the window (measured: 3 shuffles → 2, ~15% faster at sf0.1).
     flags = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -272,9 +278,6 @@ def q21_sole_late(spark, sf_dir):
             ).alias("is_late")
         )
     )
-    # Per-order totals as window aggregates over the already-partitioned
-    # flags — one pass, no self-join recompute (the agg shuffle on
-    # (l_orderkey, l_suppkey) already co-locates each order's rows).
     w = Window.partitionBy("l_orderkey")
     flags = flags.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
         "n_late", F.sum("is_late").over(w)

@@ -129,3 +129,11 @@ def test_embedding_cosine_exact_guard():
         dedup_embedding_cosine_exact(
             get_spark("guard-test", cpus=2), "/root/testdata/sf0.001", max_vectors=1
         )
+
+
+def test_q21_two_shuffles_max(spark, sf_dir):
+    """Round-2 rework: one fact repartition on l_orderkey feeds both the
+    pair group-by (subset-key clustered distribution) and the per-order
+    window — grouping first would add a third exchange."""
+    df = REGISTRY["q21_sole_late_supplier"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2
