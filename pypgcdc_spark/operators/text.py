@@ -311,6 +311,179 @@ def text_stop_shingles(spark, sf_dir):
     )
 
 
+# PII scrubbing: the fixture corpus contains no PII, so the query injects
+# deterministic doc_id-derived PII (same expression in BOTH engines) and
+# then proves the scrubber removes it — the redaction kernels are what's
+# under test.  Patterns restricted to the regex subset Java and RE2 share
+# (no lookaround, no backrefs).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    -- PII redaction audit: inject deterministic PII derived from doc_id
+    -- (identical expression in the Spark query), scrub emails → phones →
+    -- IPs, and report per-source counts + the residual-PII count (must be
+    -- 0 — the scrubber's guarantee).
+    WITH aug AS (
+      SELECT source,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.'
+                  || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS t
+      FROM documents
+    ), counted AS (
+      SELECT source, t,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS scrubbed
+      FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(length(t) - length(scrubbed)) AS BIGINT) AS chars_redacted,
+           CAST(SUM(CASE WHEN regexp_matches(scrubbed, '{PII_EMAIL_RE}')
+                           OR regexp_matches(scrubbed, '{PII_PHONE_RE}')
+                           OR regexp_matches(scrubbed, '{PII_IP_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_pii
+    FROM counted GROUP BY source
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (email/phone/IPv4 redaction) — regexp_replace chains
+    entirely in Tungsten codegen; at 100 TB this is a pure map stage (no
+    shuffle before the tiny per-source report).  The corpus has no PII, so
+    deterministic doc_id-derived PII is injected first and the query
+    certifies removal (n_residual_pii = 0)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    d = docs.select("source", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    residual = (
+        F.col("scrubbed").rlike(PII_EMAIL_RE)
+        | F.col("scrubbed").rlike(PII_PHONE_RE)
+        | F.col("scrubbed").rlike(PII_IP_RE)
+    )
+    return (
+        d.select(
+            "source",
+            "t",
+            F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0)).alias("e"),
+            F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0)).alias("p"),
+            scrubbed.alias("scrubbed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum(F.length("t") - F.length("scrubbed")).cast("long").alias("chars_redacted"),
+            F.sum(F.when(residual, 1).otherwise(0)).cast("long").alias("n_residual_pii"),
+        )
+    )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    -- Gopher-style repetition signals: distinct-token ratio, duplicate
+    -- bigram ratio, adjacent same-word runs, and an integer-exact
+    -- "repetitive" flag (dup-bigram or top-word fraction > 20%).
+    WITH t AS (
+      SELECT lang, string_split(lower(text), ' ') AS w FROM documents
+    ), m AS (
+      SELECT lang,
+             len(w) AS n_tok,
+             len(list_distinct(w)) AS n_distinct,
+             CASE WHEN len(w) >= 2
+                  THEN len(w) - 1 ELSE 0 END AS n_big,
+             CASE WHEN len(w) >= 2
+                  THEN len(list_distinct(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i + 1]))) ELSE 0 END AS n_big_distinct,
+             CASE WHEN len(w) >= 2
+                  THEN len(list_filter(range(1, len(w)), i -> w[i] = w[i + 1]))
+                  ELSE 0 END AS n_adjacent,
+             list_max(list_transform(list_distinct(w),
+                  x -> len(list_filter(w, y -> y = x)))) AS top_tf
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_distinct)::DOUBLE / SUM(n_tok), 4) AS distinct_token_ratio,
+           ROUND(SUM(n_big - n_big_distinct)::DOUBLE / SUM(n_big), 4) AS dup_bigram_ratio,
+           CAST(SUM(n_adjacent) AS BIGINT) AS adjacent_repeats,
+           CAST(SUM(CASE WHEN (n_big - n_big_distinct) * 5 > n_big
+                           OR top_tf * 5 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive
+    FROM m GROUP BY lang
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Repetition quality signals (Gopher-style): distinct-token ratio,
+    duplicate-bigram ratio, adjacent same-word repeats, and an
+    integer-exact repetitive flag (no float thresholds — ×5 integer
+    comparisons reproduce exactly in the oracle).  All array kernels are
+    built-in higher-order functions: a pure map stage + one tiny per-lang
+    agg at any scale."""
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select("lang", F.split(F.lower("text"), " ").alias("w"))
+    n_tok = F.size("w")
+    has2 = n_tok >= 2
+    # Spark SQL arrays are 0-indexed (DuckDB lists are 1-indexed — the
+    # oracle's range bounds differ accordingly but cover the same pairs).
+    bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> w[i] || ' ' || w[i + 1])")
+    adjacent = F.expr("size(filter(sequence(0, size(w) - 2), i -> w[i] = w[i + 1]))")
+    top_tf = F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+    m = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.when(has2, n_tok - 1).otherwise(0).alias("n_big"),
+        F.when(has2, F.size(F.array_distinct(bigrams))).otherwise(0).alias("n_big_distinct"),
+        F.when(has2, adjacent).otherwise(0).alias("n_adjacent"),
+        top_tf.alias("top_tf"),
+    )
+    dup_big = F.col("n_big") - F.col("n_big_distinct")
+    repetitive = (dup_big * 5 > F.col("n_big")) | (F.col("top_tf") * 5 > F.col("n_tok"))
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_distinct").cast("double") / F.sum("n_tok"), 4).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(F.sum(dup_big).cast("double") / F.sum("n_big"), 4).alias("dup_bigram_ratio"),
+        F.sum("n_adjacent").cast("long").alias("adjacent_repeats"),
+        F.sum(F.when(repetitive, 1).otherwise(0)).cast("long").alias("n_repetitive"),
+    )
+
+
 VOCAB_TOPK = 25
 
 

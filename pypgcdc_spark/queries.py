@@ -86,9 +86,13 @@ EXTENDED = frozenset(
         "stream_sliding_window",
         # Correlated-scalar decorrelation covered by q17; IN-subquery kept.
         "subq_orders_above_customer_avg",
-        # Token-count / fingerprint variants of kept text ops.
+        # Token-count / fingerprint / corpus-mining variants of kept text
+        # ops (vocab_topk shares stop_shingles' explode→group→topk shape).
         "text_bpe_ish_tokens",
         "text_winnow_fingerprint",
+        "text_stop_shingles",
+        # Array basics subsumed by the kept higher_order_functions.
+        "scalar_array_functions",
         # Unpivot demoted; pivot (agg_conditional_pivot_status) kept.
         "unpivot_price_measures",
         # Window offset/rank variants of kept lag/range-frame/topk.
