@@ -89,6 +89,201 @@ def pipeline_corpus_curation(spark, sf_dir):
     )
 
 
+CTX_TOKENS = 512  # packing context budget (tokens per training sequence)
+PACK_BUCKETS = 8  # parallel packing units (≫ at real scale: ~100k buckets)
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    -- Training-sequence packing: documents are concatenated in a
+    -- deterministic order and chopped into {CTX_TOKENS}-token context
+    -- windows; a doc's bin is where its first token lands.  Packing is
+    -- parallelized over md5 hash buckets — each bucket packs
+    -- independently, so at 100 TB the window never sees more than one
+    -- bucket's docs.  The checksum pins that both engines assigned every
+    -- doc to the same bin.
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % {PACK_BUCKETS} AS bucket,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT bucket, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {CTX_TOKENS} AS bin
+      FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+           CAST(SUM(bin * doc_id) AS BIGINT) AS packing_checksum
+    FROM packed GROUP BY bucket
+    """,
+)
+def pipeline_sequence_packing(spark, sf_dir):
+    """Sequence packing for training: deterministic contiguous fill —
+    within each md5(doc_id) hash bucket, docs are laid out in doc_id order
+    and a doc starts in bin floor(tokens_before / {CTX_TOKENS}).  The
+    running-sum window partitions by bucket, so packing is embarrassingly
+    parallel (at scale: bucket count ≈ cluster cores × k keeps every
+    window partition in memory; no global sort, no single-reducer
+    bottleneck).  packing_checksum = Σ bin·doc_id pins identical
+    assignments across engines."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % PACK_BUCKETS
+    )
+    t = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "bin", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long") / F.lit(CTX_TOKENS)
+    ).withColumn("bin", F.floor("bin"))
+    return packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("bin").cast("long").alias("n_bins"),
+        F.sum(F.col("bin") * F.col("doc_id")).cast("long").alias("packing_checksum"),
+    )
+
+
+DECON_NGRAM = 8  # word n-gram length for contamination matching
+EVAL_MOD = 10  # held-out eval split: doc_id % 10 == EVAL_REM (deterministic;
+EVAL_REM = 8  # this residue class hits planted exact-substring copies)
+
+
+@query(
+    "pipeline_decontamination",
+    oracle=f"""
+    -- Benchmark decontamination: flag training docs sharing any
+    -- {DECON_NGRAM}-gram with the held-out eval split (doc_id % {EVAL_MOD} = {EVAL_REM})
+    -- — the standard n-gram-overlap decontamination pass (e.g. GPT-3
+    -- appendix C) as a shingle equi-join.
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i + 1, i + {DECON_NGRAM}), ' ') AS shingle
+           FROM words, unnest(range(len(w) - {DECON_NGRAM - 1})) AS t(i)
+           WHERE len(w) >= {DECON_NGRAM}),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+      WHERE s.doc_id % {EVAL_MOD} <> {EVAL_REM}
+      GROUP BY s.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_overlap_shingles,
+           CAST(SUM(CASE WHEN h.n_hits IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT)
+               AS contaminated_id_sum
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+    GROUP BY d.source
+    """,
+)
+def pipeline_decontamination(spark, sf_dir):
+    """Eval-set decontamination: training docs sharing any {DECON_NGRAM}-gram
+    shingle with the (deterministic) eval split are flagged, with overlap
+    counts and an id-sum checksum.  The eval shingle set is tiny →
+    broadcast; the corpus side is one distinct-shingle pass — no
+    all-pairs, shuffle ∝ corpus shingles, the same shape GPT-3/PaLM-style
+    decontamination runs at full scale."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    d = docs.select("doc_id", "source", w.alias("w")).filter(F.size("w") >= DECON_NGRAM)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {DECON_NGRAM}), "
+                f"i -> array_join(slice(w, i + 1, {DECON_NGRAM}), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != EVAL_REM)
+    joined = train.join(F.broadcast(hits), "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("total_overlap_shingles"),
+        F.sum(F.when(F.col("n_hits").isNotNull(), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("contaminated_id_sum"),
+    )
+
+
+LANG_QUOTA = 60  # per-language cap (domain-mix rebalancing)
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""
+    -- Domain/language mix rebalancing: cap each language at {LANG_QUOTA}
+    -- docs, selected in deterministic md5(doc_id) order (a reproducible
+    -- uniform draw — no RNG, any engine re-derives the same subset).
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rk <= {LANG_QUOTA} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {LANG_QUOTA} THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked GROUP BY lang
+    """,
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Domain-mix rebalancing (quota sampling): keep ≤ {LANG_QUOTA} docs per
+    language, chosen by rank in md5(doc_id) order — a reproducible uniform
+    draw per group.  One shuffle on lang; at real scale the window is
+    replaced per SCALE.md by a two-pass count + per-group hash-threshold
+    select (no global per-group sort), but semantics — and this oracle —
+    stay identical.  kept_id_sum pins identical row selection."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("lang", "doc_id", rk.alias("rk"))
+    kept = F.col("rk") <= LANG_QUOTA
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+    )
+
+
 SAMPLE_PCT = 10  # deterministic 10% sample
 
 

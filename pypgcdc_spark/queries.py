@@ -63,8 +63,10 @@ EXTENDED = frozenset(
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
         "q7_nation_volume",
+        "q3_shipping_priority",  # join+agg+topk: q9/sort_topk/win_topk cover it
         "q10_returned_items",
         "q13_customer_order_distribution",
+        "q18_large_volume_customer",  # semi-join-on-agg: join_semi + q17 cover it
         "q14_promo_revenue",
         "q15_top_supplier",
         "q16_part_supplier_counts",
@@ -74,6 +76,7 @@ EXTENDED = frozenset(
         # (string exprs — md5/substr/concat_ws/regexp — appear in nearly
         # every other oracle, so the category stays amply evidenced).
         "scalar_case_in_between",
+        "scalar_date_functions",  # dates amply evidenced (q1/asof/win_lag oracles)
         "scalar_map_functions",
         "scalar_math_functions",
         "scalar_string_functions",
