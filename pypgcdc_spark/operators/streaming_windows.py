@@ -183,6 +183,68 @@ def asof_join(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_watermark",
+    oracle="""
+    -- The deduped stream must reproduce the source exactly: every event
+    -- was fed TWICE (self-union), so surviving counts equal the plain
+    -- batch profile of the events table.
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """REAL streaming deduplication: the events file stream is unioned
+    with itself (every record arrives twice), watermarked on event time,
+    and collapsed with ``dropDuplicatesWithinWatermark`` keyed on
+    event_id — the streaming ingestion-dedup shape (at-least-once sources,
+    bounded state: keys expire once the watermark passes their event
+    time, unlike unbounded dropDuplicates).  The drained output must
+    hash-match the batch profile of the source — proving exactly-one
+    survival per duplicate pair."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # ts is physically TIMESTAMP(NANOS) read as long — integer-div to
+        # micros (see queries.load); the watermark needs a true timestamp.
+        return s.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("timestamp_micros(ts div 1000)").alias("ev_ts"),
+        )
+
+    doubled = _stream().unionByName(_stream())
+    deduped = doubled.withWatermark("ev_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "sd_" + uuid.uuid4().hex[:12]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+    )
+
+
+@query(
     "stream_stateful_running_stats",
     oracle="""
     -- The stateful operator's final state must equal the batch aggregate:

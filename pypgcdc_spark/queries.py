@@ -85,8 +85,10 @@ EXTENDED = frozenset(
         "agg_distinct_suppliers",
         # Window family keeps lag/running/topk primary.
         "win_range_frame_price_density",
-        # Sliding = tumbling + slide; tumbling & session kept.
+        # Sliding = tumbling + slide; session/stateful/dedup carry the
+        # streaming category's primary slots.
         "stream_sliding_window",
+        "stream_tumbling_window",
         # Correlated-scalar decorrelation covered by q17; IN-subquery kept.
         "subq_orders_above_customer_avg",
         # Token-count / fingerprint / corpus-mining variants of kept text
