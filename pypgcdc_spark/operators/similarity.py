@@ -176,6 +176,121 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+N_CENTROIDS = 16  # IVF nlist
+N_PROBE = 4  # IVF nprobe (lists searched per query)
+
+
+@query(
+    "ann_ivf_flat",
+    oracle=f"""
+    -- IVF-flat: centroids = the {N_CENTROIDS} vectors with smallest
+    -- md5(vec_id) (deterministic seed pick, shared with Spark); every
+    -- vector joins the inverted list of its nearest centroid; queries
+    -- probe the {N_PROBE} nearest lists and re-rank exactly.
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {N_CENTROIDS}
+    ),
+    cos_vc AS (
+      SELECT e.vec_id, c.cent_id,
+             SUM(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+               / (sqrt(SUM(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                  * sqrt(SUM(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE))) AS cos
+      FROM embeddings e, cent c, unnest(generate_series(1, {_DIM})) t(i)
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM cos_vc) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM cos_vc WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a USING (cent_id)
+      WHERE p.query_id <> a.vec_id
+    ),
+    ex AS (
+      SELECT query_id, cand_id, q.embedding[i]::DOUBLE AS x, c.embedding[i]::DOUBLE AS y
+      FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                JOIN embeddings c ON cand.cand_id = c.vec_id,
+           unnest(generate_series(1, {_DIM})) t(i)
+    ),
+    cos AS (SELECT query_id, cand_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+            FROM ex GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM cos)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_flat(spark, sf_dir):
+    """IVF-flat ANN: the corpus is partitioned into {N_CENTROIDS} inverted
+    lists by nearest centroid; a query searches only its {N_PROBE} nearest
+    lists (exact cosine re-rank inside).  The complementary scale path to
+    LSH bucketing: probe cost ∝ nprobe/nlist of the corpus, and the
+    centroid assignment is one broadcast pass (centroids are tiny).
+
+    Centroids here are a deterministic seed pick (smallest md5(vec_id)) so
+    the DuckDB oracle derives the identical index; a production deployment
+    trains them with MLlib KMeans — the query shape (assign → probe →
+    re-rank equi-join) is unchanged."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    scored_vc = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            _cosine(F.col("embedding"), F.col("ce")).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    ranked_vc = scored_vc.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked_vc.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked_vc.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    embs = emb.select("vec_id", "embedding")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    scored = (
+        cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("eq"), F.col("embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 def ann_topk_pandas(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """BLAS-path exact k-NN: numpy matmul per Arrow batch via mapInPandas.
 

@@ -54,6 +54,7 @@ EXTENDED = frozenset(
         "cdc_before_after_diff",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
+        "join_range_price_bands",  # range/interval category carried by asof_join
         "join_anti_customers_without_orders",  # semi kept; anti is its dual
         # MLlib interop: minhash kept as the representative.
         "ml_brp_lsh_neighbor_pairs",
