@@ -480,3 +480,89 @@ def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):
         .filter(F.col("c") >= COSINE_NEARDUP)
         .select("vec_a", "vec_b", F.round("c", 3).alias("cosine"))
     )
+
+
+CC_MAX_ITERS = 20  # min-label propagation bound (≥ graph diameter)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    -- Duplicate-cluster resolution: connected components over the
+    -- near-dup pair graph (min-reachable-id labeling via recursive CTE);
+    -- each cluster keeps its lowest doc_id as canonical.  This is the
+    -- step between pair detection and actual removal — transitive dups
+    -- (a~b, b~c but not a~c) must land in ONE cluster or dedup keeps one
+    -- of them twice.
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                         JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.lbl = e.src
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(doc_id) AS BIGINT) AS member_id_sum,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Connected components over the near-dup pair graph — iterative
+    min-label propagation (each round every node takes the min label among
+    itself and its neighbors; converges in ≤ diameter rounds, checked via
+    the monotone-decreasing label sum).  The canonical-doc resolver that
+    turns pairwise similarity into actual dedup decisions: transitively
+    linked docs form one cluster keyed by its lowest doc_id.
+
+    Scale: each round is one equi-join + one groupBy-min shuffle on
+    doc_id over the EDGE set (∝ dup pairs ≪ corpus), localCheckpoint
+    truncates the iterative lineage.  Web-scale graphs swap this loop for
+    the large-star/small-star variant (Kiveris et al.) — same DataFrame
+    primitives, fewer rounds; the fixture graph's diameter is small so
+    plain propagation is the better constant factor here.  Oracle:
+    recursive-CTE min-reachable-id labeling."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "lbl")
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("doc_id").cast("long").alias("member_id_sum"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+    )

@@ -84,8 +84,10 @@ EXTENDED = frozenset(
         # countDistinct is primary-evidenced in multimodal_binary_features
         # and scalar_json_extraction; approx_distinct stays primary.
         "agg_distinct_suppliers",
-        # Window family keeps lag/running/topk primary.
+        # Window family keeps lag/topk primary (running-sum shape is also
+        # primary-evidenced by pipeline_sequence_packing's cumsum window).
         "win_range_frame_price_density",
+        "win_running_customer_spend",
         # Sliding = tumbling + slide; session/stateful/dedup carry the
         # streaming category's primary slots.
         "stream_sliding_window",
