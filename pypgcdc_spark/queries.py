@@ -81,6 +81,9 @@ EXTENDED = frozenset(
         "scalar_map_functions",
         "scalar_math_functions",
         "scalar_string_functions",
+        # stddev/var/skew/kurt: the aggregation category is amply primary-
+        # evidenced (q1, grouping_sets, pivot, udaf_segment_balance_stats).
+        "agg_stats_moments",
         # countDistinct is primary-evidenced in multimodal_binary_features
         # and scalar_json_extraction; approx_distinct stays primary.
         "agg_distinct_suppliers",
