@@ -137,3 +137,62 @@ def test_q21_two_shuffles_max(spark, sf_dir):
     window — grouping first would add a third exchange."""
     df = REGISTRY["q21_sole_late_supplier"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 2
+
+
+def test_new_text_ops_are_map_only(spark, sf_dir):
+    """PII scrub and repetition signals must be pure map stages + one
+    final agg exchange — no corpus shuffle before the per-group report."""
+    for name in ("text_pii_scrub", "text_repetition_signals"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert shuffle_count(df) <= 1, f"{name}: {shuffle_count(df)} exchanges"
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set is tiny; the contamination join must broadcast
+    it, never shuffle the corpus side by shingle."""
+    df = REGISTRY["pipeline_decontamination"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_ivf_flat_broadcasts_probe_structures(spark, sf_dir):
+    """IVF centroids and query probes are tiny — both joins against the
+    corpus must be broadcasts, and nothing may plan a cartesian."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["ann_ivf_flat"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan_text(df)
+
+
+def test_connected_components_converges_to_transitive_clusters(spark, sf_dir):
+    """Transitivity: every member's cluster_id must be the min doc_id of
+    its component — verified by re-deriving components from the pair list
+    with a driver-side union-find over the (small) edge set."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), []).append(node)
+    got = {
+        r.cluster_id: (r.n_members, r.member_id_sum)
+        for r in REGISTRY["dedup_connected_components"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        min(members): (len(members), sum(members)) for members in want.values()
+    }
+    assert got == expect
