@@ -43,11 +43,20 @@ SELECT vec_a, vec_b, ROUND(dist, 2) AS dist FROM pairs
 WHERE dist <= {EUCLIDEAN_RADIUS!r}
 """
 
+# MLlib MinHashLSH is OR-amplified ONLY (one hash per table, no banding):
+# with the fixture's high background jaccard (p50 ≈ 0.62) nearly every
+# pair collides in some table, so its candidate set degenerates to
+# all-pairs — measured >9 min at sf0.1 vs 2 s for the banded AND-OR
+# dedup_minhash_lsh.  The interop query therefore runs on a deterministic
+# corpus slice (no output change at the gate SFs, where all doc_ids are
+# below the cap); the production near-dup path remains dedup_minhash_lsh.
+MINHASH_DOC_CAP = 1000
+
 # Exact word-jaccard pair join — the ground truth MinHashLSH must reproduce.
 _MINHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tokens
-  FROM documents
+  FROM documents WHERE doc_id < {MINHASH_DOC_CAP}
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.tokens, b.tokens))::DOUBLE
@@ -107,11 +116,14 @@ def ml_minhash_lsh_jaccard_pairs(spark, sf_dir):
     certain, and the fixture vocabulary is far below HashingTF's 2^14
     buckets (no collisions), so the row set equals the exact word-jaccard
     pair join — the oracle — verified equal at sf0.001/sf0.01 and pinned
-    in tests."""
+    in tests.  Runs on the doc_id < {MINHASH_DOC_CAP} slice: MLlib's LSH
+    cannot AND-amplify (see MINHASH_DOC_CAP note), so unbounded input
+    degenerates to all-pairs on this corpus — use dedup_minhash_lsh
+    (banded) for the scale path."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     (docs,) = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = docs.filter(F.col("doc_id") < MINHASH_DOC_CAP).select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("tokens")
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
