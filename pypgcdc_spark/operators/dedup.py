@@ -482,9 +482,6 @@ def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):
     )
 
 
-CC_MAX_ITERS = 20  # min-label propagation bound (≥ graph diameter)
-
-
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -527,42 +524,15 @@ def dedup_connected_components(spark, sf_dir):
     turns pairwise similarity into actual dedup decisions: transitively
     linked docs form one cluster keyed by its lowest doc_id.
 
-    Scale: each round is one equi-join + one groupBy-min shuffle on
-    doc_id over the EDGE set (∝ dup pairs ≪ corpus), localCheckpoint
-    truncates the iterative lineage.  Web-scale graphs swap this loop for
-    the large-star/small-star variant (Kiveris et al.) — same DataFrame
-    primitives, fewer rounds; the fixture graph's diameter is small so
-    plain propagation is the better constant factor here.  Oracle:
-    recursive-CTE min-reachable-id labeling."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(CC_MAX_ITERS):
-        neighbor = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "lbl")
-        )
-        labels = (
-            labels.unionByName(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+    Built on the reusable ``operators.graph.connected_components`` kernel
+    (min-label propagation over the edge set; scale notes there).
+    Oracle: recursive-CTE min-reachable-id labeling."""
+    from pypgcdc_spark.operators.graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
     return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("doc_id").cast("long").alias("member_id_sum"),
+        F.sum("node").cast("long").alias("member_id_sum"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
     )
