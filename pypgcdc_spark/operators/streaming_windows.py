@@ -292,3 +292,52 @@ def stream_stateful_running_stats(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max_by("total_cents", "n_events").alias("total_cents"),
     )
+
+
+@query(
+    "stream_time_rollup",
+    oracle="""
+    -- Hypertable-style continuous-aggregate rollup: one pass produces the
+    -- day grain, the hour grain, and the grand total (GROUP BY ROLLUP on
+    -- the time hierarchy) — the downsampling pyramid a time-series store
+    -- maintains per event type.
+    SELECT CASE WHEN day IS NULL THEN 'total'
+                WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS grain,
+           COALESCE(strftime(day, '%Y-%m-%d'), '') AS day,
+           COALESCE(strftime(hour, '%Y-%m-%d %H:%M:%S'), '') AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM (SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, value
+          FROM events)
+    GROUP BY ROLLUP(day, hour)
+    """,
+)
+def stream_time_rollup(spark, sf_dir):
+    """Multi-granularity time rollup (the hypertable / continuous-
+    aggregate shape): hour + day + total grains in ONE aggregation pass
+    via ROLLUP over the time hierarchy — Spark plans a single Expand +
+    partial/final agg, so the downsampling pyramid costs one shuffle, not
+    one job per grain.  In streaming deployment each micro-batch folds
+    into the same pyramid (foreachBatch upsert per grain)."""
+    (events,) = load(spark, sf_dir, "events")
+    t = events.select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        "value",
+    )
+    rolled = t.rollup("day_ts", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+    )
+    grain = (
+        F.when(F.col("day_ts").isNull(), "total")
+        .when(F.col("hour_ts").isNull(), "day")
+        .otherwise("hour")
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("")).alias("day"),
+        F.coalesce(F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("hour"),
+        "n_events",
+        "total_value",
+    )

@@ -49,9 +49,12 @@ EXTENDED = frozenset(
         # Expand-node variants: grouping_sets (kept) generalizes both.
         "agg_rollup_returns",
         "agg_cube_orders",
-        # CDC monitoring/diff variants of the kept apply/tx-grouping pair.
+        # CDC monitoring/diff/tx variants: apply_current_state +
+        # cdc_incremental_view carry the category (plus the full e2e
+        # streaming test suite).
         "cdc_oplog_stats",
         "cdc_before_after_diff",
+        "cdc_tx_grouping",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
