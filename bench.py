@@ -99,14 +99,19 @@ def main():
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings = {}
+    failed = []
     for name in HEADLINE + NEW_OPS:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # one broken query must not lose the whole record
+            failed.append(name)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings[n] for n in HEADLINE), 3)
-    total_new = round(sum(timings[n] for n in NEW_OPS), 3)
+    total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
+    total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     print(
         json.dumps(
             {
@@ -114,6 +119,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "value_new_ops": total_new,
+                "failed": failed,
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
