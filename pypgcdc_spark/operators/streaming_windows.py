@@ -341,3 +341,75 @@ def stream_time_rollup(spark, sf_dir):
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    -- Batch interval-join ground truth: clicks attributed to a purchase
+    -- of the same user within the preceding hour; the drained streaming
+    -- join must reproduce these counts exactly.
+    SELECT p.user_id,
+           COUNT(*) AS n_attributed,
+           CAST(SUM(p.event_id) AS BIGINT) AS purchase_id_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    GROUP BY p.user_id
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """REAL stream-stream interval join: two watermarked readers over the
+    events stream (purchases ⋈ clicks of the same user within the
+    preceding hour) — the double-sided state-store join shape; watermarks
+    + the interval condition bound both state stores (each side can drop
+    rows older than watermark − 1h).  The drained append output is
+    aggregated and must hash-match the batch interval-join oracle."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(event_type, prefix):
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.expr("timestamp_micros(ts div 1000)").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    purchases = _stream("purchase", "p")
+    clicks = _stream("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    name = "ssj_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("p_id").cast("long").alias("purchase_id_sum"),
+        )
+    )

@@ -101,10 +101,12 @@ EXTENDED = frozenset(
         # Correlated-scalar decorrelation covered by q17; IN-subquery kept.
         "subq_orders_above_customer_avg",
         # Token-count / fingerprint / corpus-mining variants of kept text
-        # ops (vocab_topk shares stop_shingles' explode→group→topk shape).
+        # ops (vocab/stop-shingle share the explode→group→topk shape also
+        # primary-evidenced by text_token_stats' explode aggregation).
         "text_bpe_ish_tokens",
         "text_winnow_fingerprint",
         "text_stop_shingles",
+        "text_vocab_topk",
         # Array basics subsumed by the kept higher_order_functions.
         "scalar_array_functions",
         # Unpivot demoted; pivot (agg_conditional_pivot_status) kept.
