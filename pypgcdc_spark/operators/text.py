@@ -519,3 +519,84 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("tf"), F.asc("word"))
         .limit(VOCAB_TOPK)
     )
+
+
+SPAN_NGRAM = 8  # span granularity for exact-substring duplicate detection
+SPAN_FLAG_PCT = 50  # flag docs with >= 50% duplicated spans
+
+
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+    -- Exact-substring dedup metric (RefinedWeb-style) at {SPAN_NGRAM}-gram
+    -- granularity: a positional span is duplicated if its text occurs in
+    -- >= 2 distinct documents; docs with >= {SPAN_FLAG_PCT}% duplicated
+    -- spans are trim candidates.
+    WITH words AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                   FROM documents),
+    spans AS (SELECT doc_id, source,
+                     array_to_string(list_slice(w, i + 1, i + {SPAN_NGRAM}), ' ') AS s
+              FROM words, unnest(range(len(w) - {SPAN_NGRAM - 1})) AS t(i)
+              WHERE len(w) >= {SPAN_NGRAM}),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS n_docs_with FROM spans GROUP BY s),
+    per_doc AS (
+      SELECT p.doc_id, p.source,
+             COUNT(*) AS n_spans,
+             SUM(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM spans p JOIN df d ON p.s = d.s
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_spans,
+           CAST(SUM(CASE WHEN n_dup * 100 >= n_spans * {SPAN_FLAG_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN n_dup * 100 >= n_spans * {SPAN_FLAG_PCT}
+                    THEN doc_id ELSE 0 END) AS BIGINT) AS flagged_id_sum
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate-span metric ({SPAN_NGRAM}-gram
+    granularity): per doc, the count of positional spans whose text
+    appears in ≥ 2 distinct documents — the span-trimming criterion of
+    exact-substring dedup (suffix-array ES-dedup approximated on n-gram
+    boundaries; integer-exact {SPAN_FLAG_PCT}% flag).
+
+    Scale: one shuffle keyed by span text for document frequency, one
+    broadcast-back join; span df follows the stop-shingle distribution so
+    a df cap bounds the reduce side (same knob as dedup_ngram_jaccard)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= SPAN_NGRAM)
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {SPAN_NGRAM}), "
+                f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
+            )
+        ).alias("s"),
+    )
+    df = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    per_doc = (
+        spans.join(df, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    flagged = F.col("n_dup") * 100 >= F.col("n_spans") * SPAN_FLAG_PCT
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_dup").cast("long").alias("dup_spans"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("doc_id")).otherwise(0)).cast("long").alias(
+            "flagged_id_sum"
+        ),
+    )

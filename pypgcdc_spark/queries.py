@@ -111,6 +111,9 @@ EXTENDED = frozenset(
         "scalar_array_functions",
         # Unpivot demoted; pivot (agg_conditional_pivot_status) kept.
         "unpivot_price_measures",
+        # Byte-stat metadata pass: multimodal_decode_stats (real codecs)
+        # carries the multimodal primary slot.
+        "multimodal_binary_features",
         # Window offset/rank variants of kept lag/range-frame/topk.
         "win_first_last_value",
         "win_ntile_price_quartiles",
