@@ -55,6 +55,9 @@ NEW_OPS = [
     "dedup_connected_components",
     "stream_dedup_watermark",
     "cdc_incremental_view",
+    "stream_time_rollup",
+    "stream_stream_join",
+    "text_duplicate_spans",
 ]
 
 

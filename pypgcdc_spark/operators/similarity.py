@@ -333,3 +333,58 @@ def ann_topk_pandas(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERI
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_ivf_kmeans(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF-flat with MLlib-KMeans-trained centroids — the production
+    variant of ``ann_ivf_flat`` (which seed-picks centroids so its DuckDB
+    oracle can derive the identical index).  Same query shape: assign →
+    probe nearest lists → exact re-rank; trained centroids tighten the
+    lists so recall at equal nprobe improves.  Not oracle-registered
+    (KMeans centroids are JVM-iteration artifacts); recall vs the exact
+    brute force is pinned in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
+    cent = spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+        "cent_id INT, ce ARRAY<DOUBLE>",
+    )
+    scored_vc = feats.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cent_id", _cosine(F.col("embedding"), F.col("ce")).alias("cos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    ranked_vc = scored_vc.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked_vc.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked_vc.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    embs = emb.select("vec_id", "embedding")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    scored = (
+        cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("eq"), F.col("embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

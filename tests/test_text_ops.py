@@ -79,3 +79,16 @@ def test_time_rollup_grains_are_consistent(spark, sf_dir):
     for h in hours:
         by_day[h.day] = by_day.get(h.day, 0) + h.n_events
     assert by_day == {d.day: d.n_events for d in days}
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """The production (KMeans-trained) IVF variant must match or beat the
+    seed-pick variant's recall against exact brute force."""
+    from pypgcdc_spark.operators.similarity import ann_ivf_kmeans
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    km = {(r.query_id, r.cand_id) for r in ann_ivf_kmeans(spark, sf_dir).collect()}
+    assert len(km & exact) / len(exact) >= 0.5
