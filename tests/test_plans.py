@@ -196,3 +196,21 @@ def test_connected_components_converges_to_transitive_clusters(spark, sf_dir):
         min(members): (len(members), sum(members)) for members in want.values()
     }
     assert got == expect
+
+
+def test_packing_and_domain_mix_single_window_shuffle(spark, sf_dir):
+    """Both ops are one window/agg pipeline over a bucketed key — more
+    than 2 exchanges would mean the window and the report stopped sharing
+    a partitioning."""
+    for name in ("pipeline_sequence_packing", "pipeline_domain_mix"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert shuffle_count(df) <= 2, f"{name}: {shuffle_count(df)}"
+
+
+def test_duplicate_spans_no_cartesian(spark, sf_dir):
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["text_duplicate_spans"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
