@@ -156,21 +156,59 @@ def unpivot_price_measures(spark, sf_dir):
     )
 
 
-@query("approx_distinct_and_quantiles", oracle=None)
+@query(
+    "approx_distinct_and_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           CAST(1 AS BIGINT) AS parts_within_5pct,
+           CAST(1 AS BIGINT) AS supps_within_5pct,
+           CAST(1 AS BIGINT) AS p50_within_5pct,
+           CAST(1 AS BIGINT) AS p95_within_5pct,
+           CAST(1 AS BIGINT) AS p99_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_and_quantiles(spark, sf_dir):
-    """Sketch aggregates: approx_count_distinct (HyperLogLog++) and
-    percentile_approx (KLL-ish).  No oracle — sketch outputs are
-    implementation-defined, so the driver records the rows-only check; the
-    companion exact-aggregate queries (agg_distinct_suppliers, win_ntile)
-    pin correctness of the exact paths."""
+    """Sketch aggregates: approx_count_distinct (HyperLogLog++, rsd=1%) and
+    percentile_approx (GK sketch, accuracy 10k) — made oracle-checkable by
+    a derived contract: emit the EXACT distinct counts (DuckDB-reproducible)
+    plus booleans-as-ints asserting each sketch lands within 5% of the exact
+    answer.  The oracle asserts the exact counts and literal 1s; a sketch
+    drifting past 5% therefore fails the hash gate.  Sketch error budget:
+    HLL++ rsd 0.01 gives ~3σ ≪ 5%; GK rank error n/10_000 maps to ≪ 5%
+    value error on this price distribution.
+
+    Scalar columns only — the driver's canonicalizer cannot hash arrays."""
     (li,) = load(spark, sf_dir, "lineitem")
-    # Quantiles emitted as three scalar columns (not one array column):
-    # the driver's rows-only canonicalizer sorts result columns in pandas,
-    # which crashes on unhashable list cells.
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("price_p95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("price_p99"),
+
+    def within(approx, exact):
+        return (
+            F.when(F.abs(approx - exact) * 20 <= exact, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("apx_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("apx_p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("apx_p99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        within(F.col("approx_parts"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("approx_supps"), F.col("exact_supps")).alias("supps_within_5pct"),
+        within(F.col("apx_p50"), F.col("exact_p50")).alias("p50_within_5pct"),
+        within(F.col("apx_p95"), F.col("exact_p95")).alias("p95_within_5pct"),
+        within(F.col("apx_p99"), F.col("exact_p99")).alias("p99_within_5pct"),
     )
