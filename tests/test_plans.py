@@ -214,3 +214,63 @@ def test_duplicate_spans_no_cartesian(spark, sf_dir):
     txt = plan_text(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def _bucket_listing(key_path):
+    """Per-bucket (filename, mtime) sets of the IVM key-state dataset."""
+    import os
+
+    out = {}
+    for d in os.listdir(key_path):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(key_path, d)
+        out[d] = sorted(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_ivm_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The O(touched-buckets) pin: a micro-batch whose keys land in ONE
+    bucket must leave every other bucket's files byte-identical on disk
+    (same names, same mtimes) — write amplification O(bucket), not
+    O(total keys)."""
+    from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
+
+    B = 8
+    ivm = BucketedViewMaintainer(spark, str(tmp_path), n_buckets=B)
+    schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+
+    # Batch 0: 40 keys spanning all 8 buckets.
+    rows0 = [(i, i % 40, "purchase", float(i)) for i in range(1, 200)]
+    ivm.apply_batch(spark.createDataFrame(rows0, schema), 0)
+    before = _bucket_listing(ivm.key_path)
+    assert len(before) == B, f"expected {B} buckets, got {sorted(before)}"
+
+    # Batch 1: touches only user_id=3 → bucket 3.
+    ivm.apply_batch(
+        spark.createDataFrame([(1000, 3, "refund", 42.0)], schema), 1
+    )
+    after = _bucket_listing(ivm.key_path)
+    changed = [b for b in before if before[b] != after[b]]
+    assert changed == ["bucket=3"], f"rewrote {changed}"
+
+    # And the maintained aggregate still equals the batch recompute.
+    last = {}
+    for eid, uid, etype, val in rows0 + [(1000, 3, "refund", 42.0)]:
+        if uid not in last or eid > last[uid][0]:
+            last[uid] = (eid, etype, int(round(val * 100)))
+    expect = {}
+    for _, (eid, etype, cents) in last.items():
+        if etype == "error":
+            continue
+        n, tot = expect.get(etype, (0, 0))
+        expect[etype] = (n + 1, tot + cents)
+    got = {
+        r["event_type"]: (r["n_keys"], r["total_cents"])
+        for r in ivm.aggregate().collect()
+    }
+    assert got == expect
