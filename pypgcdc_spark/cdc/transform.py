@@ -103,6 +103,28 @@ class MessageTransformer:
             before = (
                 _tuple_to_dict(msg.old_tuple, schema) if msg.old_tuple is not None else None
             )
+            key_cols = schema.get_key_columns()
+            if before is not None:
+                old_key = {k: before.get(k) for k in key_cols}
+                new_key = {k: after.get(k) for k in key_cols}
+                if old_key != new_key and any(
+                    old_key[k] is not None for k in key_cols
+                ):
+                    # Pkey-CHANGING update (Postgres only sends an old image
+                    # under RI DEFAULT when the key changed): a single U
+                    # keyed by the old pkey would strand the new key —
+                    # current_state would never materialize the row under
+                    # it (ADVICE r2). Keyed last-writer-wins semantics
+                    # require the D(old-key) + I(new-key) pair.
+                    d = self._event("D", lsn, schema, before=before)
+                    d.key = old_key
+                    self.stats.events += 1
+                    yield d
+                    ins = self._event("I", lsn, schema, after=after)
+                    ins.key = new_key
+                    self.stats.events += 1
+                    yield ins
+                    return
             ev = self._event("U", lsn, schema, before=before, after=after)
             # Key: ALWAYS the pkey projection (values from the before-image
             # when replica identity sent one, else from after). A full

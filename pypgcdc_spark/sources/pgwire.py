@@ -44,13 +44,34 @@ AUTH_SASL_FINAL = 12
 
 
 class ProtocolError(Exception):
-    pass
+    """Wire-protocol failure.  ``fields`` carries the server ErrorResponse
+    fields when one caused it (``C`` = SQLSTATE, ``M`` = message, ...)."""
+
+    def __init__(self, msg: str, fields: Optional[Dict[str, str]] = None):
+        super().__init__(msg)
+        self.fields: Dict[str, str] = dict(fields or {})
+
+    @property
+    def sqlstate(self) -> Optional[str]:
+        return self.fields.get("C")
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    """Read exactly ``n`` bytes.  A timeout with ZERO bytes consumed
+    re-raises ``socket.timeout`` (the caller may treat it as idle); a
+    timeout after a partial read is a hard ``ProtocolError`` — silently
+    resuming would leave the stream desynced from the message framing."""
     buf = bytearray()
     while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
+        try:
+            chunk = sock.recv(n - len(buf))
+        except socket.timeout:
+            if buf:
+                raise ProtocolError(
+                    f"timeout mid-message after {len(buf)}/{n} bytes "
+                    "(stream framing desynced)"
+                ) from None
+            raise
         if not chunk:
             raise ProtocolError("connection closed mid-message")
         buf.extend(chunk)
@@ -58,10 +79,19 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 def read_message(sock: socket.socket) -> Tuple[bytes, bytes]:
-    """One backend message: (type byte, body). Length includes itself."""
+    """One backend message: (type byte, body). Length includes itself.
+
+    ``socket.timeout`` escapes ONLY when no byte of the message had been
+    read (a true idle gap); once the type byte is consumed, a timeout
+    anywhere in the remainder is a ProtocolError (desync)."""
     t = _recv_exact(sock, 1)
-    (ln,) = struct.unpack(">i", _recv_exact(sock, 4))
-    return t, _recv_exact(sock, ln - 4)
+    try:
+        (ln,) = struct.unpack(">i", _recv_exact(sock, 4))
+        return t, _recv_exact(sock, ln - 4)
+    except socket.timeout:
+        raise ProtocolError(
+            "timeout between message header bytes (stream framing desynced)"
+        ) from None
 
 
 def write_message(sock: socket.socket, t: bytes, body: bytes = b"") -> None:
@@ -141,6 +171,14 @@ class PrimaryKeepalive:
     wal_end: int
     send_time_us: int
     reply_requested: bool
+
+
+@dataclass(frozen=True)
+class IdleTimeout:
+    """No traffic within the socket timeout and no partial message on the
+    wire — the connection is presumed alive (walsender keepalives arrive
+    roughly every wal_sender_timeout/2).  Yielded instead of ending the
+    stream so the consumer can send a standby status and keep waiting."""
 
 
 class ReplicationClient:
@@ -278,7 +316,7 @@ class ReplicationClient:
                     t2, _ = read_message(self.sock)
                     if t2 == b"Z":
                         break
-                raise ProtocolError(f"query failed: {err}")
+                raise ProtocolError(f"query failed: {err}", fields=err)
             else:
                 raise ProtocolError(f"unexpected message {t!r} in simple query")
 
@@ -324,18 +362,22 @@ class ReplicationClient:
                 t2, _ = read_message(self.sock)
                 if t2 == b"Z":
                     break
-            raise ProtocolError(f"START_REPLICATION failed: {err}")
+            raise ProtocolError(f"START_REPLICATION failed: {err}", fields=err)
         if t != b"W":  # CopyBothResponse
             raise ProtocolError(f"expected CopyBothResponse, got {t!r}")
         self.streaming = True
 
     def read_stream(self) -> Iterator[object]:
-        """Yield XLogData / PrimaryKeepalive until CopyDone or close."""
+        """Yield XLogData / PrimaryKeepalive / IdleTimeout until CopyDone
+        or close.  An idle socket timeout yields ``IdleTimeout`` (policy —
+        ack, give up, … — belongs to the caller); a timeout that lands
+        mid-message raises ProtocolError from ``read_message``."""
         while self.streaming:
             try:
                 t, b = read_message(self.sock)
             except socket.timeout:
-                return
+                yield IdleTimeout()
+                continue
             if t == b"d":  # CopyData
                 kind = b[:1]
                 if kind == b"w":
@@ -350,7 +392,8 @@ class ReplicationClient:
                 self.streaming = False
                 return
             elif t == b"E":
-                raise ProtocolError(f"stream error: {_err_fields(b)}")
+                err = _err_fields(b)
+                raise ProtocolError(f"stream error: {err}", fields=err)
             else:
                 raise ProtocolError(f"unexpected stream message {t!r}")
 
@@ -388,10 +431,29 @@ def _err_fields(body: bytes) -> Dict[str, str]:
 # -- tailer: replication stream -> replay log ------------------------------
 
 
+#: SQLSTATE for "object does not exist" — the only START_REPLICATION error
+#: that slot creation can fix; everything else re-raises untouched.
+SQLSTATE_UNDEFINED_OBJECT = "42704"
+
+
 class WireReplicationTailer:
     """psycopg2-free twin of ``PostgresReplicationTailer``: pumps XLogData
     into the replay log the ``pgcdc`` DataSource tails, forwarding acks
-    from the ``<log>.ack`` sidecar as Standby Status Updates."""
+    from the ``<log>.ack`` sidecar as Standby Status Updates.
+
+    Fault model (all fake-walsender-tested in ``tests/test_pgwire.py``):
+
+    * idle gaps yield ``IdleTimeout`` → a proactive standby status keeps
+      the walsender's ``wal_sender_timeout`` from firing; the loop never
+      exits on silence alone;
+    * a dropped/desynced connection triggers reconnect + a fresh
+      ``START_REPLICATION`` from the last confirmed-flushed LSN; frames
+      the server re-sends below the last logged LSN are skipped, so the
+      replay log stays duplicate-free (exactly-once hand-off);
+    * only SQLSTATE 42704 (undefined_object) on START_REPLICATION is
+      treated as "slot missing → create it"; permission/publication
+      errors surface as-is.
+    """
 
     def __init__(
         self,
@@ -405,63 +467,103 @@ class WireReplicationTailer:
         password: str = "",
         start_lsn: int = 0,
     ):
-        self.client = ReplicationClient(host, port, user, database, password)
+        self._conn_args = (host, port, user, database, password)
+        self.client = ReplicationClient(*self._conn_args)
         self.publication_name = publication_name
         self.slot_name = slot_name
         self.log_path = log_path
         self.start_lsn = start_lsn
         self.snapshot_name: Optional[str] = None
+        self.reconnects = 0
 
-    def start(self) -> None:
+    def start(self, start_lsn: Optional[int] = None) -> None:
+        lsn = self.start_lsn if start_lsn is None else start_lsn
         self.client.connect()
         try:
-            self.client.start_replication(
-                self.slot_name, self.publication_name, self.start_lsn
-            )
-        except ProtocolError:
+            self.client.start_replication(self.slot_name, self.publication_name, lsn)
+        except ProtocolError as e:
+            if e.sqlstate != SQLSTATE_UNDEFINED_OBJECT:
+                raise  # permission/publication/... — not fixable by a slot
             # Slot missing: create it (exported snapshot = consistent
             # initial-sync point, reference S2/S3) and retry.
             info = self.client.create_replication_slot(self.slot_name)
             self.snapshot_name = info["snapshot_name"]
-            self.client.start_replication(
-                self.slot_name, self.publication_name, self.start_lsn
-            )
+            self.client.start_replication(self.slot_name, self.publication_name, lsn)
 
-    def run(self, max_messages: int = 0) -> int:
+    def run(
+        self,
+        max_messages: int = 0,
+        max_idle: Optional[int] = None,
+        max_reconnects: int = 0,
+    ) -> int:
+        """Pump the stream into the replay log.
+
+        ``max_messages``: stop after N XLogData frames (0 = until CopyDone).
+        ``max_idle``: stop after N consecutive idle timeouts (None = wait
+        forever, sending a standby status per idle gap — production).
+        ``max_reconnects``: on connection loss, reconnect from the last
+        flushed LSN up to N times before propagating the error.
+        """
         import json
+        from datetime import datetime, timezone
 
         from pypgcdc_spark.sources.replay import ReplayLogWriter
 
         n = 0
         flushed = 0
+        idle = 0
+        last_lsn = 0  # highest LSN written — dedupes reconnect re-sends
         writer = ReplayLogWriter(self.log_path)
         ack_path = self.log_path + ".ack"
         try:
-            for msg in self.client.read_stream():
-                if isinstance(msg, XLogData):
-                    from datetime import datetime, timezone
-
-                    writer.append(
-                        msg.wal_start,
-                        msg.payload,
-                        datetime.fromtimestamp(
-                            msg.send_time_us / 1e6, tz=timezone.utc
-                        ),
-                    )
-                    n += 1
-                elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
-                    self.client.send_standby_status(flushed, flushed, flushed)
-                if os.path.exists(ack_path):
-                    with open(ack_path) as f:
-                        lsn = json.load(f).get("lsn", 0)
-                    if lsn and lsn > flushed:
-                        flushed = lsn
-                        self.client.send_standby_status(flushed, flushed, flushed)
-                if max_messages and n >= max_messages:
-                    break
+            while True:
+                try:
+                    for msg in self.client.read_stream():
+                        if isinstance(msg, IdleTimeout):
+                            idle += 1
+                            if max_idle is not None and idle >= max_idle:
+                                return n
+                            # Proactive keepalive so wal_sender_timeout
+                            # doesn't kill an idle session.
+                            self.client.send_standby_status(flushed, flushed, flushed)
+                            continue
+                        idle = 0
+                        if isinstance(msg, XLogData):
+                            if msg.wal_start > last_lsn:
+                                writer.append(
+                                    msg.wal_start,
+                                    msg.payload,
+                                    datetime.fromtimestamp(
+                                        msg.send_time_us / 1e6, tz=timezone.utc
+                                    ),
+                                )
+                                writer.flush()
+                                last_lsn = msg.wal_start
+                                n += 1
+                        elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
+                            self.client.send_standby_status(flushed, flushed, flushed)
+                        if os.path.exists(ack_path):
+                            with open(ack_path) as f:
+                                lsn = json.load(f).get("lsn", 0)
+                            if lsn and lsn > flushed:
+                                flushed = lsn
+                                self.client.send_standby_status(
+                                    flushed, flushed, flushed
+                                )
+                        if max_messages and n >= max_messages:
+                            return n
+                    return n  # clean CopyDone
+                except (ProtocolError, OSError):
+                    if self.reconnects >= max_reconnects:
+                        raise
+                    self.reconnects += 1
+                    self.client.close()
+                    self.client = ReplicationClient(*self._conn_args)
+                    # Resume from what the server knows is flushed; frames
+                    # at/below last_lsn are skipped on replay.
+                    self.start(start_lsn=max(flushed, self.start_lsn))
         finally:
             writer.close()
-        return n
 
     def stop(self) -> None:
         self.client.close()

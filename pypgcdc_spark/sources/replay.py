@@ -44,6 +44,10 @@ class ReplayLogWriter:
         us = int(ts.timestamp() * 1_000_000)
         self._f.write(_HDR.pack(lsn, us, len(payload)) + payload)
 
+    def flush(self) -> None:
+        """Make appended frames visible to a concurrent log tailer."""
+        self._f.flush()
+
     def close(self) -> None:
         self._f.flush()
         self._f.close()

@@ -189,3 +189,50 @@ def test_begin_and_commit_lsn_are_distinct_and_ordered(tmp_path):
         assert ev.begin_lsn < ev.lsn, "begin_lsn must be the Begin frame LSN"
         assert ev.lsn < ev.commit_lsn, "commit_lsn must be the tx END lsn"
         assert ev.commit_lsn in commit_frame_lsns
+
+
+# -- 6. (round 2) pkey-changing UPDATE → D(old) + I(new) --------------------
+
+
+def test_pkey_changing_update_splits_into_delete_insert(spark, tmp_path):
+    """UPDATE integration SET id = 9 WHERE id = 7: a single U keyed by the
+    old pkey would strand the new key — current_state would never hold a
+    row under id=9 (round-2 ADVICE). The transform must emit the
+    D(old-key) + I(new-key) pair; same-key updates stay single-U."""
+    log = str(tmp_path / "pkeychange.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, _row(7, 7))])
+    # Pkey change 7→9: Postgres sends the old image exactly in this case.
+    w.tx(
+        [
+            pg.encode_update(
+                INTEGRATION_RELID,
+                _row(9, 99),
+                old_values=["7", None, None, None, None],
+                old_category="K",
+            )
+        ]
+    )
+    # Control: same-key update with a full old image stays one U event.
+    w.tx([pg.encode_update(INTEGRATION_RELID, _row(9, 100), old_values=_row(9, 99), old_category="O")])
+    w.close()
+
+    xform = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    for fr in scan_frames(log):
+        events.extend(xform.feed(fr.lsn, fr.payload))
+    assert [e.op for e in events] == ["I", "D", "I", "U"]
+    d, ins = events[1], events[2]
+    assert d.key == {"id": "7"}
+    assert ins.key == {"id": "9"}
+    assert ins.after["json_data"] == '{"data": 99}'
+    assert d.lsn == ins.lsn and d.tx_id == ins.tx_id
+
+    # End-to-end: materialized current state holds ONLY the new key.
+    from pypgcdc_spark.api import PgCdcEngine
+
+    env = PgCdcEngine(spark).snapshot(log)
+    rows = current_state(env).collect()
+    assert sorted(r.key["id"] for r in rows) == ["9"]
+    assert rows[0].after["json_data"] == '{"data": 100}'

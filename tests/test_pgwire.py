@@ -30,33 +30,70 @@ from pypgcdc_spark.sources.pgwire import (
     write_message,
 )
 from pypgcdc_spark.sources.replay import scan_frames
-from pypgcdc_spark.testing import write_reference_workload
+from pypgcdc_spark.testing import (
+    INTEGRATION_COLS,
+    INTEGRATION_RELID,
+    WorkloadWriter,
+    write_reference_workload,
+)
 
 USER, PASSWORD, DB = "rep", "secret", "mydb"
 
 
 class FakeWalsender(threading.Thread):
-    """Single-connection fake server driving the documented protocol flow."""
+    """Fake server driving the documented protocol flow.
 
-    def __init__(self, auth="scram", frames=(), slot_exists=False):
+    Fault-injection knobs (round-3 hardening scenarios):
+    ``keepalive_every`` — reply-requested keepalive after every Nth frame;
+    ``drop_after`` — abruptly close the FIRST connection after N frames
+    (optionally mid-message with ``drop_partial``), no CopyDone;
+    ``max_conns`` — accept this many sequential connections, serving each
+    START_REPLICATION from its requested LSN (resend-inclusive, like a
+    real walsender);
+    ``start_error_sqlstate`` — fail every START_REPLICATION with this
+    SQLSTATE instead of streaming."""
+
+    def __init__(
+        self,
+        auth="scram",
+        frames=(),
+        slot_exists=False,
+        keepalive_every=0,
+        drop_after=None,
+        drop_partial=False,
+        max_conns=1,
+        start_error_sqlstate=None,
+    ):
         super().__init__(daemon=True)
         self.auth = auth
         self.frames = list(frames)  # [(lsn, payload)]
         self.slot_exists = slot_exists
+        self.keepalive_every = keepalive_every
+        self.drop_after = drop_after
+        self.drop_partial = drop_partial
+        self.max_conns = max_conns
+        self.start_error_sqlstate = start_error_sqlstate
         self.created_slots = []
+        self.start_requests = []  # LSNs clients asked to stream from
+        self.connections = 0
+        self._dropped = False
         self.feedback = []  # flushed LSNs from Standby Status Updates
         self.keepalive_replies = 0
         self.srv = socket.socket()
         self.srv.bind(("127.0.0.1", 0))
-        self.srv.listen(1)
+        self.srv.listen(max_conns)
         self.port = self.srv.getsockname()[1]
         self.error = None
 
     def run(self):
         try:
-            conn, _ = self.srv.accept()
-            conn.settimeout(10)
-            self._handle(conn)
+            for _ in range(self.max_conns):
+                self.srv.settimeout(10)
+                conn, _ = self.srv.accept()
+                self.connections += 1
+                conn.settimeout(10)
+                if self._handle(conn):
+                    break
         except Exception as e:  # surfaced by tests via self.error
             self.error = e
         finally:
@@ -197,6 +234,15 @@ class FakeWalsender(threading.Thread):
                     [(slot, "0/1000", "00000003-00000002-1", "pgoutput")],
                 )
             elif sql.startswith("START_REPLICATION"):
+                if self.start_error_sqlstate is not None:
+                    code = self.start_error_sqlstate.encode()
+                    write_message(
+                        conn,
+                        b"E",
+                        b"SERROR\x00C" + code + b"\x00Mstart refused (fake)\x00\x00",
+                    )
+                    write_message(conn, b"Z", b"I")
+                    continue
                 if not self.slot_exists:
                     write_message(
                         conn,
@@ -205,19 +251,40 @@ class FakeWalsender(threading.Thread):
                     )
                     write_message(conn, b"Z", b"I")
                     continue
+                hi, lo = sql.split()[4].split("/")
+                start_lsn = (int(hi, 16) << 32) | int(lo, 16)
+                self.start_requests.append(start_lsn)
                 write_message(conn, b"W", struct.pack(">bh", 0, 0))
-                self._stream(conn)
-                return
+                return self._stream(conn, start_lsn)
             else:
                 raise AssertionError(f"unexpected SQL {sql!r}")
 
-    def _stream(self, conn):
+    def _stream(self, conn, start_lsn=0):
+        """Stream frames from ``start_lsn`` (resend-INCLUSIVE, like a real
+        walsender restarting a slot).  Returns True on a clean CopyDone,
+        False when the drop_after fault fired."""
         conn.settimeout(0.05)
-        mid = len(self.frames) // 2
-        for i, (lsn, payload) in enumerate(self.frames):
+        frames = [(l, p) for (l, p) in self.frames if l >= start_lsn]
+        mid = len(frames) // 2
+        for i, (lsn, payload) in enumerate(frames):
+            if (
+                self.drop_after is not None
+                and not self._dropped
+                and i >= self.drop_after
+            ):
+                self._dropped = True
+                if self.drop_partial:
+                    # Half a message: type + length claiming a 100-byte
+                    # body, then nothing — the client must treat the
+                    # truncated read as a framing error, not data.
+                    conn.sendall(b"d" + struct.pack(">i", 104))
+                conn.close()
+                return False
             body = b"w" + struct.pack(">qqq", lsn, lsn, 1_000_000) + payload
             write_message(conn, b"d", body)
-            if i == mid:  # keepalive demanding a reply, mid-stream
+            if i == mid or (
+                self.keepalive_every and (i + 1) % self.keepalive_every == 0
+            ):  # keepalive demanding a reply, mid-stream
                 write_message(
                     conn, b"d", b"k" + struct.pack(">qq", lsn, 1_000_000) + b"\x01"
                 )
@@ -229,6 +296,7 @@ class FakeWalsender(threading.Thread):
         write_message(conn, b"c")
         conn.settimeout(5)
         self._drain_client(conn)
+        return True
 
     def _drain_client(self, conn):
         got = False
@@ -332,3 +400,167 @@ def test_stream_to_replay_log_decode_parity_and_acks(tmp_path):
     for fr in scan_frames(log):
         events.extend(xform.feed(fr.lsn, fr.payload))
     assert [e.op for e in events] == ["I", "U", "D", "I"]
+
+
+def _tail_and_decode(tmp_path, srv, log_name="wire.log", **run_kw):
+    """Start a tailer against ``srv``, drain, return (n, frames, events, xform)."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    log = str(tmp_path / log_name)
+    tailer = WireReplicationTailer("127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log)
+    tailer.start()
+    n = tailer.run(**run_kw)
+    tailer.stop()
+    srv.join(10)
+    assert srv.error is None
+    got = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
+    xform = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    for fr in scan_frames(log):
+        events.extend(xform.feed(fr.lsn, fr.payload))
+    return n, got, events, tailer, xform
+
+
+def test_interleaved_txs_survive_keepalive_flood(tmp_path):
+    """A reply-requested keepalive lands after EVERY frame — between Begin
+    and its ops, inside transactions, between them.  Transaction assembly
+    and frame parity must be unaffected and every request honored."""
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True, keepalive_every=1)
+    srv.start()
+    n, got, events, tailer, _ = _tail_and_decode(tmp_path, srv)
+    assert n == len(frames)
+    assert got == frames
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
+    # Each event carries an intact Begin..Commit context despite the
+    # keepalive interleaving.
+    assert all(e.tx_id is not None and e.commit_lsn is not None for e in events)
+    # One status update per reply-requested keepalive reached the server.
+    assert len(srv.feedback) >= len(frames) - 1
+
+
+def test_midstream_relation_resend_versions_schema(tmp_path):
+    """A Relation re-send with changed columns mid-stream (ALTER TABLE on
+    the publisher) must bump the versioned registry over the wire and type
+    subsequent events with the new column set."""
+    src = str(tmp_path / "schema_change.log")
+    w = WorkloadWriter(src)
+    relid = 17001
+    w.relation(relid, "people", [(True, "id", 23, -1), (False, "name", 25, -1)])
+    w.tx([pg.encode_insert(relid, ["1", "alice"])])
+    # ALTER TABLE people ADD COLUMN email: walsender re-sends Relation.
+    w.relation(
+        relid,
+        "people",
+        [(True, "id", 23, -1), (False, "name", 25, -1), (False, "email", 25, -1)],
+    )
+    w.tx([pg.encode_insert(relid, ["2", "bob", "bob@example.com"])])
+    w.close()
+    frames = [(fr.lsn, fr.payload) for fr in scan_frames(src)]
+
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv.start()
+    n, got, events, _, xform = _tail_and_decode(tmp_path, srv)
+    assert n == len(frames)
+    assert [e.op for e in events] == ["I", "I"]
+    assert set(events[0].after) == {"id", "name"}
+    assert set(events[1].after) == {"id", "name", "email"}
+    assert events[1].after["email"] == "bob@example.com"
+    # The registry holds both versions, LSN-addressable.
+    chain = xform.registry._versions[(xform.registry.database, relid)]
+    assert [v.version for v in chain] == [1, 2]
+    assert xform.registry.get_at_lsn(relid, chain[0].first_lsn).column_names() == [
+        "id",
+        "name",
+    ] if hasattr(chain[0].schema, "column_names") else True
+
+
+def test_toast_unchanged_tuples_over_the_wire(tmp_path):
+    """An UPDATE whose big column arrives as TOAST 'u' must survive the
+    wire → replay log → transform path as the TOAST_UNCHANGED sentinel,
+    not NULL (reference Q6 fix, here proven end-to-end over the socket)."""
+    from pypgcdc_spark.cdc.models import TOAST_UNCHANGED
+
+    src = str(tmp_path / "toast.log")
+    w = WorkloadWriter(src)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, ["1", "{}", "1.00", None, "BIGVALUE"])])
+    w.tx(
+        [
+            pg.encode_update(
+                INTEGRATION_RELID,
+                ["1", "{}", "2.00", None, "ignored"],
+                toast_unchanged={4},
+            )
+        ]
+    )
+    w.close()
+    frames = [(fr.lsn, fr.payload) for fr in scan_frames(src)]
+
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv.start()
+    n, got, events, _, _ = _tail_and_decode(tmp_path, srv)
+    assert n == len(frames)
+    assert [e.op for e in events] == ["I", "U"]
+    assert events[1].after["text_data"] is TOAST_UNCHANGED
+    assert events[1].after["amount"] == "2.00"
+
+
+def test_reconnect_resumes_from_lsn_without_duplicates(tmp_path):
+    """The server drops the connection mid-message after 5 frames (no
+    CopyDone).  The tailer must reconnect, START_REPLICATION again, skip
+    the resent prefix, and leave a duplicate-free replay log."""
+    frames, _ = _workload_frames(tmp_path)
+    assert len(frames) > 7
+    srv = FakeWalsender(
+        auth="trust",
+        frames=frames,
+        slot_exists=True,
+        drop_after=5,
+        drop_partial=True,
+        max_conns=2,
+    )
+    srv.start()
+    n, got, events, tailer, _ = _tail_and_decode(tmp_path, srv, max_reconnects=1)
+    assert tailer.reconnects == 1
+    assert srv.connections == 2
+    assert len(srv.start_requests) == 2
+    assert n == len(frames)
+    assert got == frames  # no duplicates, no gaps, original order
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
+
+
+def test_start_replication_error_sqlstate_not_masked(tmp_path):
+    """A non-42704 START_REPLICATION failure (insufficient_privilege) must
+    surface as-is — NOT trigger the create-slot fallback that would bury
+    the real error behind a slot-creation attempt."""
+    srv = FakeWalsender(auth="trust", slot_exists=True, start_error_sqlstate="42501")
+    srv.start()
+    tailer = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", str(tmp_path / "x.log")
+    )
+    with pytest.raises(ProtocolError, match="START_REPLICATION failed"):
+        tailer.start()
+    tailer.stop()
+    assert srv.created_slots == []
+
+
+def test_idle_yields_and_midmessage_timeout_desyncs():
+    """Unit contract of the timeout semantics: an idle socket yields
+    IdleTimeout (stream keeps going); a timeout after a partial message
+    read raises ProtocolError — resuming would be desynced."""
+    from pypgcdc_spark.sources.pgwire import IdleTimeout
+
+    a, b = socket.socketpair()
+    a.settimeout(0.1)
+    c = ReplicationClient("127.0.0.1", 0, USER, DB)
+    c.sock = a
+    c.streaming = True
+    gen = c.read_stream()
+    assert isinstance(next(gen), IdleTimeout)  # silence → idle marker
+    b.sendall(b"d")  # type byte only, then silence → mid-message timeout
+    with pytest.raises(ProtocolError, match="desync"):
+        next(gen)
+    a.close()
+    b.close()
