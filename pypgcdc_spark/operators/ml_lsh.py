@@ -3,14 +3,29 @@
 The built-in MLlib LSH estimators, wired to the fixture embedding/document
 columns — the off-the-shelf alternative to the hand-rolled LSH operators in
 dedup.py / similarity.py.  The hash families are JVM-seeded and
-implementation-defined, but ``approxSimilarityJoin`` re-computes the EXACT
-distance on every candidate pair and filters by it, so with table counts
-sized for ~certain recall at the fixture geometry the emitted pair set
-equals the exact ground-truth pair set — which makes both queries fully
-SQL-oracle-checkable (round 2: upgraded from rows-only; the oracle is the
-brute-force exact pair join, verified equal at sf0.001 and sf0.01).
-Result quality is additionally cross-validated in tests against the exact
-brute-force operators (recall assertions).
+implementation-defined, but both queries end in an EXACT distance check on
+candidates, so the emitted pair sets equal the exact ground-truth joins and
+are fully SQL-oracle-checkable.  Result quality is additionally
+cross-validated in tests against the exact brute-force operators.
+
+MLlib's ``approxSimilarityJoin`` can only OR-amplify (each hash table is a
+single hash function — no banding), which on this corpus (background
+word-jaccard p50 ≈ 0.62) degenerates to an all-pairs join: measured >9 min
+at sf0.1 in round 2, which forced a 1,000-doc input cap.  Round 3 removes
+the cap by reconstructing AND-OR banding ON TOP of MLlib's hash output:
+``model.transform`` gives the 32 per-table minhash values, which are
+concatenated into ``MINHASH_BANDS`` band signatures of ``MINHASH_ROWS``
+hashes each and equi-joined on (band, signature) — the same AND-amplified
+candidate shape as the production ``dedup_minhash_lsh`` — then exact
+word-jaccard is recomputed on the (deduplicated) candidates.  Per-band
+background collision drops to ~0.62^8 ≈ 2%, so candidate volume scales
+with true-duplicate density, not corpus².
+
+Recall note: every qualifying pair in the fixture has word-jaccard exactly
+1.0 (identical distinct-token sets → identical minhash signatures →
+collide in every band; measured at sf0.001/0.01/0.1), so banded recall is
+structurally 1, not probabilistic.  For a hypothetical pair at the 0.97
+threshold, miss probability is (1 − 0.97^8)^4 ≈ 0.2%.
 """
 
 from __future__ import annotations
@@ -28,7 +43,15 @@ from pypgcdc_spark.operators.dedup import COSINE_NEARDUP
 EUCLIDEAN_RADIUS = (2.0 - 2.0 * COSINE_NEARDUP) ** 0.5  # ≈ 1.183
 WORD_JACCARD_SIM = 0.97  # planted dup pairs; background word-jaccard p50≈0.62
 
+# AND-OR amplification reconstructed over MLlib's 32 hash tables.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 8
+
 # Exact euclidean pair join — the ground truth BRP-LSH must reproduce.
+# Strict < matches MLlib's approxSimilarityJoin predicate exactly (ADVICE
+# r2: a boundary-distance pair under <= would flip the hash check); no
+# fixture pair lands on the boundary, but the predicates are now identical
+# by construction.
 _BRP_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
@@ -40,23 +63,14 @@ WITH v AS (
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, ROUND(dist, 2) AS dist FROM pairs
-WHERE dist <= {EUCLIDEAN_RADIUS!r}
+WHERE dist < {EUCLIDEAN_RADIUS!r}
 """
-
-# MLlib MinHashLSH is OR-amplified ONLY (one hash per table, no banding):
-# with the fixture's high background jaccard (p50 ≈ 0.62) nearly every
-# pair collides in some table, so its candidate set degenerates to
-# all-pairs — measured >9 min at sf0.1 vs 2 s for the banded AND-OR
-# dedup_minhash_lsh.  The interop query therefore runs on a deterministic
-# corpus slice (no output change at the gate SFs, where all doc_ids are
-# below the cap); the production near-dup path remains dedup_minhash_lsh.
-MINHASH_DOC_CAP = 1000
 
 # Exact word-jaccard pair join — the ground truth MinHashLSH must reproduce.
 _MINHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tokens
-  FROM documents WHERE doc_id < {MINHASH_DOC_CAP}
+  FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.tokens, b.tokens))::DOUBLE
@@ -86,8 +100,9 @@ def ml_brp_lsh_neighbor_pairs(spark, sf_dir):
     ~certain recall at the fixture geometry (unit vectors: target pairs at
     d ≤ 1.18, per-table projection of the difference ≈ d/√dim ≈ 0.15 ≪
     bucketLength → 16 tables miss ~nothing), so the emitted set equals the
-    exact pair join and the query is fully oracle-checked; recall vs the
-    exact kernel is additionally pinned in tests."""
+    exact pair join (both sides strict <) and the query is fully
+    oracle-checked; recall vs the exact kernel is additionally pinned in
+    tests."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     df = _vector_df(spark, sf_dir)
@@ -107,35 +122,70 @@ def ml_brp_lsh_neighbor_pairs(spark, sf_dir):
 @query("ml_minhash_lsh_jaccard_pairs", oracle=_MINHASH_ORACLE)
 def ml_minhash_lsh_jaccard_pairs(spark, sf_dir):
     """MinHashLSH over binarized token sets (documents → token indices via
-    HashingTF) — MLlib's native near-dup path, emitting one row per pair at
-    word-jaccard similarity ≥ {WORD_JACCARD_SIM} — the planted-duplicate
-    band; the fixture's background word-jaccard is huge (p50 ≈ 0.62, docs
-    share a small vocabulary), so only a high threshold means "near-dup".
-    The distance filter is exact (MLlib computes true jaccard on
-    candidates); 32 single-hash tables make candidate recall at s ≥ 0.97
-    certain, and the fixture vocabulary is far below HashingTF's 2^14
-    buckets (no collisions), so the row set equals the exact word-jaccard
-    pair join — the oracle — verified equal at sf0.001/sf0.01 and pinned
-    in tests.  Runs on the doc_id < {MINHASH_DOC_CAP} slice: MLlib's LSH
-    cannot AND-amplify (see MINHASH_DOC_CAP note), so unbounded input
-    degenerates to all-pairs on this corpus — use dedup_minhash_lsh
-    (banded) for the scale path."""
+    HashingTF), UNCAPPED: MLlib supplies the 32 minhash values per doc and
+    the banded AND-OR candidate join is reconstructed on top (see module
+    docstring) — ``MINHASH_BANDS`` band signatures of ``MINHASH_ROWS``
+    hashes equi-joined on (band, sig), candidates deduplicated, then exact
+    word-jaccard recomputed and thresholded at {WORD_JACCARD_SIM}.  The
+    fixture vocabulary is far below HashingTF's 2^14 buckets (no
+    collisions) and every qualifying pair is an exact token-set copy, so
+    the row set equals the exact word-jaccard pair join — the oracle.
+
+    Scale shape: one map pass for signatures, one shuffle of (band, sig)
+    rows, candidate-only exact verification — identical to the production
+    ``dedup_minhash_lsh``; the interop value is that the hash family comes
+    from MLlib."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     (docs,) = load(spark, sf_dir, "documents")
-    toks = docs.filter(F.col("doc_id") < MINHASH_DOC_CAP).select(
+    toks = docs.select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("tokens")
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks)
-    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=32, seed=42).fit(
-        feats
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=MINHASH_BANDS * MINHASH_ROWS, seed=42
+    ).fit(feats)
+    hashed = model.transform(feats)
+
+    # hashes[i] is a length-1 vector; band signature = '_'-joined run of
+    # MINHASH_ROWS consecutive hash values (AND within a band).
+    def band_sig(b: int):
+        return F.concat_ws(
+            "_",
+            *[
+                vector_to_array(F.col("hashes")[b * MINHASH_ROWS + i])[0]
+                .cast("long")
+                .cast("string")
+                for i in range(MINHASH_ROWS)
+            ],
+        )
+
+    bands = hashed.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_sig(b) for b in range(MINHASH_BANDS)])).alias(
+            "band", "sig"
+        ),
     )
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - WORD_JACCARD_SIM + 1e-9, distCol="jaccard_dist"
-    ).filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-    return pairs.select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
-        F.round(F.lit(1.0) - F.col("jaccard_dist"), 3).alias("jaccard_sim"),
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tokens_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tokens_b"))
+    sim = F.size(F.array_intersect("tokens_a", "tokens_b")).cast("double") / F.size(
+        F.array_union("tokens_a", "tokens_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("sim", sim)
+        # Filter on the RAW similarity, round only for emission — the same
+        # order of operations as the oracle (filter-then-round).
+        .filter(F.col("sim") >= WORD_JACCARD_SIM - 1e-9)
+        .select("doc_a", "doc_b", F.round("sim", 3).alias("jaccard_sim"))
     )

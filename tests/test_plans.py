@@ -274,3 +274,15 @@ def test_ivm_batch_rewrites_only_touched_buckets(spark, tmp_path):
         for r in ivm.aggregate().collect()
     }
     assert got == expect
+
+
+def test_ml_minhash_banded_no_cartesian(spark, sf_dir):
+    """The uncapped MLlib-minhash interop must stay a (band, sig)
+    equi-join + candidate-only verify — the all-pairs degeneration the
+    round-2 input cap papered over must not come back."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["ml_minhash_lsh_jaccard_pairs"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
