@@ -102,16 +102,31 @@ def dedup_exact(spark, sf_dir):
     WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
     """,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_ngram_jaccard(spark, sf_dir, max_shingle_df=None):
     """Exact n-gram Jaccard near-dup pairs (the ground truth MinHash
     approximates).  Inverted-index self-join on shingle → candidate pairs
-    share ≥1 shingle; rare-shingle vocab keeps the join sparse.  At scale,
-    drop shingles with document-frequency above a cap first (stop-shingle
-    pruning) — the classic trick to bound the quadratic term."""
+    share ≥1 shingle; rare-shingle vocab keeps the join sparse.
+
+    ``max_shingle_df`` is the stop-shingle pruning knob that bounds the
+    quadratic term at scale: shingles appearing in more than this many
+    documents (boilerplate) are dropped BEFORE the self-join, so a
+    shingle's contribution to the candidate join is capped at
+    max_shingle_df² pairs instead of corpus².  Jaccard is then computed
+    over the pruned vocabulary (doc sizes shrink with it — standard
+    stop-shingle semantics).  Default ``None`` = exact output (the
+    registered/oracle-checked configuration); see SCALE.md for sizing."""
     # localCheckpoint (eager) materializes the shingle set exactly once;
     # a lazy cache() lets concurrent DAG branches race to compute it
     # (measured 2-3x slower and high-variance at sf0.1).
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     b = sh.select(F.col("doc_id").alias("doc_b_id"), "shingle")
     inter = (

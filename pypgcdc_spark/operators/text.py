@@ -557,16 +557,22 @@ SPAN_FLAG_PCT = 50  # flag docs with >= 50% duplicated spans
     FROM per_doc GROUP BY source
     """,
 )
-def text_duplicate_spans(spark, sf_dir):
+def text_duplicate_spans(spark, sf_dir, max_span_df=None):
     """Exact-substring duplicate-span metric ({SPAN_NGRAM}-gram
     granularity): per doc, the count of positional spans whose text
     appears in ≥ 2 distinct documents — the span-trimming criterion of
     exact-substring dedup (suffix-array ES-dedup approximated on n-gram
     boundaries; integer-exact {SPAN_FLAG_PCT}% flag).
 
-    Scale: one shuffle keyed by span text for document frequency, one
-    broadcast-back join; span df follows the stop-shingle distribution so
-    a df cap bounds the reduce side (same knob as dedup_ngram_jaccard)."""
+    Scale: one shuffle keyed by span text for document frequency, then a
+    SHUFFLE join of spans ⋈ df back on span text — the df side is
+    corpus-sized, so broadcasting it is not an option; AQE handles hot
+    span keys.  ``max_span_df`` bounds that join's skew tail: spans in
+    more than this many documents (boilerplate headers/footers) are
+    excluded from the metric entirely — numerator AND denominator — so a
+    single viral span cannot concentrate the reduce side.  Default
+    ``None`` = exact output (the registered/oracle-checked
+    configuration)."""
     (docs,) = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
@@ -582,6 +588,8 @@ def text_duplicate_spans(spark, sf_dir):
         ).alias("s"),
     )
     df = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    if max_span_df is not None:
+        df = df.filter(F.col("n_docs_with") <= max_span_df)
     per_doc = (
         spans.join(df, "s")
         .groupBy("doc_id", "source")

@@ -92,3 +92,57 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     }
     km = {(r.query_id, r.cand_id) for r in ann_ivf_kmeans(spark, sf_dir).collect()}
     assert len(km & exact) / len(exact) >= 0.5
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, "web", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_ngram_jaccard_df_cap_prunes_boilerplate_pairs(spark, tmp_path):
+    """The stop-shingle knob (SCALE.md): a boilerplate footer shared by
+    most of the corpus creates spurious near-dup pairs; capping shingle
+    document-frequency removes them while true duplicate pairs (rare
+    shingles) survive."""
+    from pypgcdc_spark.operators.dedup import dedup_ngram_jaccard
+
+    boiler = "this footer text is shared by every single document here"
+    unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = (
+        [boiler, boiler]  # docs 0,1: pure boilerplate → spurious pair
+        + [unique, unique]  # docs 2,3: planted true duplicates
+        + [f"{boiler} junk{i} filler{i} pad{i} word{i} end{i} tok{i}" for i in range(6)]
+    )
+    sf = _write_docs(spark, tmp_path, texts)
+
+    uncapped = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf).collect()}
+    assert (0, 1) in uncapped and (2, 3) in uncapped
+    assert len(uncapped) > 2, "boilerplate must create spurious pairs uncapped"
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf, max_shingle_df=4).collect()
+    }
+    assert capped == {(2, 3)}, capped
+
+
+def test_duplicate_spans_df_cap_excludes_viral_spans(spark, tmp_path):
+    """max_span_df: spans above the document-frequency cap (boilerplate)
+    leave the metric entirely, so only genuinely copied documents stay
+    flagged."""
+    from pypgcdc_spark.operators.text import text_duplicate_spans
+
+    boiler = "this footer text is shared by every single document here"  # 10 words
+    copy = "one two three four five six seven eight nine ten eleven twelve"
+    texts = [f"{boiler} extra{i} tail{i}" for i in range(6)] + [copy, copy]
+    sf = _write_docs(spark, tmp_path, texts)
+
+    (row,) = text_duplicate_spans(spark, sf).collect()
+    assert row.n_docs == 8
+    assert row.n_flagged == 8  # boilerplate flags everything uncapped
+
+    (row,) = text_duplicate_spans(spark, sf, max_span_df=4).collect()
+    assert row.n_flagged == 2
+    assert row.flagged_id_sum == 6 + 7
