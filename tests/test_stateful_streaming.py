@@ -142,21 +142,17 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows[0].click_ts == T0 + timedelta(minutes=1)
 
 
-def test_transform_with_state_latest_version_feed(spark, tmp_path):
-    """State API v2: duplicate/out-of-order replays emit nothing; only
-    genuine version advances flow downstream."""
-    pytest.importorskip("google.protobuf", reason="state v2 needs protobuf")
-    from pypgcdc_spark.streaming.stateful_v2 import latest_version_feed
-
-    src = str(tmp_path / "src")
+def _run_latest_version_scenario(spark, tmp_path, feed_fn, tag):
+    """Shared duplicate/out-of-order replay scenario for both state APIs."""
+    src = str(tmp_path / f"src_{tag}")
     _write(spark, src, [(1, 10, "I", 1.0, T0), (1, 20, "U", 2.0, T0), (2, 5, "I", 9.0, T0)])
     stream = spark.readStream.schema(CHANGES_DDL).parquet(src)
     q = (
-        latest_version_feed(stream.select("user_id", "lsn", "op", "value"))
+        feed_fn(stream.select("user_id", "lsn", "op", "value"))
         .writeStream.format("memory")
-        .queryName("tw_sink")
+        .queryName(f"tw_sink_{tag}")
         .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
         .start()
     )
     q.processAllAvailable()
@@ -165,11 +161,46 @@ def test_transform_with_state_latest_version_feed(spark, tmp_path):
     _write(spark, src, [(1, 20, "U", 2.0, T0), (1, 15, "U", 1.5, T0), (2, 30, "D", 0.0, T0)])
     q.processAllAvailable()
     q.stop()
-
-    rows = [
+    return [
         (r.user_id, r.lsn, r.op)
-        for r in spark.sql("SELECT * FROM tw_sink ORDER BY user_id, lsn").collect()
+        for r in spark.sql(
+            f"SELECT * FROM tw_sink_{tag} ORDER BY user_id, lsn"
+        ).collect()
     ]
+
+
+def test_latest_version_feed_v1_and_v2_equivalence(spark, tmp_path):
+    """Duplicate/out-of-order replays emit nothing; only genuine version
+    advances flow downstream.  The v1 (applyInPandasWithState) operator
+    runs everywhere; the v2 (transformWithStateInPandas) twin additionally
+    runs wherever its protobuf dependency exists and must produce the SAME
+    output.  Without protobuf this pins the documented gate instead of
+    skipping, and upgrades itself to the live equivalence check the moment
+    the dependency appears."""
+    from pypgcdc_spark.streaming.stateful_v2 import (
+        latest_version_feed,
+        latest_version_feed_v1,
+    )
+
+    expected = [(1, 20, "U"), (2, 5, "I"), (2, 30, "D")]
     # Key 1: only the batch-1 emission (lsn 20); replays suppressed.
     # Key 2: lsn 5 then the advance to 30.
-    assert rows == [(1, 20, "U"), (2, 5, "I"), (2, 30, "D")]
+    assert _run_latest_version_scenario(spark, tmp_path, latest_version_feed_v1, "v1") == expected
+
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        have_protobuf = True
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if have_protobuf:
+        assert (
+            _run_latest_version_scenario(spark, tmp_path, latest_version_feed, "v2")
+            == expected
+        )
+    else:
+        # Documented-impossible-here: pyspark's state-server RPC framing
+        # (StateMessage_pb2) hard-imports google.protobuf, absent in this
+        # container with installs disallowed (stateful_v2.py module doc).
+        with pytest.raises(ModuleNotFoundError, match="google"):
+            from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401, F811
