@@ -113,6 +113,18 @@ def main():
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Steady-state streaming throughput (rows/s over micro-batches after
+    # the first): the one-shot wall clocks above are dominated by RocksDB /
+    # checkpoint cold start, so the stream operators are ALSO measured as a
+    # long-lived job would run them (see operators/stream_bench.py).
+    streaming = {}
+    try:
+        from pypgcdc_spark.operators.stream_bench import steady_state_stream_metrics
+
+        streaming = steady_state_stream_metrics(spark, sf_dir)
+    except Exception as e:  # never lose the batch record to the stream bench
+        streaming = {"error": str(e)[:200]}
+
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     print(
@@ -124,6 +136,7 @@ def main():
                 "value_new_ops": total_new,
                 "failed": failed,
                 "queries": timings,
+                "streaming_steady_state": streaming,
                 "sf": sf,
                 "cpus": cpus,
             }

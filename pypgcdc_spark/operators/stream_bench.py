@@ -1,0 +1,177 @@
+"""Steady-state streaming throughput measurement (bench support).
+
+The registered stream_* queries drain a whole file-stream inside one
+callable, so their wall time is dominated by one-shot machinery: RocksDB
+state-store init, checkpoint-dir creation, availableNow planning.  That is
+the wrong number for comparing the OPERATORS round-over-round.  This
+harness measures what a long-lived streaming job delivers: the events
+table is split into LSN-ordered chunk files, streamed with
+``maxFilesPerTrigger=1`` so each chunk is one micro-batch, and per-batch
+``StreamingQueryProgress`` is read back — throughput is
+``rows / triggerExecution`` over the batches AFTER the first, excluding
+cold start by construction.
+
+Five shapes, mirroring the registered operators' state-store usage:
+dedup (dropDuplicatesWithinWatermark), stateful (applyInPandasWithState
+running stats), windowed agg (tumbling hour window), stream-stream
+interval join, and the bucketed IVM foreachBatch kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import uuid
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_CHUNKS = 6
+
+
+def _chunked_events(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Split events into N_CHUNKS LSN-ordered single-file chunks."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = events.approxQuantile(
+        "event_id", [i / N_CHUNKS for i in range(1, N_CHUNKS)], 0.0
+    )
+    lo = [None] + bounds
+    hi = bounds + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        chunk = events
+        if a is not None:
+            chunk = chunk.filter(F.col("event_id") > a)
+        if b is not None:
+            chunk = chunk.filter(F.col("event_id") <= b)
+        chunk.coalesce(1).write.mode("overwrite").parquet(f"{work}/log/chunk={i}")
+    return f"{work}/log"
+
+
+def _source(spark: SparkSession, sf_dir: str, log_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.expr("timestamp_micros(ts div 1000)").alias("ev_ts"),
+        )
+    )
+
+
+def _progress_metrics(q) -> Dict[str, float]:
+    progs = [
+        json.loads(p if isinstance(p, str) else p.json)
+        for p in (q.recentProgress or [])
+    ]
+    progs = [p for p in progs if p.get("numInputRows", 0) > 0]
+    if len(progs) < 2:
+        return {"batches": len(progs), "rows_per_sec": 0.0}
+    steady = progs[1:]  # batch 0 pays state-store/codegen cold start
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+    first = progs[0]["durationMs"]["triggerExecution"] / 1000.0
+    return {
+        "batches": len(progs),
+        "first_batch_sec": round(first, 3),
+        "steady_sec": round(secs, 3),
+        "rows_per_sec": round(rows / secs, 1) if secs > 0 else 0.0,
+    }
+
+
+def _drain(df: DataFrame, work: str, tag: str, output_mode: str) -> Dict[str, float]:
+    q = (
+        df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{work}/ckpt_{tag}_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return _progress_metrics(q)
+
+
+def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, dict]:
+    """Per-shape steady-state metrics; see module docstring."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    out: Dict[str, dict] = {}
+    try:
+        log_dir = _chunked_events(spark, sf_dir, work)
+
+        src = _source(spark, sf_dir, log_dir)
+        out["dedup_watermark"] = _drain(
+            src.withWatermark("ev_ts", "1 hour").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            ),
+            work,
+            "dedup",
+            "append",
+        )
+
+        from pypgcdc_spark.streaming.stateful import running_value_stats
+
+        src = _source(spark, sf_dir, log_dir)
+        out["stateful_running_stats"] = _drain(
+            running_value_stats(src.select("user_id", "value")),
+            work,
+            "stateful",
+            "update",
+        )
+
+        src = _source(spark, sf_dir, log_dir)
+        out["windowed_agg"] = _drain(
+            src.withWatermark("ev_ts", "2 hours")
+            .groupBy(F.window("ev_ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")),
+            work,
+            "window",
+            "update",
+        )
+
+        def side(event_type: str, prefix: str) -> DataFrame:
+            return (
+                _source(spark, sf_dir, log_dir)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ev_ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "2 hours")
+            )
+
+        joined = side("purchase", "p").join(
+            side("click", "c"),
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        out["interval_join"] = _drain(joined, work, "join", "append")
+
+        from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
+
+        ivm = BucketedViewMaintainer(spark, f"{work}/ivm", n_buckets=16)
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.foreachBatch(ivm.apply_batch)
+            .option("checkpointLocation", f"{work}/ckpt_ivm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out["incremental_view"] = _progress_metrics(q)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

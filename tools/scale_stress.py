@@ -1,0 +1,213 @@
+"""Scale-stress harness: one datapoint ABOVE the bench SF (verdict r2 #7).
+
+Synthesizes an sf~1 dataset (REPL× the sf0.1 fixtures) in scratch space,
+runs the four stress queries at sf0.1 and at the scaled dir, and writes
+``SCALE_STRESS_r{N}.json`` with wall times, the time-scaling ratio vs the
+rows ratio, and absolute correctness checks at the scaled size.  Purpose:
+catch any quadratic tail the sf0.1 bench cannot see.
+
+Scaling construction (deliberately structure-preserving):
+
+* ``lineitem``: REPL copies with ``l_orderkey`` offset per replica —
+  q1's groups are unchanged, counts/sums scale exactly ×REPL, and the
+  DuckDB oracle runs on the scaled table for a full hash check.
+* ``documents``: REPL copies with ``doc_id`` offset by a multiple of 10
+  (preserves the eval-split ``doc_id % 10``) and every WORD salted with a
+  replica suffix — replica vocabularies are disjoint, so cross-replica
+  similarity is zero and the duplicate/contamination structure of each
+  replica is exactly the sf0.1 structure.  Near-dup pair counts and
+  span/decontamination aggregates therefore scale ×REPL BY CONSTRUCTION,
+  which turns the scaled run into an absolute correctness check, not just
+  a timing.
+
+Usage: python tools/scale_stress.py [--repl 10] [--out SCALE_STRESS_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.01"
+DOC_STRIDE = 5000  # sf0.1 doc_id range; multiple of 10 keeps doc_id%10
+STRESS = [
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "text_duplicate_spans",
+    "pipeline_decontamination",
+]
+
+
+def build_scaled(spark, out_dir: str, repl: int) -> None:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        for i in range(repl)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = []
+    for i in range(repl):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_STRIDE))
+        if i > 0:
+            # Disjoint per-replica vocabulary: salt every word.
+            salted = F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(w, F.lit(f"_q{i}"))
+                ),
+                " ",
+            )
+            d = d.withColumn("text", salted)
+        reps.append(d.withColumn("n_chars", F.length("text")))
+    out = reps[0]
+    for p in reps[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def timed(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repl", type=int, default=10)
+    ap.add_argument("--out", default="SCALE_STRESS_r03.json")
+    args = ap.parse_args()
+    repl = args.repl
+
+    from pypgcdc_spark.queries import REGISTRY, ensure_registered
+    from pypgcdc_spark.session import get_spark
+
+    ensure_registered()
+    spark = get_spark("scale-stress", cpus=os.cpu_count() or 8)
+    work = tempfile.mkdtemp(prefix="sf_scaled_")
+    report = {"repl": repl, "base": BASE, "queries": {}, "correctness": {}}
+    try:
+        t0 = time.perf_counter()
+        build_scaled(spark, work, repl)
+        report["build_sec"] = round(time.perf_counter() - t0, 1)
+
+        # JIT warm-up at sf0.01, then time each query at both scales.
+        for name in STRESS:
+            fn = REGISTRY[name].fn
+            try:
+                fn(spark, WARM).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            base_s = timed(fn, spark, BASE)
+            scaled_s = timed(fn, spark, work)
+            ratio = round(scaled_s / base_s, 2) if base_s else None
+            report["queries"][name] = {
+                "sf0.1_sec": base_s,
+                f"x{repl}_sec": scaled_s,
+                "time_ratio": ratio,
+                "rows_ratio": repl,
+                "superlinearity": round(ratio / repl, 2) if ratio else None,
+            }
+
+        # -- absolute correctness at the scaled size ---------------------
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+        from check_correctness import frame_fingerprint
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{work}/lineitem.parquet/*.parquet'"
+        )
+        q1 = REGISTRY["q1_pricing_summary"]
+        spdf = q1.fn(spark, work).toPandas()
+        dpdf = con.sql(q1.oracle).df()
+        _, sh, _ = frame_fingerprint(spdf)
+        _, dh, _ = frame_fingerprint(dpdf)
+        report["correctness"]["q1_pricing_summary"] = {
+            "hash_match": sh == dh,
+            "rows": len(spdf),
+        }
+
+        mh_base = REGISTRY["dedup_minhash_lsh"].fn(spark, BASE).toPandas()
+        mh_scaled = REGISTRY["dedup_minhash_lsh"].fn(spark, work).toPandas()
+        intra = bool(
+            ((mh_scaled.doc_a // DOC_STRIDE) == (mh_scaled.doc_b // DOC_STRIDE)).all()
+        )
+        report["correctness"]["dedup_minhash_lsh"] = {
+            "pairs_sf0.1": len(mh_base),
+            f"pairs_x{repl}": len(mh_scaled),
+            "exact_linear": len(mh_scaled) == repl * len(mh_base),
+            "all_pairs_intra_replica": intra,
+        }
+
+        def by_source(pdf):
+            return {r["source"]: r for _, r in pdf.iterrows()}
+
+        sp_base = by_source(REGISTRY["text_duplicate_spans"].fn(spark, BASE).toPandas())
+        sp_scaled = by_source(
+            REGISTRY["text_duplicate_spans"].fn(spark, work).toPandas()
+        )
+        tri = repl * (repl - 1) // 2
+        ok_counts = all(
+            sp_scaled[s][c] == repl * sp_base[s][c]
+            for s in sp_base
+            for c in ("n_docs", "total_spans", "dup_spans", "n_flagged")
+        )
+        ok_idsum = all(
+            sp_scaled[s]["flagged_id_sum"]
+            == repl * sp_base[s]["flagged_id_sum"]
+            + sp_base[s]["n_flagged"] * DOC_STRIDE * tri
+            for s in sp_base
+        )
+        report["correctness"]["text_duplicate_spans"] = {
+            "counts_exact_linear": bool(ok_counts),
+            "flagged_id_sum_exact": bool(ok_idsum),
+        }
+
+        dc_base = by_source(
+            REGISTRY["pipeline_decontamination"].fn(spark, BASE).toPandas()
+        )
+        dc_scaled = by_source(
+            REGISTRY["pipeline_decontamination"].fn(spark, work).toPandas()
+        )
+        ok_counts = all(
+            dc_scaled[s][c] == repl * dc_base[s][c]
+            for s in dc_base
+            for c in ("n_train", "n_contaminated", "total_overlap_shingles")
+        )
+        ok_idsum = all(
+            dc_scaled[s]["contaminated_id_sum"]
+            == repl * dc_base[s]["contaminated_id_sum"]
+            + dc_base[s]["n_contaminated"] * DOC_STRIDE * tri
+            for s in dc_base
+        )
+        report["correctness"]["pipeline_decontamination"] = {
+            "counts_exact_linear": bool(ok_counts),
+            "contaminated_id_sum_exact": bool(ok_idsum),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
