@@ -73,6 +73,10 @@ def frame_fingerprint(pdf):
 
 def main():
     filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -95,40 +99,60 @@ def main():
     names = [n for n in qs if not filters or any(f in n for f in filters)]
 
     passed, failed, rows_only = [], [], []
+    records = {}  # driver-shaped rows for --json=<artifact>
     for name in names:
         t0 = time.time()
+        rec = records[name] = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "primary": name in primary,
+        }
         try:
             sdf = qs[name](spark, SF_DIR)
             spdf = sdf.toPandas()
         except Exception as e:
+            rec["err"] = f"spark: {str(e).splitlines()[0][:200]}"
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: SPARK ERROR {str(e).splitlines()[0][:200]}")
             continue
+        rec["spark_rows"] = len(spdf)
         if name not in oracles:
             # The driver still canonicalizes rows-only results — a list
             # column crashes there too, so fingerprint to catch it.
             try:
                 frame_fingerprint(spdf)
             except Exception as e:
+                rec["err"] = f"rows-only canon: {str(e).splitlines()[0][:200]}"
                 failed.append((name, f"ROWS-ONLY CANON ERROR: {e}"))
                 print(f"✗ {name}: ROWS-ONLY CANON ERROR {str(e).splitlines()[0][:200]}")
                 continue
+            rec["err"] = "no_oracle"
             rows_only.append((name, len(spdf)))
             print(f"○ {name}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
         except Exception as e:
+            rec["err"] = f"duckdb: {str(e).splitlines()[0][:200]}"
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"✗ {name}: DUCKDB ERROR {str(e).splitlines()[0][:200]}")
             continue
+        rec["oracle_rows"] = len(dpdf)
         try:
             sc, sh, sbody = frame_fingerprint(spdf)
             dc, dh, dbody = frame_fingerprint(dpdf)
         except Exception as e:
+            rec["err"] = f"canon: {str(e).splitlines()[0][:200]}"
             failed.append((name, f"CANON ERROR: {e}"))
             print(f"✗ {name}: CANON ERROR {str(e).splitlines()[0][:200]}")
             continue
+        rec["schema_match"] = sc == dc
+        rec["rows_match"] = len(spdf) == len(dpdf)
+        rec["hash_match"] = rec["schema_match"] and rec["rows_match"] and sh == dh
         problems = []
         if sc != dc:
             problems.append(f"cols {sc} vs {dc}")
@@ -150,6 +174,24 @@ def main():
         f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
         f"of {len(names)} at {SF_DIR}"
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "total": len(names),
+                    "passed": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(rows_only),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     if failed:
         print("FAILED:", [n for n, _ in failed])
         sys.exit(1)
