@@ -217,3 +217,49 @@ def cdc_incremental_view(spark, sf_dir):
         return spark.createDataFrame(rows, "last_event STRING, n_keys LONG, total_cents LONG")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    -- Slowly-changing-dimension type-2 history from the change log: every
+    -- non-delete change opens a version valid [event_id, next change); a
+    -- terminal DELETE closes the last span without opening a new one.
+    WITH log AS (
+      SELECT user_id, event_id, {_OP} AS op,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_lsn
+      FROM events
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS version_no,
+           event_id AS valid_from_lsn,
+           next_lsn AS valid_to_lsn,
+           (next_lsn IS NULL) AS is_current
+    FROM log WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history derived from the CDC log (the standard
+    warehouse consumption pattern for a CDC feed — the reference stops at
+    current-state apply, reader.py:300-331; this materializes every version
+    with its validity span instead).  ``valid_to_lsn`` is the NEXT change's
+    LSN (half-open span, delete events close spans but emit no row);
+    ``is_current`` marks live versions.
+
+    Plan: both windows (lead over the full log, row_number over the
+    surviving versions) share the ``user_id`` hash partitioning, so the
+    whole history materializes with a single shuffle — at 100 TB this is
+    one repartition of the log, no joins, no state."""
+    (events,) = load(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    log = events.select("user_id", "event_id", op.alias("op")).withColumn(
+        "next_lsn", F.lead("event_id").over(w)
+    )
+    return log.filter(F.col("op") != "D").select(
+        "user_id",
+        F.row_number().over(w).alias("version_no"),
+        F.col("event_id").alias("valid_from_lsn"),
+        F.col("next_lsn").alias("valid_to_lsn"),
+        F.col("next_lsn").isNull().alias("is_current"),
+    )
