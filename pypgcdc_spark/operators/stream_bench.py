@@ -28,6 +28,8 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pypgcdc_spark.queries import event_ts_expr
+
 N_CHUNKS = 6
 
 
@@ -61,7 +63,7 @@ def _source(spark: SparkSession, sf_dir: str, log_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "value",
-            F.expr("timestamp_micros(ts div 1000)").alias("ev_ts"),
+            event_ts_expr(schema).alias("ev_ts"),
         )
     )
 

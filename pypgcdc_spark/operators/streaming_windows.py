@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pypgcdc_spark.operators.relational import dec, money
-from pypgcdc_spark.queries import load, query
+from pypgcdc_spark.queries import event_ts_expr, load, query
 
 
 @query(
@@ -215,13 +215,13 @@ def stream_dedup_watermark(spark, sf_dir):
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        # ts is physically TIMESTAMP(NANOS) read as long — integer-div to
-        # micros (see queries.load); the watermark needs a true timestamp.
+        # The watermark needs a true timestamp; physical ts type varies
+        # by fixture generation (see queries.event_ts_expr).
         return s.select(
             "event_id",
             "event_type",
             "value",
-            F.expr("timestamp_micros(ts div 1000)").alias("ev_ts"),
+            event_ts_expr(schema).alias("ev_ts"),
         )
 
     doubled = _stream().unionByName(_stream())
@@ -383,7 +383,7 @@ def stream_stream_join(spark, sf_dir):
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.expr("timestamp_micros(ts div 1000)").alias(f"{prefix}_ts"),
+                event_ts_expr(schema).alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", "2 hours")
         )

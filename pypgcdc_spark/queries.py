@@ -55,6 +55,10 @@ EXTENDED = frozenset(
         "cdc_oplog_stats",
         "cdc_before_after_diff",
         "cdc_tx_grouping",
+        # SCD2 history is the lead/row_number consumption pattern over the
+        # same log; apply_current_state + incremental_view keep the driver
+        # slots so the 50-entry window stays comparable round-over-round.
+        "cdc_scd2_history",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
@@ -136,23 +140,36 @@ TABLES = (
 ).split()
 
 
+def event_ts_expr(schema):
+    """Column expr turning ``events.ts`` into a UTC ``TimestampType``
+    regardless of the fixture's physical parquet type.  Older driver drops
+    wrote TIMESTAMP(NANOS) (read as nanos-long under
+    ``spark.sql.legacy.parquet.nanosAsLong``); newer drops write
+    timestamp[us] (read as TIMESTAMP_NTZ).  Both normalize to the same
+    microsecond instants under a UTC session, which is also what DuckDB
+    sees, so oracles agree either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # Integer division: ns values (~1.7e18) overflow double precision.
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
+
+
 def load(spark: SparkSession, sf_dir: str, *tables: str) -> list:
     """Load parquet fixture tables; pins the session to UTC so timestamp
     results agree with the DuckDB oracle (parquet int96/int64 instants).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; it is read as nanos-long and truncated to
-    microsecond timestamps — the same truncation DuckDB applies."""
-    from pyspark.sql import functions as F
-
+    ``events.ts`` physical type varies by fixture generation (TIMESTAMP
+    NANOS vs timestamp[us]); ``event_ts_expr`` normalizes it."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = []
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
-            # Integer division: ns values (~1.7e18) overflow double precision.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", event_ts_expr(df.schema))
         out.append(df)
     return out
 
