@@ -497,9 +497,9 @@ def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Shared by both CC queries (propagation + large/small-star): recursive-CTE
+# min-reachable-id labeling over the jaccard near-dup pair graph.
+_CC_ORACLE = f"""
     -- Duplicate-cluster resolution: connected components over the
     -- near-dup pair graph (min-reachable-id labeling via recursive CTE);
     -- each cluster keeps its lowest doc_id as canonical.  This is the
@@ -529,8 +529,10 @@ def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):
            CAST(SUM(doc_id) AS BIGINT) AS member_id_sum,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
     FROM comp GROUP BY cluster_id
-    """,
-)
+    """
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation (each round every node takes the min label among
@@ -546,8 +548,29 @@ def dedup_connected_components(spark, sf_dir):
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     labels = connected_components(pairs, "doc_a", "doc_b")
+    return _cluster_stats(labels)
+
+
+def _cluster_stats(labels: DataFrame) -> DataFrame:
+    """(node, lbl) labeling → per-cluster summary (shared by both CC kernels)."""
     return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("node").cast("long").alias("member_id_sum"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
     )
+
+
+@query("dedup_cc_large_star", oracle=_CC_ORACLE)
+def dedup_cc_large_star(spark, sf_dir):
+    """Connected components over the same near-dup pair graph via
+    alternating large-star/small-star contraction (Kiveris et al.,
+    SOCC'14) — the O(log n)-round kernel for web-scale dup graphs where
+    plain label propagation's O(diameter) rounds dominate.  Same output
+    contract and the same recursive-CTE oracle as
+    ``dedup_connected_components``, so the two kernels cross-check each
+    other at the gate.  Scale notes in
+    ``operators.graph.connected_components_star``."""
+    from pypgcdc_spark.operators.graph import connected_components_star
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return _cluster_stats(connected_components_star(pairs, "doc_a", "doc_b"))

@@ -61,3 +61,86 @@ def connected_components(
             return labels
         prev_sum = cur_sum
     raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+
+
+def connected_components_star(
+    pairs: DataFrame, a: str, b: str, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14).  Returns (node, lbl) with lbl = min node id of the component
+    — identical output contract to ``connected_components``.
+
+    Each round rewires the edge set toward each neighborhood's minimum:
+
+    * **large-star**: for every node u, connect every *strictly larger*
+      neighbor v > u to m = min(N(u) ∪ {u});
+    * **small-star**: connect every neighbor v ≤ u (and u itself) to m.
+
+    Both are one groupBy(u) shuffle producing a new edge list; the graph
+    converges to a star around each component minimum in O(log² n) rounds
+    (O(log n) in practice), versus O(diameter) for plain label
+    propagation.  That is the 100 TB story: a chain-shaped dup graph of
+    length 10⁶ needs 10⁶ propagation rounds but ~20 star rounds, and each
+    round's shuffle stays ∝ |E|.  Small-diameter graphs (typical near-dup
+    clusters) favor plain propagation's lower constant factor — both
+    kernels share the same contract so callers can pick per workload.
+
+    Convergence detection: the edge multiset is canonicalized each round
+    (large endpoint → small endpoint, distinct); when the integer
+    sum-of-endpoints fingerprint stops changing the star graph is stable.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp, prev_edges = None, None
+    for _ in range(max_iters):
+        # Large-star: group by u over BOTH edge directions so N(u) is the
+        # full neighborhood; emit (v, m) for strictly-larger neighbors.
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = both.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("m"))
+        large = (
+            both.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # Small-star: orient edges large→small (u ≥ v), connect small
+        # neighbors and u itself to the neighborhood minimum.
+        small_min = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("m"))
+        small = (
+            edges.join(small_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(small_min.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = (
+            large.unionByName(small)
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = edges.agg((F.sum("u") + F.sum("v")).alias("s"), F.count("*").alias("n")).first()
+        fp = (fp["s"], fp["n"])
+        # Cheap integer fingerprint first; on a hit, confirm with an exact
+        # distinct-set comparison (equal counts + empty one-sided diff)
+        # so a fingerprint collision can never end the loop early.
+        if fp == prev_fp and edges.exceptAll(prev_edges).isEmpty():
+            break
+        prev_fp, prev_edges = fp, edges
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iters} rounds")
+    # Stable state: every edge is (member, component-min). Components of
+    # size 1 can't occur here (pair graphs always have both endpoints).
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    return members.unionByName(roots)

@@ -59,6 +59,9 @@ EXTENDED = frozenset(
         # same log; apply_current_state + incremental_view keep the driver
         # slots so the 50-entry window stays comparable round-over-round.
         "cdc_scd2_history",
+        # Large/small-star CC: same oracle + output contract as the kept
+        # dedup_connected_components (the two kernels cross-check).
+        "dedup_cc_large_star",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join

@@ -6,7 +6,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pypgcdc_spark.operators.graph import connected_components
+from pypgcdc_spark.operators.graph import connected_components, connected_components_star
 
 
 def _union_find_labels(edges):
@@ -49,3 +49,27 @@ def test_connected_components_matches_union_find(cc_spark, edges):
     df = cc_spark.createDataFrame(edges, "a LONG, b LONG")
     got = {r.node: r.lbl for r in connected_components(df, "a", "b").collect()}
     assert got == _union_find_labels(edges)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_contraction_matches_union_find(cc_spark, edges):
+    df = cc_spark.createDataFrame(edges, "a LONG, b LONG")
+    got = {r.node: r.lbl for r in connected_components_star(df, "a", "b").collect()}
+    assert got == _union_find_labels(edges)
+
+
+def test_star_contraction_converges_on_long_chain(cc_spark):
+    # A 60-node chain has diameter 59 — far beyond the round cap.  Plain
+    # propagation would need 59 rounds; star contraction must finish
+    # within the same max_iters because it halves distances every round.
+    edges = [(i, i + 1) for i in range(59)]
+    df = cc_spark.createDataFrame(edges, "a LONG, b LONG")
+    got = {r.node: r.lbl for r in connected_components_star(df, "a", "b").collect()}
+    assert got == {n: 0 for n in range(60)}
