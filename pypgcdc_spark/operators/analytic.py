@@ -488,3 +488,113 @@ def subq_in(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap that opens a new session
+
+
+@query(
+    "win_sessionize_events",
+    oracle=f"""
+    -- Batch sessionization: a gap > {SESSION_GAP_MIN} min of inactivity
+    -- opens a new session (the batch twin of the streaming session
+    -- window).  Classic lag→flag→cumsum window composition; output is a
+    -- session-length histogram plus exact duration sums so the whole
+    -- assignment is hash-checked.
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM tagged GROUP BY user_id, session_no
+    )
+    SELECT n_events AS session_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur_us) AS BIGINT) AS total_duration_us
+    FROM sessions GROUP BY n_events
+    """,
+)
+def win_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization in batch: lag() flags a session start when
+    the inactivity gap exceeds the threshold, a running sum over the flags
+    numbers the sessions, then one groupBy materializes per-session spans.
+
+    Plan: both windows and the session groupBy share the user_id hash
+    partitioning — Catalyst plans ONE shuffle for the whole assignment;
+    the histogram is a second (tiny) shuffle over session-length keys.
+    This is the scale story for 100 TB clickstreams: sessionization cost
+    = one repartition of the log, identical to cdc_scd2_history's."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000)
+    ).cast("int")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        events.withColumn("new_s", new_s)
+        .withColumn("session_no", F.sum("new_s").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+    )
+    return sessions.groupBy(F.col("n_events").alias("session_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur_us").cast("long").alias("total_duration_us"),
+    )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    -- Exact interpolated percentiles (the non-sketch twin of
+    -- approx_distinct_and_quantiles): Spark percentile() and DuckDB
+    -- quantile_cont() both define the p-quantile at rank (n-1)*p with
+    -- linear interpolation, so the doubles agree to rounding.
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 2) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark, sf_dir):
+    """Exact percentiles per group (sort-based, interpolated) — the
+    ground-truth companion to the approx_percentile sketch path.
+
+    Scale note: exact percentiles shuffle the full column per group key
+    (Spark's percentile() buffers group values); at 100 TB prefer the
+    approx sketch (registered separately) — this operator is the audit
+    path run on samples or single partitions."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.9]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("p"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("p")[0], 2).alias("p25"),
+            F.round(F.col("p")[1], 2).alias("p50"),
+            F.round(F.col("p")[2], 2).alias("p75"),
+            F.round(F.col("p")[3], 2).alias("p90"),
+        )
+    )

@@ -1,0 +1,200 @@
+"""Ranked retrieval + statistical-LM quality scoring over the corpus.
+
+Two operators a training-data pipeline runs constantly:
+
+* ``text_unigram_logprob`` — CCNet-style quality signal: score every
+  document by the mean log-probability of its tokens under a unigram LM
+  trained on the corpus itself.  Low-probability documents are the
+  boilerplate/garbage tail that perplexity filtering removes.
+* ``bm25_search`` — BM25 ranked retrieval for a fixed query over the
+  whole corpus (Robertson/Sparck-Jones idf as used by Lucene).  The
+  "find documents about X" primitive for corpus inspection and
+  decontamination audits.
+
+Cross-engine determinism: every floating sum is forced through
+``ROUND(x, 6)`` → ``DECIMAL`` so partial-aggregation order can never
+change the result (the repo-wide hash-stability convention —
+queries.py module docstring).
+
+Reference parity note: the reference engine (pypgcdc) has no text
+surface at all; these derive from public IR formulas (Robertson et al.,
+TREC-3; Wenzek et al., CCNet, LREC 2020).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "fast")  # fixed corpus-inspection query
+BM25_TOPK = 10
+
+# Shared DuckDB fragments: whitespace tokens, one row per token instance.
+_TOK_SQL = """
+    words AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+              FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(w) AS t FROM words)
+"""
+
+
+def _tokens(spark, sf_dir):
+    """(doc_id, lang, t): one row per token instance, JVM-side split+explode."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    -- Unigram-LM quality scoring (CCNet-style): P(token) from corpus
+    -- counts, document score = mean ln P over its tokens.  Per-token
+    -- logprobs are rounded to 6 places and summed as DECIMAL so the
+    -- result is independent of summation order in both engines.
+    WITH {_TOK_SQL},
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    doc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS lp
+      FROM tok JOIN vocab USING (t) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(lp, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_logprob,
+           ROUND(MIN(lp), 2) AS worst_logprob,
+           ROUND(MAX(lp), 2) AS best_logprob
+    FROM doc GROUP BY lang
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability per document, aggregated per language —
+    the perplexity-style quality filter signal (train the LM on the corpus,
+    flag documents whose tokens are collectively improbable).
+
+    Plan: one explode→groupBy(token) pass trains the LM (map-side partial
+    aggregation), the token→count join is a broadcast at any realistic
+    vocab size (vocab ≪ corpus; Zipf), and doc scoring is one
+    groupBy(doc_id).  Total: two shuffles over the token stream + one
+    broadcast — no Python, no driver loop.  At 100 TB the vocab table is
+    the only state that must fit an executor (cap it with a min-df filter
+    if tokenization is pathological)."""
+    tok = _tokens(spark, sf_dir)
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_total = vocab.agg(F.sum("c").alias("n"))
+    lp_term = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    doc = (
+        tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            (F.sum(lp_term).cast("double") / F.count(F.lit(1))).alias("lp"),
+        )
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round("lp", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_logprob"),
+        F.round(F.min("lp"), 2).alias("worst_logprob"),
+        F.round(F.max("lp"), 2).alias("best_logprob"),
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    -- BM25 top-{BM25_TOPK} for the fixed query {BM25_QUERY} (k1={BM25_K1},
+    -- b={BM25_B}); Lucene's always-positive idf ln(1 + (N-df+0.5)/(df+0.5)).
+    -- Per-term scores round through DECIMAL before the per-doc sum.
+    WITH {_TOK_SQL},
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM doclen),
+    tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok
+           WHERE t IN {tuple(BM25_QUERY)} GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(CAST(ROUND(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * f / (f + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+             6) AS DECIMAL(18,6))) AS score
+      FROM tf JOIN df USING (t)
+              JOIN doclen USING (doc_id)
+              CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(CAST(score AS DOUBLE), 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval over the corpus for a fixed query-term set.
+
+    Plan: the token stream is filtered to query terms BEFORE any shuffle
+    (predicate on the exploded value — the stream shrinks from |corpus|
+    to |postings of 3 terms|), then one groupBy(doc_id, t) builds term
+    frequencies; document length and global stats are one map-side-
+    partial agg each; df/idf (|Q| rows) and the (n_docs, avgdl) scalar
+    broadcast to the scoring join.  Top-k goes through
+    TakeOrderedAndProject — no global sort.  At 100 TB the only full-
+    corpus pass is the doclen aggregation, reusable across queries."""
+    tok = _tokens(spark, sf_dir)
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = F.round(
+        idf
+        * F.col("f")
+        / (
+            F.col("f")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round(F.col("score").cast("double"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )

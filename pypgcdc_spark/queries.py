@@ -62,6 +62,18 @@ EXTENDED = frozenset(
         # Large/small-star CC: same oracle + output contract as the kept
         # dedup_connected_components (the two kernels cross-check).
         "dedup_cc_large_star",
+        # Retrieval/LM-scoring additions: text category amply primary-
+        # evidenced (quality_score, token_stats, langid, pii, repetition).
+        "text_unigram_logprob",
+        "bm25_search",
+        # Batch sessionization is the lag→cumsum window composition
+        # (streaming session window + win_lag keep the primary slots).
+        "win_sessionize_events",
+        # Exact-percentile audit twin of the kept approx sketch query.
+        "agg_percentiles_exact",
+        # Fixed-iteration PageRank: the iterative join+agg shape is
+        # primary-evidenced by dedup_connected_components.
+        "graph_pagerank",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
@@ -184,12 +196,14 @@ def ensure_registered() -> None:
         cdc_queries,
         collections_fns,
         dedup,
+        graph_queries,
         ml_lsh,
         multimodal,
         pipeline,
         python_exts,
         relational,
         relational2,
+        retrieval,
         similarity,
         streaming_windows,
         text,

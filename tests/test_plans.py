@@ -286,3 +286,48 @@ def test_ml_minhash_banded_no_cartesian(spark, sf_dir):
     txt = plan_text(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_bm25_broadcasts_stats_and_uses_topk(spark, sf_dir):
+    """BM25: the df/idf and corpus-stats sides must broadcast (|Q| rows +
+    one scalar row), and the final top-k must be TakeOrderedAndProject,
+    not a global sort."""
+    df = REGISTRY["bm25_search"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The token→count LM join must broadcast the vocab side — a shuffle
+    join keyed on token would redistribute the whole corpus."""
+    df = REGISTRY["text_unigram_logprob"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_sessionize_single_log_shuffle(spark, sf_dir):
+    """Both windows + the session groupBy share the user_id partitioning:
+    ONE shuffle of the log plus the (tiny) histogram exchange."""
+    df = REGISTRY["win_sessionize_events"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows share the user_id hash partitioning — the whole
+    history materializes with a single exchange."""
+    df = REGISTRY["cdc_scd2_history"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_star_cc_matches_propagation_kernel(spark, sf_dir):
+    """The two CC kernels must produce identical cluster labelings on the
+    real near-dup graph (not just the hypothesis fixtures)."""
+    a = {
+        (r.cluster_id, r.n_members, r.member_id_sum)
+        for r in REGISTRY["dedup_connected_components"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r.cluster_id, r.n_members, r.member_id_sum)
+        for r in REGISTRY["dedup_cc_large_star"].fn(spark, sf_dir).collect()
+    }
+    assert a == b
