@@ -60,6 +60,18 @@ NEW_OPS = [
     "text_duplicate_spans",
 ]
 
+# Round-3 operators — same treatment: separate sum (`value_new_ops_r3`),
+# merged into `queries`.
+NEW_OPS_R3 = [
+    "bm25_search",
+    "text_unigram_logprob",
+    "win_sessionize_events",
+    "cdc_scd2_history",
+    "agg_percentiles_exact",
+    "graph_pagerank",
+    "dedup_cc_large_star",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,7 +96,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + NEW_OPS:
+        for name in HEADLINE + NEW_OPS + NEW_OPS_R3:
             try:
                 REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -103,7 +115,7 @@ def main():
 
     timings = {}
     failed = []
-    for name in HEADLINE + NEW_OPS:
+    for name in HEADLINE + NEW_OPS + NEW_OPS_R3:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -127,6 +139,7 @@ def main():
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
+    total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
     print(
         json.dumps(
             {
@@ -134,6 +147,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "value_new_ops": total_new,
+                "value_new_ops_r3": total_new_r3,
                 "failed": failed,
                 "queries": timings,
                 "streaming_steady_state": streaming,
