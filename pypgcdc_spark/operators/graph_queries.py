@@ -72,18 +72,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier graph, ``PR_ITERS`` fixed
     rounds, top-``PR_TOPK`` nodes.
 
-    Plan: the edge list is built once (one distinct-shuffle over
-    orders ⋈ lineitem) and ``localCheckpoint``ed so the per-iteration
-    lineage stays flat; each round is one equi-join on the rank vector +
-    one groupBy(dst) — both hash-partitioned on the node key, so AQE
-    reuses the partitioning.  The rank vector (|V| rows ≪ |E|) is the
-    only iterated state.  At web scale you'd swap the loop for an
-    in-partition Pregel (GraphFrames) or pre-bucket the edge list by
-    src so iterations shuffle nothing but rank updates — noted in
-    SCALE.md; the dataflow here IS that shape, minus the bucketing."""
+    Plan: the edge list is built with ONE shuffle (orders side
+    broadcast into the join, then the distinct) and ``localCheckpoint``ed;
+    the rank vector (|V| rows ≪ |E|, outdeg pre-joined) BROADCASTS each
+    round, so an iteration costs one map-side join over the edge list
+    plus one groupBy(dst) shuffle of the contributions.  At web scale
+    the rank vector outgrows broadcast — then pre-bucket the edge list
+    by src and shuffle only rank updates (or GraphFrames Pregel); the
+    dataflow here is that shape with broadcast standing in for the
+    bucket-side co-location — noted in SCALE.md."""
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    # orders(o_orderkey, o_custkey) is the narrow side — broadcast it so
+    # the edge build shuffles once (the distinct), not twice.
     e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
@@ -94,17 +100,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # outdeg doubles as the node set (symmetric edges → every node has
+    # outdeg ≥ 1), saving a separate distinct over the edge list.
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()  # one scalar; folded into literals below
-    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n_nodes)))
+    ).localCheckpoint(eager=True)
+    n_nodes = deg.count()
+    pr = deg.select("node", "outdeg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast("decimal(18,15)")
     for _ in range(PR_ITERS):
+        # The rank vector (|V| rows, outdeg pre-joined) broadcasts; each
+        # iteration is ONE map-side join over the edge list + ONE
+        # groupBy(dst) shuffle.  Checkpointing pr keeps the broadcast
+        # input materialized and the lineage flat across iterations.
         pr = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, edges.src == deg.node)
+            edges.join(F.broadcast(pr), edges.src == pr.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
@@ -113,6 +123,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("pr")
             )
+            .join(F.broadcast(deg), "node")
+            .localCheckpoint(eager=True)
         )
     return (
         pr.select("node", F.col("pr").alias("pagerank"))

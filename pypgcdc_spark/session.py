@@ -23,6 +23,10 @@ def get_spark(app_name: str = "pypgcdc_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # local[] has exactly one executor: waiting for data locality is
+        # pure scheduler latency (measured ~0.15s/job on slow-timer VMs).
+        # Cluster deployments keep the default wait — this is local-only.
+        .config("spark.locality.wait", "0s")
     ).getOrCreate()
 
 
