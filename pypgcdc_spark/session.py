@@ -27,6 +27,13 @@ def get_spark(app_name: str = "pypgcdc_spark", cpus: int | None = None) -> Spark
         # pure scheduler latency (measured ~0.15s/job on slow-timer VMs).
         # Cluster deployments keep the default wait — this is local-only.
         .config("spark.locality.wait", "0s")
+        # ContextCleaner only frees dead broadcasts / shuffle files /
+        # localCheckpoint blocks when a JVM GC runs; a many-query session
+        # with a roomy heap may not GC for a long time, so block-manager
+        # state accumulates and iterative operators degrade (measured 2-5×
+        # on the bench suite). Default periodic GC is 30min — far longer
+        # than a query; 90s keeps the cleaner live at negligible cost.
+        .config("spark.cleaner.periodicGC.interval", "90s")
     ).getOrCreate()
 
 
