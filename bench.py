@@ -124,6 +124,14 @@ def main():
             failed.append(name)
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        # GC between queries (outside the timers): lets the ContextCleaner
+        # free the previous query's broadcasts/shuffles/checkpoint blocks
+        # so no query pays another's garbage, and no full-GC pause lands
+        # inside a timed region.
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
 
     # Steady-state streaming throughput (rows/s over micro-batches after
     # the first): the one-shot wall clocks above are dominated by RocksDB /

@@ -1,0 +1,262 @@
+"""CDC-maintained near-dup index: incremental MinHash signature upkeep.
+
+The two halves of this engine composed: a CDC change stream over the
+document corpus (inserts, text-rewriting updates, deletes) maintains the
+MinHash signature index *incrementally* — each micro-batch recomputes
+signatures only for the documents it touched and merges them into
+bucketed parquet state with dynamic partition overwrite (the same
+O(touched-buckets) I/O shape as ``operators/ivm.py``).  A batch engine
+would re-shingle the whole corpus after every change; at 100 TB the
+index rebuild IS the cost, and this keeps it ∝ changed documents.
+
+The registered query streams a deterministic synthetic change log
+(inserts of the corpus, then revisions of doc_id % 7 == 3, then deletes
+of doc_id % 13 == 5), and returns the final signature table in long
+(doc_id, seed, mh) layout.  The oracle recomputes signatures from
+scratch over the *final* corpus state in SQL — hash-matching proves
+incremental maintenance ≡ batch recompute, including tombstone handling
+and the out-of-order LSN guard.
+
+Reference parity: the reference applies changes to plain key state
+(`/root/reference/src/pypgcdc/reader.py:300-331`); maintaining a
+*derived index* under CDC is the capability its consumers would build on
+top.  Signature math is shared with ``operators/dedup.py`` (same
+permutation family, same md5-based h32) so the index is interchangeable
+with the batch path's.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.functions.text_kernels import distinct_shingles, hash32
+from pypgcdc_spark.operators.dedup import MINHASH_PRIME, N_MINHASH, minhash_signatures_wide
+from pypgcdc_spark.queries import load, query
+
+UPDATE_MOD, UPDATE_REM = 7, 3  # doc_id % 7 == 3 → text revised
+DELETE_MOD, DELETE_REM = 13, 5  # doc_id % 13 == 5 → deleted
+REVISION_SUFFIX = " revised edition"
+N_SIG_BUCKETS = 8
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct 3-word shingles of an arbitrary doc frame
+    (the corpus-path twin reads from sf_dir; this one serves micro-batches)."""
+    return (
+        docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select("doc_id", F.explode(distinct_shingles(F.col("text"))).alias("shingle"))
+    )
+
+
+class SignatureIndexMaintainer:
+    """foreachBatch maintainer of a bucketed MinHash signature table.
+
+    State: ONE parquet dataset partitioned by ``bucket = doc_id %
+    N_SIG_BUCKETS``; rows are (doc_id, lsn, deleted, mh0..mh{N-1}).
+    Each batch: keep the max-LSN version per doc, drop rows older than
+    the already-stored LSN (out-of-order guard), re-shingle only batch
+    docs, and rewrite only touched buckets (dynamic partition overwrite).
+    Deletes leave tombstones so a late stale update cannot resurrect a
+    deleted document."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_SIG_BUCKETS):
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.path = f"{work_dir}/sig_state"
+        self._has_state = False
+
+    def _read_state(self, buckets) -> DataFrame:
+        mh_cols = ", ".join(f"mh{s} LONG" for s in range(N_MINHASH))
+        schema = f"doc_id LONG, lsn LONG, deleted BOOLEAN, {mh_cols}"
+        if not self._has_state:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.parquet(self.path)
+            .filter(F.col("bucket").isin(list(buckets)))
+            .drop("bucket")
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
+
+        touched = [r[0] for r in batch_df.select(bucket.alias("b")).distinct().collect()]
+        if not touched:
+            return
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        old = self._read_state(touched)
+
+        # Out-of-order guard: a batch version older than the stored one
+        # (including a tombstone's LSN) must not win.
+        prior = old.select("doc_id", F.col("lsn").alias("old_lsn"))
+        fresh = (
+            latest.join(prior, "doc_id", "left")
+            .filter(F.col("old_lsn").isNull() | (F.col("lsn") > F.col("old_lsn")))
+            .drop("old_lsn")
+            .localCheckpoint(eager=True)
+        )
+
+        live = fresh.filter(F.col("op") != "D").select("doc_id", "lsn", "text")
+        sigs = minhash_signatures_wide(_shingles_of(live)).join(
+            live.select("doc_id", "lsn"), "doc_id"
+        )
+        # Docs whose new text yields no shingles (<3 words) still need a
+        # state row so their LSN is tracked; mh columns stay null.
+        no_sig = live.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
+            "doc_id", "lsn"
+        )
+        tombs = fresh.filter(F.col("op") == "D").select("doc_id", "lsn")
+
+        parts = [
+            sigs.withColumn("deleted", F.lit(False)),
+            no_sig.withColumn("deleted", F.lit(False)),
+            tombs.withColumn("deleted", F.lit(True)),
+        ]
+        mh_all = [f"mh{s}" for s in range(N_MINHASH)]
+        normalized = []
+        for p in parts:
+            for c in mh_all:
+                if c not in p.columns:
+                    p = p.withColumn(c, F.lit(None).cast("long"))
+            normalized.append(p.select("doc_id", "lsn", "deleted", *mh_all))
+        replacement = normalized[0]
+        for p in normalized[1:]:
+            replacement = replacement.unionByName(p)
+
+        untouched_docs = old.join(
+            fresh.select("doc_id"), "doc_id", "left_anti"
+        )
+        new_state = (
+            untouched_docs.unionByName(replacement)
+            .withColumn("bucket", bucket)
+            .localCheckpoint(eager=True)  # never read-from what we overwrite
+        )
+        new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        self._has_state = True
+
+    def signatures(self) -> DataFrame:
+        """Live long-layout signatures (doc_id, seed, mh) from the index."""
+        wide = (
+            self.spark.read.parquet(self.path)
+            .filter(~F.col("deleted"))
+            .drop("bucket", "lsn", "deleted")
+        )
+        pairs = []
+        for s in range(N_MINHASH):
+            pairs.extend([f"'{s}'", f"mh{s}"])
+        return (
+            wide.select(
+                "doc_id",
+                F.expr(f"stack({N_MINHASH}, {', '.join(pairs)}) AS (seed, mh)"),
+            )
+            .filter(F.col("mh").isNotNull())
+            .select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
+        )
+
+
+def synth_change_log(docs: DataFrame) -> DataFrame:
+    """Deterministic change stream over the corpus: every doc INSERTed
+    (lsn = doc_id), then doc_id % {UM} == {UR} UPDATEd with revised text
+    (lsn = 10^6 + doc_id), then doc_id % {DM} == {DR} DELETEd
+    (lsn = 2·10^6 + doc_id)."""
+    ins = docs.select(
+        F.col("doc_id").alias("lsn"), F.lit("I").alias("op"), "doc_id", "text"
+    )
+    upd = docs.filter(F.col("doc_id") % UPDATE_MOD == UPDATE_REM).select(
+        (F.lit(1_000_000) + F.col("doc_id")).alias("lsn"),
+        F.lit("U").alias("op"),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(REVISION_SUFFIX)).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_REM).select(
+        (F.lit(2_000_000) + F.col("doc_id")).alias("lsn"),
+        F.lit("D").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+synth_change_log.__doc__ = synth_change_log.__doc__.format(
+    UM=UPDATE_MOD, UR=UPDATE_REM, DM=DELETE_MOD, DR=DELETE_REM
+)
+
+
+@query(
+    "cdc_minhash_maintenance",
+    oracle=f"""
+    -- Batch recompute of MinHash signatures over the FINAL corpus state
+    -- (updates applied, deletes removed).  The Spark side maintained the
+    -- same table INCREMENTALLY from the change stream — hash-match
+    -- proves incremental ≡ recompute (tombstones + LSN guard included).
+    WITH final_docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {UPDATE_MOD} = {UPDATE_REM}
+                  THEN text || '{REVISION_SUFFIX}' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}
+    ),
+    words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM final_docs),
+    sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+           FROM words, unnest(range(len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM sh)
+    SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+           MIN(((2 * s.seed + 1) * h32 + s.seed) % {MINHASH_PRIME}) AS mh
+    FROM h, (SELECT unnest(range({N_MINHASH})) AS seed) s
+    GROUP BY doc_id, s.seed
+    """,
+)
+def cdc_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the synthetic corpus change log in 4 LSN-ordered micro-
+    batches through ``SignatureIndexMaintainer`` and return the final
+    live signature index (long layout).
+
+    Plan per batch: shingle+hash ONLY the batch's documents (map-side),
+    one groupBy(doc_id) for the signature agg, and a dynamic-partition
+    overwrite of the touched state buckets.  Per-batch cost is
+    ∝ changed documents — the property that makes a 100 TB dedup index
+    maintainable at all."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (docs,) = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="cdc_sig_")
+    try:
+        log = synth_change_log(docs.select("doc_id", "text"))
+        # 4 micro-batches cut at op-phase boundaries: two insert halves,
+        # the update wave, the delete wave.
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        chunks = [
+            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") <= half)),
+            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") > half)),
+            log.filter((F.col("lsn") >= 1_000_000) & (F.col("lsn") < 2_000_000)),
+            log.filter(F.col("lsn") >= 2_000_000),
+        ]
+        for i, c in enumerate(chunks):
+            c.coalesce(1).write.mode("overwrite").parquet(f"{work}/log/chunk={i}")
+
+        maint = SignatureIndexMaintainer(spark, work)
+        q = (
+            spark.readStream.schema("lsn LONG, op STRING, doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/log")
+            .writeStream.foreachBatch(maint.apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        out = maint.signatures()
+        rows = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(rows, "doc_id LONG, seed INT, mh LONG")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -74,6 +74,9 @@ EXTENDED = frozenset(
         # Fixed-iteration PageRank: the iterative join+agg shape is
         # primary-evidenced by dedup_connected_components.
         "graph_pagerank",
+        # CDC-maintained minhash index: the CDC-apply and minhash halves
+        # are each primary-evidenced; this composition joins them.
+        "cdc_minhash_maintenance",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
@@ -193,6 +196,7 @@ def ensure_registered() -> None:
     """Import every operator module for its registration side effects."""
     from pypgcdc_spark.operators import (  # noqa: F401
         analytic,
+        cdc_dedup,
         cdc_queries,
         collections_fns,
         dedup,

@@ -32,8 +32,10 @@ def get_spark(app_name: str = "pypgcdc_spark", cpus: int | None = None) -> Spark
         # with a roomy heap may not GC for a long time, so block-manager
         # state accumulates and iterative operators degrade (measured 2-5×
         # on the bench suite). Default periodic GC is 30min — far longer
-        # than a query; 90s keeps the cleaner live at negligible cost.
-        .config("spark.cleaner.periodicGC.interval", "90s")
+        # than a whole test session; 5min keeps the cleaner live without
+        # injecting full-GC pauses into individual queries (the bench
+        # additionally GCs between timed queries).
+        .config("spark.cleaner.periodicGC.interval", "5min")
     ).getOrCreate()
 
 
