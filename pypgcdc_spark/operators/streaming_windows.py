@@ -413,3 +413,62 @@ def stream_stream_join(spark, sf_dir):
             F.sum("p_id").cast("long").alias("purchase_id_sum"),
         )
     )
+
+
+@query(
+    "stream_simhash_dedup",
+    oracle=f"""
+    -- Online near-dup filtering: the surviving signature set of a
+    -- SimHash-keyed streaming dedup equals the batch-distinct signature
+    -- set (which doc survives per key is arrival-order-defined, so the
+    -- checked output is the signature set itself).
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+                 FROM documents),
+    bits AS (SELECT doc_id, b.bit,
+                    CASE WHEN (('0x' || substr(md5(tk), 1, 4))::INTEGER >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END AS w
+             FROM tok, (SELECT unnest(range(16)) AS bit) b),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN wsum > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+            FROM (SELECT doc_id, bit, SUM(w) AS wsum FROM bits GROUP BY 1, 2)
+            GROUP BY doc_id)
+    SELECT DISTINCT CAST(simhash AS BIGINT) AS simhash FROM sig
+    """,
+)
+def stream_simhash_dedup(spark, sf_dir):
+    """REAL streaming near-dup filter: each arriving document's SimHash is
+    computed ENTIRELY inside the row (``functions.text_kernels.simhash16``
+    — transform + aggregate over the token array, zero shuffle), then
+    ``dropDuplicates`` on the signature admits only the first document
+    per near-dup class.  This is the online ingestion twin of
+    ``dedup_simhash``: an unbounded stream can't wait for the batch
+    groupBy-votes formulation, so the signature must be a map-only
+    expression — the property that lets a 100 TB/day ingest pipeline
+    near-dup-filter on the fly with state ∝ distinct signatures.
+    (Production bounds state with ``dropDuplicatesWithinWatermark`` on
+    ingest time exactly as ``stream_dedup_watermark`` does; the corpus
+    fixture has no event time, so state here is fixture-bounded.)"""
+    import uuid
+
+    from pypgcdc_spark.functions.text_kernels import simhash16
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    survivors = stream.select(simhash16(F.col("text")).alias("simhash")).dropDuplicates(
+        ["simhash"]
+    )
+    name = "ssd_" + uuid.uuid4().hex[:12]
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("simhash").distinct()

@@ -77,6 +77,9 @@ EXTENDED = frozenset(
         # CDC-maintained minhash index: the CDC-apply and minhash halves
         # are each primary-evidenced; this composition joins them.
         "cdc_minhash_maintenance",
+        # Online near-dup filter: streaming dedup keeps its primary slot
+        # via stream_dedup_watermark; this adds the simhash-keyed variant.
+        "stream_simhash_dedup",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join

@@ -146,3 +146,42 @@ def test_duplicate_spans_df_cap_excludes_viral_spans(spark, tmp_path):
     (row,) = text_duplicate_spans(spark, sf, max_span_df=4).collect()
     assert row.n_flagged == 2
     assert row.flagged_id_sum == 6 + 7
+
+
+def test_inrow_simhash_equals_groupby_votes(spark, sf_dir):
+    """functions.text_kernels.simhash16 (map-only transform+aggregate) must
+    produce bit-identical signatures to dedup_simhash's groupBy-votes
+    formulation — two plans, one algorithm."""
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.functions.text_kernels import simhash16
+    from pypgcdc_spark.operators.dedup import SIMHASH_BITS
+    from pypgcdc_spark.queries import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    inrow = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash16(F.col("text")).alias("s")).collect()
+    }
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tk"),
+    )
+    tok16 = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10).cast("int").alias("h16")
+    )
+    votes = tok16.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h16 >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    grouped = {r.doc_id: r.s for r in votes.select("doc_id", sig_expr.alias("s")).collect()}
+    assert inrow == grouped
