@@ -331,3 +331,40 @@ def test_star_cc_matches_propagation_kernel(spark, sf_dir):
         for r in REGISTRY["dedup_cc_large_star"].fn(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_pagerank_topk_and_iteration_plan(spark, sf_dir):
+    """The returned top-k must be TakeOrderedAndProject over the final
+    checkpointed rank vector (iterations materialize per-round, so the
+    visible plan is scan→project→topk, not a sort); and one un-
+    checkpointed iteration's plan must broadcast the rank vector into
+    the edge join with no cartesian product."""
+    df = REGISTRY["graph_pagerank"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    # Reconstruct one iteration without the checkpoint to see its joins.
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.queries import load
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    deg = e0.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = deg.withColumn("pr", F.lit(0.01))
+    step = (
+        e0.join(F.broadcast(pr), e0.src == pr.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("pr"))
+    )
+    iter_plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in iter_plan
+    assert "CartesianProduct" not in iter_plan
