@@ -81,6 +81,16 @@ def build_scaled(spark, out_dir: str, repl: int) -> None:
 
 
 def timed(fn, spark, sf_dir: str) -> float:
+    """Steady-state wall time: run twice, report the second.  The first
+    execution at a freshly-built scaled dir pays page-cache-cold reads and
+    size-specific JIT/AQE planning (measured 83s vs 11s steady on the x10
+    minhash) — the scaling ratio we're after is the warm one; cold-read
+    cost is linear in bytes by construction."""
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        spark._jvm.System.gc()  # noqa: SLF001 — don't time the GC either
+    except Exception:
+        pass
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
