@@ -13,6 +13,11 @@ iterative algorithm without pretending a convergence loop is SQL.
 Determinism: per-edge contributions round to 12 places and sum as
 DECIMAL (order-free); each iteration's rank is re-rounded to 12 so both
 engines walk identical double values.
+
+Reference parity: the reference engine (pypgcdc,
+`/root/reference/src/pypgcdc/reader.py`) has no analytical surface at
+all — graph analytics over CDC-maintained tables is part of the query
+layer this engine adds on top of the reference's change-capture scope.
 """
 
 from __future__ import annotations
