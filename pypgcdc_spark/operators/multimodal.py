@@ -373,3 +373,139 @@ def multimodal_decode_stats(spark, sf_dir):
         F.sum("rs_sum").alias("total_resized_sum"),
         F.sum("vid_sum").alias("total_sampled_sum"),
     )
+
+
+# -- audio: real RIFF/WAVE PCM16 codec (dependency-free) -------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Minimal but spec-true RIFF/WAVE writer: PCM16 mono."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    chunks = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
+    """Real RIFF chunk walker: finds fmt/data chunks wherever they sit,
+    validates PCM16 mono, returns (sample_rate, int16 array)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def synth_audio(doc_id: int) -> bytes:
+    """WAV whose samples are ((s·31 + k·17) mod 4001) − 2000 with
+    s = (13·doc_id) mod 997 — closed-form recomputable in SQL."""
+    n = 40 + doc_id % 50
+    s = (doc_id * 13) % 997
+    k = np.arange(n, dtype=np.int64)
+    return encode_wav(WAV_SAMPLE_RATE, ((s * 31 + k * 17) % 4001 - 2000))
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    -- Recomputes the real WAV decode + every-2nd-sample downsample in
+    -- closed form: samples of doc d are ((s*31 + k*17) % 4001) - 2000,
+    -- s = (13d) % 997, n = 40 + d % 50 — every statistic is an exact
+    -- integer, so the whole audio path is hash-checked.
+    WITH g AS (
+      SELECT doc_id, source, 40 + doc_id % 50 AS n, (doc_id * 13) % 997 AS s
+      FROM documents
+    ),
+    samp AS (
+      SELECT g.doc_id, g.source, g.n, t.k,
+             ((g.s * 31 + t.k * 17) % 4001) - 2000 AS v
+      FROM g, UNNEST(range(g.n)) AS t(k)
+    ),
+    per AS (
+      SELECT doc_id, any_value(source) AS source, any_value(n) AS n,
+             SUM(ABS(v)) AS sum_abs, SUM(v * v) AS sum_sq,
+             SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS n_nonneg,
+             SUM(CASE WHEN k % 2 = 0 THEN ABS(v) ELSE 0 END) AS ds_sum_abs
+      FROM samp GROUP BY doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(n) * 1000000 / 8000 AS BIGINT) AS total_duration_us,
+           CAST(SUM(sum_abs) AS BIGINT) AS total_abs,
+           CAST(SUM(sum_sq) AS BIGINT) AS total_sq,
+           CAST(SUM(n_nonneg) AS BIGINT) AS total_nonneg,
+           CAST(SUM(ds_sum_abs) AS BIGINT) AS total_downsampled_abs
+    FROM per GROUP BY source
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL audio path end-to-end: synthesize deterministic PCM16 WAV
+    payloads into a binary column, decode them with the dependency-free
+    RIFF parser, downsample 2:1, and aggregate exact integer signal
+    statistics per source.  Same design as ``multimodal_decode_stats``
+    (closed-form oracle, Arrow-batched mapInPandas, payloads prunable as
+    their own column); a compressed codec (MP3/FLAC) would drop into
+    ``decode_wav``'s slot with zero plan changes."""
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "wav": [synth_audio(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "source": [], "n": [], "dur_us": [],
+                    "sum_abs": [], "sum_sq": [], "n_nonneg": [], "ds_abs": []}
+            for doc_id, source, wav in zip(pdf["doc_id"], pdf["source"], pdf["wav"]):
+                sr, x = decode_wav(bytes(wav))
+                xl = x.astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["source"].append(source)
+                rows["n"].append(len(x))
+                rows["dur_us"].append(len(x) * 1_000_000 // sr)
+                rows["sum_abs"].append(int(np.abs(xl).sum()))
+                rows["sum_sq"].append(int((xl * xl).sum()))
+                rows["n_nonneg"].append(int((xl >= 0).sum()))
+                rows["ds_abs"].append(int(np.abs(xl[::2]).sum()))
+            yield pd.DataFrame(rows)
+
+    media = docs.select("doc_id", "source").mapInPandas(
+        synth, "doc_id bigint, source string, wav binary"
+    )
+    feats = media.mapInPandas(
+        decode,
+        "doc_id bigint, source string, n bigint, dur_us bigint, sum_abs bigint, "
+        "sum_sq bigint, n_nonneg bigint, ds_abs bigint",
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n").alias("total_samples"),
+        F.sum("dur_us").alias("total_duration_us"),
+        F.sum("sum_abs").alias("total_abs"),
+        F.sum("sum_sq").alias("total_sq"),
+        F.sum("n_nonneg").alias("total_nonneg"),
+        F.sum("ds_abs").alias("total_downsampled_abs"),
+    )

@@ -80,6 +80,9 @@ EXTENDED = frozenset(
         # Online near-dup filter: streaming dedup keeps its primary slot
         # via stream_dedup_watermark; this adds the simhash-keyed variant.
         "stream_simhash_dedup",
+        # Audio twin of the kept multimodal_decode_stats (real WAV codec,
+        # same closed-form-oracle design).
+        "multimodal_audio_stats",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join

@@ -175,3 +175,55 @@ if HAVE_HYPOTHESIS:
             ew, eh, earr = imgs[idx]
             assert (w, h) == (ew, eh)
             np.testing.assert_array_equal(arr, earr)
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import numpy as np
+
+    from pypgcdc_spark.operators.multimodal import decode_wav, encode_wav
+
+    x = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    sr, y = decode_wav(encode_wav(8000, x))
+    assert sr == 8000
+    assert (y == x).all()
+    # Chunk walker must skip unknown chunks before data (spec-true RIFF).
+    import struct
+
+    raw = encode_wav(16000, x)
+    fmt_and_rest = raw[12:]
+    junk = struct.pack("<4sI", b"LIST", 6) + b"junk\x00\x00"
+    patched = raw[:12] + junk + fmt_and_rest
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr2, y2 = decode_wav(patched)
+    assert sr2 == 16000 and (y2 == x).all()
+
+
+def test_wav_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from pypgcdc_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense bytes here definitely not riff")
+    # Stereo (channels=2) must be rejected, not silently mis-decoded.
+    import struct
+
+    raw = bytearray(encode_wav(8000, np.array([1, 2], dtype=np.int16)))
+    raw[22] = 2  # channels field inside fmt chunk
+    with pytest.raises(ValueError):
+        decode_wav(bytes(raw))
+
+
+def test_synth_audio_matches_closed_form():
+    import numpy as np
+
+    from pypgcdc_spark.operators.multimodal import decode_wav, synth_audio
+
+    for doc_id in (0, 1, 7, 123, 4999):
+        sr, x = decode_wav(synth_audio(doc_id))
+        n = 40 + doc_id % 50
+        s = (doc_id * 13) % 997
+        k = np.arange(n, dtype=np.int64)
+        expect = (s * 31 + k * 17) % 4001 - 2000
+        assert sr == 8000 and len(x) == n and (x.astype(np.int64) == expect).all()
