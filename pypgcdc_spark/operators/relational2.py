@@ -330,3 +330,100 @@ def q22_sales_opportunity(spark, sf_dir):
             money(F.sum(dec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "source_format_parity",
+    oracle="""
+    -- Multi-format source fidelity: the same aggregate computed from
+    -- JSON-lines and CSV round-trips of the events table must equal the
+    -- parquet truth (the oracle) — including timestamp parsing and
+    -- double round-tripping — and the per-row agreement booleans ride in
+    -- the hashed output.
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           TRUE AS json_agrees,
+           TRUE AS csv_agrees
+    FROM events GROUP BY event_type
+    """,
+)
+def source_format_parity(spark, sf_dir):
+    """Scans/sources breadth: events round-trips through JSON-lines and
+    CSV (written and re-read with an explicit schema), and the same
+    aggregate is computed from all three sources.  The output carries the
+    JSON-path aggregate plus per-group booleans asserting the CSV and
+    parquet paths agree — a lossy format bridge (timestamp precision,
+    double formatting) flips a boolean or the hash.
+
+    Scale note: format choice changes the scan, not the plan — the same
+    aggregate pushes down identically; columnar parquet stays the 100 TB
+    default (pruning + predicate pushdown), with JSON/CSV as ingest
+    edges."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.queries import load
+
+    (events,) = load(spark, sf_dir, "events")
+    src = events.select("event_id", "ts", "user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="fmt_parity_")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+                "total_cents"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+
+    try:
+        src.write.mode("overwrite").json(f"{work}/events_json")
+        src.write.mode("overwrite").option("header", "true").csv(f"{work}/events_csv")
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+        from_json = spark.read.schema(schema).json(f"{work}/events_json")
+        from_csv = (
+            spark.read.schema(schema).option("header", "true").csv(f"{work}/events_csv")
+        )
+        j, c, p = agg(from_json), agg(from_csv), agg(src)
+
+        def keyed(df, prefix):
+            return df.select(
+                "event_type",
+                *[
+                    F.col(col).alias(f"{prefix}_{col}")
+                    for col in ("n_events", "total_cents", "max_ts")
+                ],
+            )
+
+        joined = (
+            keyed(j, "j")
+            .join(keyed(c, "c"), "event_type")
+            .join(keyed(p, "p"), "event_type")
+        )
+        out = joined.select(
+            "event_type",
+            F.col("j_n_events").alias("n_events"),
+            F.col("j_total_cents").alias("total_cents"),
+            F.col("j_max_ts").alias("max_ts"),
+            (
+                (F.col("j_n_events") == F.col("p_n_events"))
+                & (F.col("j_total_cents") == F.col("p_total_cents"))
+                & (F.col("j_max_ts") == F.col("p_max_ts"))
+            ).alias("json_agrees"),
+            (
+                (F.col("c_n_events") == F.col("p_n_events"))
+                & (F.col("c_total_cents") == F.col("p_total_cents"))
+                & (F.col("c_max_ts") == F.col("p_max_ts"))
+            ).alias("csv_agrees"),
+        )
+        rows = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, n_events LONG, total_cents LONG, max_ts STRING, "
+            "json_agrees BOOLEAN, csv_agrees BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -83,6 +83,9 @@ EXTENDED = frozenset(
         # Audio twin of the kept multimodal_decode_stats (real WAV codec,
         # same closed-form-oracle design).
         "multimodal_audio_stats",
+        # Multi-format source fidelity check; parquet scans are primary-
+        # evidenced by every other query.
+        "source_format_parity",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
