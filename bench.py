@@ -70,6 +70,7 @@ NEW_OPS_R3 = [
     "agg_percentiles_exact",
     "graph_pagerank",
     "dedup_cc_large_star",
+    "multimodal_audio_stats",
 ]
 
 
