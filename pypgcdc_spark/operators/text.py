@@ -608,3 +608,84 @@ def text_duplicate_spans(spark, sf_dir, max_span_df=None):
             "flagged_id_sum"
         ),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    -- Character-level Shannon entropy per document (low entropy = junk:
+    -- repeated boilerplate, padding, single-char floods), aggregated per
+    -- language.  H = log2(n) - (Σ n_c·log2(n_c))/n computed over exact
+    -- integer char counts; the only float summation runs through
+    -- ROUND→DECIMAL so both engines agree bit-for-bit.
+    WITH chars AS (
+      SELECT doc_id, lang, substr(text, t.i + 1, 1) AS ch
+      FROM documents, UNNEST(range(length(text))) AS t(i)
+    ),
+    freq AS (
+      SELECT doc_id, any_value(lang) AS lang, ch, COUNT(*) AS n_c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(lang) AS lang, SUM(n_c) AS n,
+             CAST(SUM(CAST(ROUND(n_c * log2(n_c), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sum_nlogn
+      FROM freq GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT lang, ROUND(log2(n) - sum_nlogn / n, 6) AS h FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(h, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 3) AS avg_entropy,
+           ROUND(MIN(h), 3) AS min_entropy,
+           ROUND(MAX(h), 3) AS max_entropy
+    FROM scored GROUP BY lang
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (Shannon H over the per-doc char
+    histogram) — the low-H tail is padding/boilerplate/single-char junk
+    that length- and stopword-based filters miss.
+
+    Plan: one explode over character positions, one groupBy(doc, char)
+    for exact integer counts, one groupBy(doc) — all map-side-combining
+    aggs sharing the doc_id partitioning; the entropy arithmetic itself
+    is scalar.  At 100 TB swap the position-explode for a Pandas-UDF
+    Counter per doc if the char blow-up dominates (same downstream
+    shape); the oracle-shared formulation here stays all-JVM."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    chars = (
+        docs.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", "lang", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n_c")
+    )
+    nlogn = F.round(F.col("n_c") * F.log2("n_c"), 6).cast("decimal(18,6)")
+    per_doc = freq.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.sum("n_c").alias("n"),
+        F.sum(nlogn).cast("double").alias("sum_nlogn"),
+    )
+    scored = per_doc.select(
+        "lang", F.round(F.log2("n") - F.col("sum_nlogn") / F.col("n"), 6).alias("h")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round("h", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            3,
+        ).alias("avg_entropy"),
+        F.round(F.min("h"), 3).alias("min_entropy"),
+        F.round(F.max("h"), 3).alias("max_entropy"),
+    )

@@ -86,6 +86,9 @@ EXTENDED = frozenset(
         # Multi-format source fidelity check; parquet scans are primary-
         # evidenced by every other query.
         "source_format_parity",
+        # Entropy is the 12th text-quality signal; the family keeps its
+        # primary slots via quality_score/repetition/pii/token_stats.
+        "text_char_entropy",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
