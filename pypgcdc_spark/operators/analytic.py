@@ -598,3 +598,36 @@ def agg_percentiles_exact(spark, sf_dir):
             F.round(F.col("p")[3], 2).alias("p90"),
         )
     )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    -- Equal-width histogram (fixed [0, 500) domain, 20 buckets) — the
+    -- profiling primitive for choosing filter thresholds.  DuckDB has no
+    -- width_bucket; floor(v/width)+1 with under/overflow buckets is its
+    -- exact arithmetic (width = 500/20 = 25, the same division Spark's
+    -- width_bucket performs).
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 500 THEN 21
+                ELSE CAST(FLOOR(value / 25) + 1 AS BIGINT) END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark, sf_dir):
+    """Fixed-domain equal-width histogram (width_bucket) over the event
+    value column — one map-side-combining groupBy on a computed integer
+    key; the distribution-profiling primitive that sizes quality-filter
+    thresholds before a 100 TB pass commits to them."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+        )
+    )

@@ -89,6 +89,8 @@ EXTENDED = frozenset(
         # Entropy is the 12th text-quality signal; the family keeps its
         # primary slots via quality_score/repetition/pii/token_stats.
         "text_char_entropy",
+        # width_bucket histogram: aggregation family amply primary.
+        "agg_value_histogram",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
