@@ -91,6 +91,9 @@ EXTENDED = frozenset(
         "text_char_entropy",
         # width_bucket histogram: aggregation family amply primary.
         "agg_value_histogram",
+        # CDC-maintained BM25 postings index (composition twin of
+        # cdc_minhash_maintenance).
+        "cdc_bm25_maintenance",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join

@@ -102,3 +102,25 @@ def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
     }
     changed = {b for b in after if after[b] != mtimes.get(b)}
     assert changed == {"bucket=1"}
+
+
+def test_postings_index_update_and_delete(spark, tmp_path):
+    from pypgcdc_spark.operators.cdc_dedup import PostingsIndexMaintainer
+
+    maint = PostingsIndexMaintainer(spark, str(tmp_path), n_buckets=2)
+    maint.apply_batch(
+        _batch(spark, [(10, "I", 1, "spark join fast spark"), (11, "I", 2, "slow scan")]), 0
+    )
+    idx = {
+        (r.doc_id, r.t): (r.f, r.dl) for r in maint.live_postings().collect()
+    }
+    assert idx[(1, "spark")] == (2, 4) and idx[(2, "scan")] == (1, 2)
+    # Update doc 1: old postings must be fully replaced, not merged.
+    maint.apply_batch(_batch(spark, [(20, "U", 1, "fast fast")]), 1)
+    idx = {(r.doc_id, r.t): (r.f, r.dl) for r in maint.live_postings().collect()}
+    assert (1, "spark") not in idx and idx[(1, "fast")] == (2, 2)
+    # Delete doc 2; a stale late update must not resurrect it.
+    maint.apply_batch(_batch(spark, [(30, "D", 2, None)]), 2)
+    maint.apply_batch(_batch(spark, [(25, "U", 2, "zombie text")]), 3)
+    docs_alive = {r.doc_id for r in maint.live_postings().collect()}
+    assert docs_alive == {1}
