@@ -574,3 +574,58 @@ def dedup_cc_large_star(spark, sf_dir):
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     return _cluster_stats(connected_components_star(pairs, "doc_a", "doc_b"))
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    -- Data-quality dashboard: per-source duplication rates — which
+    -- ingestion source ships the redundant documents.  Near-dup pairs
+    -- come from the exact jaccard ground truth; a doc counts as a dup if
+    -- it appears in any qualifying pair.
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                         JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+    dup_docs AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           ROUND(COUNT(dd.doc_id)::DOUBLE / COUNT(*), 4) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source duplication rates: the metadata join that turns pair
+    detection into an actionable ingestion dashboard (which source to
+    throttle/dedupe first).  Plan: the dup-doc id set (∝ duplicates ≪
+    corpus) broadcasts back onto the documents table — one broadcast
+    join + one groupBy(source); pair generation reuses
+    ``dedup_ngram_jaccard``'s inverted-index self-join."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup_docs"),
+            F.round(F.count("is_dup").cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )

@@ -94,6 +94,9 @@ EXTENDED = frozenset(
         # CDC-maintained BM25 postings index (composition twin of
         # cdc_minhash_maintenance).
         "cdc_bm25_maintenance",
+        # Per-source dup-rate dashboard: metadata join over the kept
+        # jaccard ground-truth pairs.
+        "dedup_rate_by_source",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
