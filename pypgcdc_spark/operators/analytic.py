@@ -631,3 +631,76 @@ def agg_value_histogram(spark, sf_dir):
             money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
         )
     )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    -- Ordered funnel: signup → first later click → first later purchase,
+    -- per user; output is the step counts + conversion rates (the
+    -- product-analytics primitive sequential-pattern queries reduce to).
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+           ROUND((SELECT COUNT(*) FROM s2)::DOUBLE
+                 / (SELECT COUNT(*) FROM s1), 4) AS click_rate,
+           ROUND((SELECT COUNT(*) FROM s3)::DOUBLE
+                 / (SELECT COUNT(*) FROM s2), 4) AS purchase_rate
+    """,
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered event funnel (signup → click → purchase with strictly
+    increasing timestamps per user): each stage is one filtered groupBy
+    joined against the previous stage's first-completion time.
+
+    Plan: all three stage aggregations and both joins hash-partition on
+    user_id, so the whole funnel is the one-repartition-of-the-log shape
+    (AQE reuses the partitioning); the tiny per-stage user sets broadcast
+    into the next stage's join.  Sequential-pattern mining at 100 TB is
+    exactly this composition widened to k stages."""
+    (events,) = load(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_signup",
+            "n_click_after",
+            "n_purchase_after",
+            F.round(
+                F.col("n_click_after").cast("double") / F.col("n_signup"), 4
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_purchase_after").cast("double") / F.col("n_click_after"), 4
+            ).alias("purchase_rate"),
+        )
+    )

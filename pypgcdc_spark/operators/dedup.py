@@ -629,3 +629,73 @@ def dedup_rate_by_source(spark, sf_dir):
             ),
         )
     )
+
+
+# The WITH-body of the CC oracle (everything up to its final SELECT),
+# reused by the canonical-selection query below.
+_CC_WITH = _CC_ORACLE[: _CC_ORACLE.rindex("SELECT cluster_id")]
+
+
+def _canonical_oracle() -> str:
+    from pypgcdc_spark.operators.text import QUALITY_CASE_SQL
+
+    return f"""
+    {_CC_WITH}
+    ,
+    q AS (
+      SELECT doc_id, {QUALITY_CASE_SQL} AS quality
+      FROM (SELECT doc_id, length(text) AS n_chars,
+                   string_split(lower(text), ' ') AS w
+            FROM documents)
+    ),
+    labeled AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    canon AS (
+      SELECT l.cluster_id, l.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      FROM labeled l JOIN q ON l.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc,
+           CAST(quality AS BIGINT) AS canonical_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM canon WHERE rn = 1
+    """
+
+
+@query("dedup_canonical_selection", oracle=_canonical_oracle())
+def dedup_canonical_selection(spark, sf_dir):
+    """Quality-aware canonical selection: instead of keeping each dup
+    cluster's lowest doc_id, keep its HIGHEST-QUALITY member (integer
+    quality score, doc_id tiebreak) — what a production dedup actually
+    wants (drop the truncated/boilerplate copy, keep the clean one).
+
+    Plan: cluster labels from the propagation kernel (∝ dup docs), one
+    broadcast join against the per-doc quality scores, one window over
+    clusters.  Shares ``operators.text.doc_quality_expr`` and its SQL
+    twin so the score can never drift between engines."""
+    from pypgcdc_spark.operators.graph import connected_components
+    from pypgcdc_spark.operators.text import doc_quality_expr
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    q = docs.select("doc_id", doc_quality_expr().alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .join(F.broadcast(q), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").cast("long").alias("canonical_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -108,23 +108,38 @@ def text_quality_score(spark, sf_dir):
     density ≥5%, no over-long garbage tokens) — integer point system, no
     float thresholds, so it is exactly reproducible."""
     (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_quality_expr().alias("quality"))
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def doc_quality_expr():
+    """Per-doc integer quality score 0-4 as a Column (shared by the
+    per-source rollup below and dedup's quality-aware canonical pick)."""
     w = F.split(F.lower("text"), " ")
     n_chars = F.length("text")
     n_tok = F.size(w)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
     n_long = F.size(F.filter(w, lambda x: F.length(x) > 15))
-    quality = (
+    return (
         F.when(n_chars.between(100, 5000), 1).otherwise(0)
         + F.when(n_tok >= 20, 1).otherwise(0)
         + F.when(n_stop * 100 >= n_tok * 5, 1).otherwise(0)
         + F.when(n_long == 0, 1).otherwise(0)
     )
-    return (
-        docs.select("source", quality.alias("quality"))
-        .groupBy("source", "quality")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+
+
+# SQL twin of doc_quality_expr, parameterized on the source CTE exposing
+# (doc_id, n_chars, w).
+QUALITY_CASE_SQL = f"""
+             CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+           + CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END
+           + CASE WHEN {_sql_count_tokens('w', EN_STOPWORDS)} * 100 >= len(w) * 5 THEN 1 ELSE 0 END
+           + CASE WHEN len(list_filter(w, x -> length(x) > 15)) = 0 THEN 1 ELSE 0 END
+"""
 
 
 def _langid_sql() -> str:

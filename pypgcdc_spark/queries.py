@@ -97,6 +97,11 @@ EXTENDED = frozenset(
         # Per-source dup-rate dashboard: metadata join over the kept
         # jaccard ground-truth pairs.
         "dedup_rate_by_source",
+        # Quality-aware canonical pick over the same clusters.
+        "dedup_canonical_selection",
+        # Ordered funnel: staged filtered-agg joins (subquery/join
+        # families amply primary).
+        "funnel_signup_click_purchase",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
