@@ -427,3 +427,96 @@ def source_format_parity(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "join_salted_skew_equivalence",
+    oracle="""
+    -- The salted join (deterministic salt fan-out on the big side, small
+    -- side replicated n_salts times — plans/partitioning.py) must produce
+    -- EXACTLY the plain join's aggregate: the skew-mitigation technique
+    -- is correctness-neutral, and this row keeps it gate-verified.
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS total_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_salted_skew_equivalence(spark, sf_dir):
+    """Skew-resistant join, gate-verified: the fact side carries a
+    deterministic salt (hash of the whole row mod n_salts — replayable
+    under task retry, unlike rand()), the dimension side replicates
+    n_salts×, and the join key becomes (key, salt) so any hot part key
+    spreads over n_salts reducers.  The oracle is the PLAIN join — the
+    hash-match proves salting changes the partitioning, never the rows.
+    Use when the dimension is too big or too skew-correlated to
+    broadcast; AQE skew splitting covers the emergent cases
+    (session.py), this covers the known-hot-key ones."""
+    from pypgcdc_spark.plans.partitioning import salted_join
+
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    joined = salted_join(
+        lineitem.select("l_partkey", "l_extendedprice"),
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        "l_partkey",
+        n_salts=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    -- Classic cohort retention: users grouped by signup week; for each
+    -- later week, how many of that cohort produced any event.  Weeks are
+    -- integer epoch-week indexes (epoch_us // 7 days) — pure arithmetic,
+    -- immune to the engines' different time_bucket origins.
+    WITH signup AS (
+      SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, s.cohort_week,
+             epoch_us(e.ts) // 604800000000 AS active_week
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(active_week - cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity
+    WHERE active_week >= cohort_week
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: signup-week cohorts × activity-week
+    offsets — the canonical product-analytics rollup.
+
+    Plan: cohort assignment is one groupBy(user); the activity join is an
+    equi-join on user_id sharing that partitioning; the final matrix is a
+    distinct + groupBy over (cohort, offset) — three shuffles total, all
+    keyed, no windows.  time_bucket(7 days) and Spark's window(ts, '7
+    days') share the same epoch-aligned bucketing, which is what makes
+    the oracle exact."""
+    (events,) = load(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = (
+        events.join(signup, "user_id")
+        .select("user_id", "cohort_week", week.alias("active_week"))
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        (F.col("active_week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))

@@ -102,6 +102,9 @@ EXTENDED = frozenset(
         # Ordered funnel: staged filtered-agg joins (subquery/join
         # families amply primary).
         "funnel_signup_click_purchase",
+        # Salted-join correctness equivalence + cohort retention matrix.
+        "join_salted_skew_equivalence",
+        "cohort_weekly_retention",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
