@@ -149,6 +149,25 @@ def main():
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
+    full = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "value_new_ops": total_new,
+        "value_new_ops_r3": total_new_r3,
+        "failed": failed,
+        "queries": timings,
+        "streaming_steady_state": streaming,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    # The full record goes to a FILE: round 3's stdout line outgrew the
+    # driver's output-tail capture window (BENCH_r03.json "parsed": null),
+    # so the machine-readable artifact must not depend on line length.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # The LAST stdout line stays compact — headline timings only — so the
+    # driver's tail capture always parses it whole.
     print(
         json.dumps(
             {
@@ -158,10 +177,10 @@ def main():
                 "value_new_ops": total_new,
                 "value_new_ops_r3": total_new_r3,
                 "failed": failed,
-                "queries": timings,
-                "streaming_steady_state": streaming,
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "sf": sf,
                 "cpus": cpus,
+                "full_record": "BENCH.json",
             }
         )
     )

@@ -566,36 +566,54 @@ def win_sessionize_events(spark, sf_dir):
     -- Exact interpolated percentiles (the non-sketch twin of
     -- approx_distinct_and_quantiles): Spark percentile() and DuckDB
     -- quantile_cont() both define the p-quantile at rank (n-1)*p with
-    -- linear interpolation, so the doubles agree to rounding.
+    -- linear interpolation.  Hash stability: interpolation runs over
+    -- INTEGER CENTS (exact in double), is rounded to a whole cent
+    -- (half-away ties on the exact .5/.25/.75 midpoints resolve
+    -- identically on both engines), and only then converts to dollars —
+    -- a double interpolated over raw dollars can land a half-cent tie
+    -- on either side of ROUND(x, 2) depending on the engine's last bit
+    -- (the round-3 p50 52724.24-vs-.25 failure at sf0.001).
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-           ROUND(quantile_cont(l_extendedprice, 0.90), 2) AS p90
-    FROM lineitem GROUP BY l_returnflag
+           ROUND(ROUND(quantile_cont(c, 0.25)) / 100.0, 2) AS p25,
+           ROUND(ROUND(quantile_cont(c, 0.50)) / 100.0, 2) AS p50,
+           ROUND(ROUND(quantile_cont(c, 0.75)) / 100.0, 2) AS p75,
+           ROUND(ROUND(quantile_cont(c, 0.90)) / 100.0, 2) AS p90
+    FROM cents GROUP BY l_returnflag
     """,
 )
 def agg_percentiles_exact(spark, sf_dir):
     """Exact percentiles per group (sort-based, interpolated) — the
     ground-truth companion to the approx_percentile sketch path.
 
+    Interpolation happens over integer cents: lo/hi are exact doubles
+    and the interpolation fractions for .25/.50/.75 are exact binary,
+    so the rounded-to-a-cent result is engine-independent (the repo's
+    exact-before-round convention, queries.py).
+
     Scale note: exact percentiles shuffle the full column per group key
     (Spark's percentile() buffers group values); at 100 TB prefer the
     approx sketch (registered separately) — this operator is the audit
     path run on samples or single partitions."""
     (li,) = load(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.9]))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.percentile(cents, F.lit([0.25, 0.5, 0.75, 0.9]))
+    dollars = lambda i: F.round(F.round(F.col("p")[i]) / 100.0, 2)  # noqa: E731
     return (
         li.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), pct.alias("p"))
         .select(
             "l_returnflag",
             "n",
-            F.round(F.col("p")[0], 2).alias("p25"),
-            F.round(F.col("p")[1], 2).alias("p50"),
-            F.round(F.col("p")[2], 2).alias("p75"),
-            F.round(F.col("p")[3], 2).alias("p90"),
+            dollars(0).alias("p25"),
+            dollars(1).alias("p50"),
+            dollars(2).alias("p75"),
+            dollars(3).alias("p90"),
         )
     )
 

@@ -339,6 +339,23 @@ class PostingsIndexMaintainer:
             .withColumn("deleted", F.lit(False))
             .select("doc_id", "lsn", "deleted", "t", "f", "dl")
         )
+        # A live doc whose tokenization yields NO rows (null text) would
+        # otherwise leave no state row, so its LSN would be untracked and
+        # a later stale update could pass the out-of-order guard.  Emit
+        # an LSN-carrying marker row (null term), the postings twin of
+        # SignatureIndexMaintainer's no_sig marker.
+        no_tok = (
+            live.select("doc_id", "lsn")
+            .join(toks.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                "lsn",
+                F.lit(False).alias("deleted"),
+                F.lit(None).cast("string").alias("t"),
+                F.lit(None).cast("long").alias("f"),
+                F.lit(None).cast("long").alias("dl"),
+            )
+        )
         tombs = fresh.filter(F.col("op") == "D").select(
             "doc_id",
             "lsn",
@@ -350,6 +367,7 @@ class PostingsIndexMaintainer:
         untouched = old.join(fresh.select("doc_id"), "doc_id", "left_anti")
         new_state = (
             untouched.unionByName(postings)
+            .unionByName(no_tok)
             .unionByName(tombs)
             .withColumn("bucket", bucket)
             .localCheckpoint(eager=True)
@@ -358,10 +376,10 @@ class PostingsIndexMaintainer:
         self._has_state = True
 
     def live_postings(self) -> DataFrame:
-        """(doc_id, t, f, dl) for live documents."""
+        """(doc_id, t, f, dl) for live documents (marker rows excluded)."""
         return (
             self.spark.read.parquet(self.path)
-            .filter(~F.col("deleted"))
+            .filter(~F.col("deleted") & F.col("t").isNotNull())
             .select("doc_id", "t", "f", "dl")
         )
 

@@ -339,11 +339,12 @@ def q22_sales_opportunity(spark, sf_dir):
     -- JSON-lines and CSV round-trips of the events table must equal the
     -- parquet truth (the oracle) — including timestamp parsing and
     -- double round-tripping — and the per-row agreement booleans ride in
-    -- the hashed output.
+    -- the hashed output.  max_ts carries FULL microsecond precision so a
+    -- bridge that drops sub-second digits genuinely flips the booleans.
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
            TRUE AS json_agrees,
            TRUE AS csv_agrees
     FROM events GROUP BY event_type
@@ -376,16 +377,34 @@ def source_format_parity(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
                 "total_cents"
             ),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            # Microsecond granularity: the comparison must be able to SEE
+            # precision loss, not format it away (round-3 advice — the
+            # whole-second max_ts made the booleans vacuously true).
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
         )
 
     try:
-        src.write.mode("overwrite").json(f"{work}/events_json")
-        src.write.mode("overwrite").option("header", "true").csv(f"{work}/events_csv")
+        # Spark's default JSON/CSV timestampFormat writes milliseconds;
+        # the explicit 6-digit format keeps the bridge lossless and is
+        # what a production ingest edge should pin anyway.
+        ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        src.write.mode("overwrite").option("timestampFormat", ts_fmt).json(
+            f"{work}/events_json"
+        )
+        src.write.mode("overwrite").option("header", "true").option(
+            "timestampFormat", ts_fmt
+        ).csv(f"{work}/events_csv")
         schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
-        from_json = spark.read.schema(schema).json(f"{work}/events_json")
+        from_json = (
+            spark.read.schema(schema)
+            .option("timestampFormat", ts_fmt)
+            .json(f"{work}/events_json")
+        )
         from_csv = (
-            spark.read.schema(schema).option("header", "true").csv(f"{work}/events_csv")
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("timestampFormat", ts_fmt)
+            .csv(f"{work}/events_csv")
         )
         j, c, p = agg(from_json), agg(from_csv), agg(src)
 

@@ -673,7 +673,11 @@ def text_char_entropy(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     chars = (
-        docs.repartition(n_parts, "doc_id")
+        # Empty docs are excluded (as the oracle's range(length) does
+        # implicitly): Spark's sequence(1, 0) infers step -1 and yields
+        # [1, 0], which would emit two phantom empty-char rows.
+        docs.filter(F.length("text") > 0)
+        .repartition(n_parts, "doc_id")
         .select(
             "doc_id",
             "lang",

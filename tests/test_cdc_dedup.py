@@ -124,3 +124,23 @@ def test_postings_index_update_and_delete(spark, tmp_path):
     maint.apply_batch(_batch(spark, [(25, "U", 2, "zombie text")]), 3)
     docs_alive = {r.doc_id for r in maint.live_postings().collect()}
     assert docs_alive == {1}
+
+
+def test_postings_null_text_lsn_tracked(spark, tmp_path):
+    """A live doc whose tokenization yields zero rows (null text) must
+    still leave an LSN-carrying marker row, so a later STALE update
+    cannot sneak past the out-of-order guard (round-3 advice: the
+    signature index had this via no_sig; the postings path did not)."""
+    from pypgcdc_spark.operators.cdc_dedup import PostingsIndexMaintainer
+
+    maint = PostingsIndexMaintainer(spark, str(tmp_path), n_buckets=2)
+    maint.apply_batch(_batch(spark, [(10, "I", 1, "alpha beta")]), 0)
+    # Newer update nulls the text → no postings, but lsn 30 is tracked.
+    maint.apply_batch(_batch(spark, [(30, "U", 1, None)]), 1)
+    assert maint.live_postings().count() == 0  # marker rows excluded
+    # A LATE, STALE update (lsn 20 < tracked 30) must not apply.
+    maint.apply_batch(_batch(spark, [(20, "U", 1, "zombie text")]), 2)
+    assert maint.live_postings().count() == 0
+    # A genuinely newer update must.
+    maint.apply_batch(_batch(spark, [(40, "U", 1, "fresh text")]), 3)
+    assert {r.t for r in maint.live_postings().collect()} == {"fresh", "text"}
