@@ -74,6 +74,9 @@ EXTENDED = frozenset(
         # Fixed-iteration PageRank: the iterative join+agg shape is
         # primary-evidenced by dedup_connected_components.
         "graph_pagerank",
+        # No-broadcast scale path of the same PageRank (src-bucketed edge
+        # table, rank-vector-only shuffle); hash-matches the same oracle.
+        "graph_pagerank_bucketed",
         # CDC-maintained minhash index: the CDC-apply and minhash halves
         # are each primary-evidenced; this composition joins them.
         "cdc_minhash_maintenance",

@@ -368,3 +368,37 @@ def test_pagerank_topk_and_iteration_plan(spark, sf_dir):
     iter_plan = step._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in iter_plan
     assert "CartesianProduct" not in iter_plan
+
+
+def test_pagerank_bucketed_iteration_shuffles_only_rank_updates(spark, sf_dir):
+    """The bucketed scale path must NOT broadcast the rank vector: one
+    iteration is a sort-merge join against the bucketed edge scan
+    (edge side reads in place — 'Bucketed: true', no exchange under it)
+    with AT MOST one exchange in the whole step (the groupBy(dst)
+    contribution shuffle; the rank side rides the bucket layout when the
+    shuffle partition count matches).  This is the O(|V|)-network-per-
+    iteration property that survives 100 TB."""
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.operators.graph_queries import (
+        _bucketed_iteration,
+        _ensure_bucketed_edges,
+    )
+
+    edges = spark.table(_ensure_bucketed_edges(spark, sf_dir))
+    nodes = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = nodes.count()
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    step = _bucketed_iteration(edges, pr, n)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # rank vector never broadcasts
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan  # edge side scans in place
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # contribution shuffle (+ rank at most)
+
+    # The node-set aggregation itself must ride the bucket layout.
+    nplan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("Exchange") == 0
