@@ -194,6 +194,37 @@ synth_change_log.__doc__ = synth_change_log.__doc__.format(
 )
 
 
+# (application id, sf_dir) → materialized 4-chunk log directory.  The
+# chunked change log is a pure function of the dataset, so it is built
+# once per session and shared by every maintenance query invocation
+# (round-3 advice: each invocation was rebuilding log + state + ckpt; only
+# state and checkpoint are genuinely per-run).
+_CHUNKED_LOGS: dict = {}
+
+
+def chunked_doc_log(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the synthetic document change log as 4 LSN-ordered
+    single-file chunks (two insert halves, the update wave, the delete
+    wave) — once per session per dataset."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CHUNKED_LOGS:
+        return _CHUNKED_LOGS[key]
+    (docs,) = load(spark, sf_dir, "documents")
+    log = synth_change_log(docs.select("doc_id", "text"))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    chunks = [
+        log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") <= half)),
+        log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") > half)),
+        log.filter((F.col("lsn") >= 1_000_000) & (F.col("lsn") < 2_000_000)),
+        log.filter(F.col("lsn") >= 2_000_000),
+    ]
+    base = tempfile.mkdtemp(prefix="cdc_doclog_")
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("overwrite").parquet(f"{base}/log/chunk={i}")
+    _CHUNKED_LOGS[key] = f"{base}/log"
+    return _CHUNKED_LOGS[key]
+
+
 @query(
     "cdc_minhash_maintenance",
     oracle=f"""
@@ -229,27 +260,17 @@ def cdc_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ changed documents — the property that makes a 100 TB dedup index
     maintainable at all."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    (docs,) = load(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="cdc_sig_")
     try:
-        log = synth_change_log(docs.select("doc_id", "text"))
-        # 4 micro-batches cut at op-phase boundaries: two insert halves,
-        # the update wave, the delete wave.
-        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-        chunks = [
-            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") <= half)),
-            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") > half)),
-            log.filter((F.col("lsn") >= 1_000_000) & (F.col("lsn") < 2_000_000)),
-            log.filter(F.col("lsn") >= 2_000_000),
-        ]
-        for i, c in enumerate(chunks):
-            c.coalesce(1).write.mode("overwrite").parquet(f"{work}/log/chunk={i}")
+        # Chunked log is session-cached (pure function of the dataset);
+        # only the state dir and checkpoint are per-run.
+        log_dir = chunked_doc_log(spark, sf_dir)
 
         maint = SignatureIndexMaintainer(spark, work)
         q = (
             spark.readStream.schema("lsn LONG, op STRING, doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/log")
+            .parquet(log_dir)
             .writeStream.foreachBatch(maint.apply_batch)
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{work}/ckpt")
@@ -437,25 +458,15 @@ def cdc_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| rows, one groupBy over matching docs) — the corpus is never
     rescanned; index upkeep is ∝ changed documents per batch."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    (docs,) = load(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="cdc_bm25_")
     try:
-        log = synth_change_log(docs.select("doc_id", "text"))
-        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-        chunks = [
-            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") <= half)),
-            log.filter((F.col("lsn") < 1_000_000) & (F.col("doc_id") > half)),
-            log.filter((F.col("lsn") >= 1_000_000) & (F.col("lsn") < 2_000_000)),
-            log.filter(F.col("lsn") >= 2_000_000),
-        ]
-        for i, c in enumerate(chunks):
-            c.coalesce(1).write.mode("overwrite").parquet(f"{work}/log/chunk={i}")
+        log_dir = chunked_doc_log(spark, sf_dir)
 
         maint = PostingsIndexMaintainer(spark, work)
         q = (
             spark.readStream.schema("lsn LONG, op STRING, doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/log")
+            .parquet(log_dir)
             .writeStream.foreachBatch(maint.apply_batch)
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{work}/ckpt")
