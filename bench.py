@@ -73,6 +73,14 @@ NEW_OPS_R3 = [
     "multimodal_audio_stats",
 ]
 
+# Round-4 operators — separate sum (`value_new_ops_r4`), merged into
+# `queries`.
+NEW_OPS_R4 = [
+    "graph_pagerank_bucketed",
+    "join_bucketed_colocated",
+    "ann_scalar_quantized",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +105,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + NEW_OPS + NEW_OPS_R3:
+        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4:
             try:
                 REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -116,7 +124,7 @@ def main():
 
     timings = {}
     failed = []
-    for name in HEADLINE + NEW_OPS + NEW_OPS_R3:
+    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -149,12 +157,14 @@ def main():
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
+    total_new_r4 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R4), 3)
     full = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "value_new_ops": total_new,
         "value_new_ops_r3": total_new_r3,
+        "value_new_ops_r4": total_new_r4,
         "failed": failed,
         "queries": timings,
         "streaming_steady_state": streaming,
@@ -176,6 +186,7 @@ def main():
                 "unit": "sec",
                 "value_new_ops": total_new,
                 "value_new_ops_r3": total_new_r3,
+                "value_new_ops_r4": total_new_r4,
                 "failed": failed,
                 "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "sf": sf,

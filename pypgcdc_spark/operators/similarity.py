@@ -388,3 +388,141 @@ def ann_ivf_kmeans(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIE
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8-style): the memory/bandwidth scale path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_scalar_quantized",
+    oracle=f"""
+    -- Scalar-quantized k-NN: per-dimension [min, max] over the corpus,
+    -- 8-bit uniform codes, scoring on the DEQUANTIZED (bin-center)
+    -- vectors; in_exact_topk marks overlap with the full-precision
+    -- top-{TOP_K} so recall is visible in the hashed output.
+    WITH stats AS (
+      SELECT i, MIN(embedding[i]::DOUBLE) AS mn, MAX(embedding[i]::DOUBLE) AS mx
+      FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+      GROUP BY i
+    ),
+    deq AS (
+      SELECT e.vec_id, s.i,
+             s.mn + (CASE WHEN s.mx > s.mn
+                          THEN LEAST(255, FLOOR((e.embedding[s.i]::DOUBLE - s.mn)
+                                                / (s.mx - s.mn) * 256))
+                          ELSE 0 END + 0.5) * (s.mx - s.mn) / 256.0 AS v
+      FROM embeddings e, stats s
+    ),
+    qd AS (SELECT vec_id AS query_id, i, v FROM deq WHERE vec_id < {N_QUERIES}),
+    cd AS (SELECT vec_id AS cand_id, i, v FROM deq),
+    qcos AS (SELECT query_id, cand_id,
+                    ROUND(SUM(qd.v * cd.v)
+                          / (sqrt(SUM(qd.v * qd.v)) * sqrt(SUM(cd.v * cd.v))), 4)
+                      AS qcosine
+             FROM qd JOIN cd USING (i) WHERE query_id <> cand_id
+             GROUP BY 1, 2),
+    qranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY qcosine DESC, cand_id ASC)
+                           AS rank
+                FROM qcos),
+    exq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings
+            WHERE vec_id < {N_QUERIES}),
+    exc AS (SELECT vec_id AS cand_id, embedding AS ec FROM embeddings),
+    expand AS (SELECT query_id, cand_id, eq[i]::DOUBLE AS x, ec[i]::DOUBLE AS y
+               FROM exq, exc, unnest(generate_series(1, {_DIM})) t(i)
+               WHERE query_id <> cand_id),
+    ecos AS (SELECT query_id, cand_id,
+                    ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+             FROM expand GROUP BY 1, 2),
+    etop AS (SELECT query_id, cand_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY cosine DESC, cand_id ASC)
+                              AS rank
+                   FROM ecos)
+             WHERE rank <= {TOP_K})
+    SELECT r.query_id, r.cand_id, r.qcosine, r.rank,
+           (e.cand_id IS NOT NULL) AS in_exact_topk
+    FROM qranked r LEFT JOIN etop e USING (query_id, cand_id)
+    WHERE r.rank <= {TOP_K}
+    """,
+)
+def ann_scalar_quantized(spark, sf_dir):
+    """k-NN over 8-bit scalar-quantized vectors: per-dimension [min,max]
+    over the corpus (ONE bounded agg — one stats row per dimension),
+    uniform 256-bin codes, cosine on the dequantized bin centers,
+    per-query top-k; ``in_exact_topk`` joins the full-precision top-k
+    back in so the quantization recall rides in the hashed output.
+
+    At 100 TB: codes are 4× smaller than float32 (store
+    ``array<tinyint>`` + the per-dimension stats vector), so a
+    memory-bound corpus scan gets 4× the effective bandwidth — this
+    operator gate-verifies the quantize→score math end to end; the
+    stats collect is bounded metadata, never corpus-sized."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )  # _DIM rows of bounded metadata (the quantizer "codebook")
+    mn = {r.i: r.mn for r in stats}
+    mx = {r.i: r.mx for r in stats}
+    mn_arr = F.array(*[F.lit(mn[i]) for i in range(_DIM)])
+    mx_arr = F.array(*[F.lit(mx[i]) for i in range(_DIM)])
+
+    def dequantized(col):
+        def f(x, i):
+            lo = F.element_at(mn_arr, i + F.lit(1))
+            hi = F.element_at(mx_arr, i + F.lit(1))
+            xd = x.cast("double")
+            q = F.when(
+                hi > lo,
+                F.least(
+                    F.lit(255.0),
+                    F.floor((xd - lo) / (hi - lo) * F.lit(256.0)).cast("double"),
+                ),
+            ).otherwise(F.lit(0.0))
+            return lo + (q + F.lit(0.5)) * (hi - lo) / F.lit(256.0)
+
+        return F.transform(col, f)
+
+    deq = emb.select("vec_id", dequantized(F.col("embedding")).alias("dv"), "embedding")
+    q = deq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("dv").alias("qv")
+    )
+    scored = (
+        deq.select(F.col("vec_id").alias("cand_id"), F.col("dv").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("cand_id"))
+    qtop = scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+    # Full-precision top-k (the existing brute-force operator) for the
+    # recall boolean.
+    etop = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(True).alias("_hit")
+    )
+    return (
+        qtop.join(etop, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "cand_id",
+            "qcosine",
+            "rank",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )

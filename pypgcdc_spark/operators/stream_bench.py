@@ -100,6 +100,30 @@ def _drain(df: DataFrame, work: str, tag: str, output_mode: str) -> Dict[str, fl
     return _progress_metrics(q)
 
 
+def interval_join_stream(spark: SparkSession, sf_dir: str, log_dir: str) -> DataFrame:
+    """The double-sided watermarked purchase⟕click interval join — shared
+    by the steady-state bench and the scale-stress harness."""
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            _source(spark, sf_dir, log_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ev_ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    return side("purchase", "p").join(
+        side("click", "c"),
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+
+
 def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, dict]:
     """Per-shape steady-state metrics; see module docstring."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -138,25 +162,9 @@ def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, d
             "update",
         )
 
-        def side(event_type: str, prefix: str) -> DataFrame:
-            return (
-                _source(spark, sf_dir, log_dir)
-                .filter(F.col("event_type") == event_type)
-                .select(
-                    F.col("user_id").alias(f"{prefix}_user"),
-                    F.col("event_id").alias(f"{prefix}_id"),
-                    F.col("ev_ts").alias(f"{prefix}_ts"),
-                )
-                .withWatermark(f"{prefix}_ts", "2 hours")
-            )
-
-        joined = side("purchase", "p").join(
-            side("click", "c"),
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("c_ts") <= F.col("p_ts")),
+        out["interval_join"] = _drain(
+            interval_join_stream(spark, sf_dir, log_dir), work, "join", "append"
         )
-        out["interval_join"] = _drain(joined, work, "join", "append")
 
         from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
 

@@ -107,6 +107,9 @@ EXTENDED = frozenset(
         "funnel_signup_click_purchase",
         # Salted-join correctness equivalence + cohort retention matrix.
         "join_salted_skew_equivalence",
+        # Bucketed co-located join equivalence (physical-layout twin of
+        # the salted-join row; plan-pinned zero-exchange SMJ).
+        "join_bucketed_colocated",
         "cohort_weekly_retention",
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
@@ -114,6 +117,9 @@ EXTENDED = frozenset(
         "join_anti_customers_without_orders",  # semi kept; anti is its dual
         # MLlib interop: minhash kept as the representative.
         "ml_brp_lsh_neighbor_pairs",
+        # 8-bit scalar-quantized ANN (memory/bandwidth scale path); ANN
+        # family keeps brute/LSH/IVF primary.
+        "ann_scalar_quantized",
         # TPC-H variants whose operator shapes are covered by kept queries
         # (q1/q3/q9/q17/q18/q21 + join_*/agg_*/subq_* carry the categories).
         "q4_order_priority",
@@ -227,6 +233,7 @@ def ensure_registered() -> None:
     """Import every operator module for its registration side effects."""
     from pypgcdc_spark.operators import (  # noqa: F401
         analytic,
+        bucketed,
         cdc_dedup,
         cdc_queries,
         collections_fns,

@@ -402,3 +402,18 @@ def test_pagerank_bucketed_iteration_shuffles_only_rank_updates(spark, sf_dir):
     # The node-set aggregation itself must ride the bucket layout.
     nplan = nodes._jdf.queryExecution().executedPlan().toString()
     assert nplan.count("Exchange") == 0
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
+    """Both sides of the co-located orders⋈lineitem join scan bucket-
+    aligned: the SMJ consumes the bucketed layout directly — ZERO
+    exchanges and zero explicit sorts below the join.  (The aggregate on
+    top may shuffle; the join itself must not.)"""
+    from pypgcdc_spark.operators.bucketed import colocated_order_lineitem
+
+    joined = colocated_order_lineitem(spark, sf_dir)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 0  # neither fact table moves
+    assert "Bucketed: true" in plan
+    assert "CartesianProduct" not in plan

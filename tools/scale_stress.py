@@ -44,6 +44,16 @@ STRESS = [
     "text_duplicate_spans",
     "pipeline_decontamination",
 ]
+# Round-4 additions (verdict task 5): the iterative tail.  Key offsets in
+# build_scaled make each replica's customer/supplier/user id-space
+# disjoint, so the scaled graph/corpus is REPL disjoint copies of the
+# base one — iteration cost must scale ~linearly in edges, and cluster
+# counts scale exactly ×REPL by construction.
+STRESS_ITER = [
+    "graph_pagerank",
+    "graph_pagerank_bucketed",
+    "dedup_cc_large_star",
+]
 
 
 def build_scaled(spark, out_dir: str, repl: int) -> None:
@@ -51,14 +61,48 @@ def build_scaled(spark, out_dir: str, repl: int) -> None:
 
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    max_sk = li.agg(F.max("l_suppkey")).first()[0] + 1
     parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * max_sk))
         for i in range(repl)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    # orders: orderkey offsets aligned with lineitem's, custkey offsets
+    # make each replica's customer set disjoint → the trade graph is REPL
+    # disjoint copies of the base graph.
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    max_ck = orders.agg(F.max("o_custkey")).first()[0] + 1
+    oparts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * max_ck))
+        for i in range(repl)
+    ]
+    oout = oparts[0]
+    for p in oparts[1:]:
+        oout = oout.unionByName(p)
+    oout.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    # events: disjoint users + event ids per replica, timestamps kept —
+    # the streaming kernels' watermark/window behavior is unchanged and
+    # per-replica join/window structure is exactly the base structure.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    max_eid = ev.agg(F.max("event_id")).first()[0] + 1
+    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    eparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_eid))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * max_uid))
+        for i in range(repl)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     reps = []
@@ -132,6 +176,57 @@ def main() -> None:
                 "rows_ratio": repl,
                 "superlinearity": round(ratio / repl, 2) if ratio else None,
             }
+
+        # -- iterative tail (round-4): PageRank both physical strategies,
+        # log-round connected components.  timed() reports the second run,
+        # so the bucketed variant's one-time edge-table build lands in the
+        # warm-up execution (steady-state semantics, same as every other
+        # stressed query).
+        for name in STRESS_ITER:
+            fn = REGISTRY[name].fn
+            try:
+                fn(spark, WARM).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            base_s = timed(fn, spark, BASE)
+            scaled_s = timed(fn, spark, work)
+            ratio = round(scaled_s / base_s, 2) if base_s else None
+            report["queries"][name] = {
+                "sf0.1_sec": base_s,
+                f"x{repl}_sec": scaled_s,
+                "time_ratio": ratio,
+                "rows_ratio": repl,
+                "superlinearity": round(ratio / repl, 2) if ratio else None,
+            }
+
+        # -- streaming interval-join kernel: steady-state rows/s at both
+        # scales (disjoint per-replica users ⇒ identical join structure;
+        # the scale property is throughput holding, not wall time).
+        from pypgcdc_spark.operators.stream_bench import (
+            _chunked_events,
+            _drain,
+            interval_join_stream,
+        )
+
+        ij = {}
+        for tag, d in (("sf0.1", BASE), (f"x{repl}", work)):
+            sb_work = tempfile.mkdtemp(prefix="sb_stress_")
+            try:
+                log_dir = _chunked_events(spark, d, sb_work)
+                m = _drain(
+                    interval_join_stream(spark, d, log_dir), sb_work, "join", "append"
+                )
+                ij[tag] = m
+            finally:
+                shutil.rmtree(sb_work, ignore_errors=True)
+        base_rps = ij["sf0.1"].get("rows_per_sec") or 0
+        scaled_rps = ij[f"x{repl}"].get("rows_per_sec") or 0
+        report["queries"]["stream_interval_join_kernel"] = {
+            "sf0.1_rows_per_sec": base_rps,
+            f"x{repl}_rows_per_sec": scaled_rps,
+            "throughput_ratio": round(scaled_rps / base_rps, 2) if base_rps else None,
+            "detail": ij,
+        }
 
         # -- absolute correctness at the scaled size ---------------------
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
@@ -209,6 +304,19 @@ def main() -> None:
         report["correctness"]["pipeline_decontamination"] = {
             "counts_exact_linear": bool(ok_counts),
             "contaminated_id_sum_exact": bool(ok_idsum),
+        }
+
+        # Disjoint replica vocabularies ⇒ the near-dup graph is REPL
+        # copies of the base graph, so cluster count and total membership
+        # must scale EXACTLY ×REPL.
+        cc_base = REGISTRY["dedup_cc_large_star"].fn(spark, BASE).toPandas()
+        cc_scaled = REGISTRY["dedup_cc_large_star"].fn(spark, work).toPandas()
+        report["correctness"]["dedup_cc_large_star"] = {
+            "clusters_sf0.1": len(cc_base),
+            f"clusters_x{repl}": len(cc_scaled),
+            "clusters_exact_linear": len(cc_scaled) == repl * len(cc_base),
+            "members_exact_linear": int(cc_scaled.n_members.sum())
+            == repl * int(cc_base.n_members.sum()),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
