@@ -1,0 +1,132 @@
+"""Data-quality audit: the validation pass a 100 TB ingest runs before
+committing a snapshot downstream — referential integrity, key
+uniqueness, and null/malformed-value rates, all as one scan-shaped
+query per check (anti-joins for orphans, agg-only for rates; no check
+is ever quadratic).
+
+Reference parity: the reference engine (pypgcdc, a CDC client) ships
+changes without validating them; audit surfaces are part of the query
+layer this engine adds (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+
+@query(
+    "audit_data_quality",
+    oracle="""
+    -- One row per integrity check: orphaned/childless foreign keys,
+    -- primary-key duplication, and null/invalid value rates.  Every
+    -- check is a single scan or anti-join — the audit must not cost
+    -- more than the pipeline it protects.
+    WITH checks AS (
+      SELECT 'lineitem_orphan_orderkey' AS check_name,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+             (SELECT COUNT(*) FROM lineitem) AS n_total
+      UNION ALL
+      SELECT 'orders_childless',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_pkey_duplicates',
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'documents_empty_text',
+             (SELECT COUNT(*) FROM documents
+              WHERE text IS NULL OR length(text) = 0),
+             (SELECT COUNT(*) FROM documents)
+      UNION ALL
+      SELECT 'events_nonpositive_value',
+             (SELECT COUNT(*) FROM events WHERE value IS NULL OR value <= 0),
+             (SELECT COUNT(*) FROM events)
+    )
+    SELECT check_name,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(n_violations / n_total, 6) AS violation_rate
+    FROM checks
+    """,
+)
+def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity dashboard: orphaned foreign keys (left-anti joins —
+    broadcastable key sides at any scale since only the KEY column
+    ships), primary-key duplication (count vs distinct in one agg), and
+    null/invalid value rates (map-only filters).
+
+    Scale: each check is one pass over one table; the anti-joins shuffle
+    only join keys.  Run it as the gate between ingest and publish."""
+    lineitem, orders, customer, documents, events = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "documents", "events"
+    )
+
+    li_orphan = lineitem.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    )
+    o_childless = orders.select("o_orderkey").join(
+        lineitem.select("l_orderkey"),
+        orders.o_orderkey == lineitem.l_orderkey,
+        "left_anti",
+    )
+    o_orphan_cust = orders.select("o_custkey").join(
+        customer.select("c_custkey"),
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    )
+
+    n_li = lineitem.count()
+    n_o = orders.count()
+    n_d = documents.count()
+    n_e = events.count()
+
+    rows = [
+        ("lineitem_orphan_orderkey", li_orphan.count(), n_li),
+        ("orders_childless", o_childless.count(), n_o),
+        ("orders_orphan_custkey", o_orphan_cust.count(), n_o),
+        (
+            "orders_pkey_duplicates",
+            n_o - orders.select("o_orderkey").distinct().count(),
+            n_o,
+        ),
+        (
+            "documents_empty_text",
+            documents.filter(
+                F.col("text").isNull() | (F.length("text") == 0)
+            ).count(),
+            n_d,
+        ),
+        (
+            "events_nonpositive_value",
+            events.filter(
+                F.col("value").isNull() | (F.col("value") <= 0)
+            ).count(),
+            n_e,
+        ),
+    ]
+    out = spark.createDataFrame(
+        [(n, int(v), int(t)) for n, v, t in rows],
+        "check_name STRING, n_violations LONG, n_total LONG",
+    )
+    return out.select(
+        "check_name",
+        "n_violations",
+        "n_total",
+        F.round(F.col("n_violations") / F.col("n_total"), 6).alias("violation_rate"),
+    )

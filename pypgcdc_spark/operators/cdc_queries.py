@@ -238,6 +238,94 @@ def cdc_incremental_view(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+ERASE_MOD, ERASE_REM = 10, 3  # users with user_id % 10 == 3 request erasure
+
+
+@query(
+    "cdc_targeted_erasure",
+    oracle=f"""
+    -- Right-to-be-forgotten through MAINTAINED state: after the full
+    -- change log, an erasure batch deletes every user with
+    -- user_id % {ERASE_MOD} = {ERASE_REM}; the surviving view must equal
+    -- a from-scratch recompute that never saw those users at all.
+    SELECT last_event,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (
+      SELECT user_id, event_type AS last_event,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             {_OP} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D' AND user_id % {ERASE_MOD} <> {ERASE_REM}
+    GROUP BY last_event
+    """,
+)
+def cdc_targeted_erasure(spark, sf_dir):
+    """Targeted erasure (GDPR/right-to-be-forgotten) executed THROUGH the
+    incremental maintenance path: the standard change log streams through
+    ``BucketedViewMaintainer``, then one synthetic deletion batch (a 'D'
+    row per requesting user, LSNs above the log's high-water mark)
+    retracts those keys in place.  Hash-matching a recompute that simply
+    excludes the users proves the erasure fully propagated — no residue
+    in key state, no drift in the derived aggregate.
+
+    Scale: erasure cost is the SAME O(touched buckets) as any other
+    batch — at 100 TB you delete users by streaming one batch, not by
+    rewriting the corpus."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="cdc_erase_")
+    try:
+        log_dir = _chunked_event_log(spark, sf_dir, events)
+        ivm = BucketedViewMaintainer(spark, work, n_buckets=16)
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+            .writeStream.foreachBatch(ivm.apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # The erasure batch: one 'D' change per requesting user, with
+        # event_ids strictly above the log's maximum so the maintainer's
+        # LSN monotonicity guard accepts them.
+        max_eid = events.agg(F.max("event_id")).first()[0]
+        erase = (
+            events.filter(F.col("user_id") % ERASE_MOD == ERASE_REM)
+            .select("user_id")
+            .distinct()
+            .select(
+                (F.lit(max_eid) + F.col("user_id") + F.lit(1)).alias("event_id"),
+                "user_id",
+                F.lit("error").alias("event_type"),  # 'error' ⇒ op 'D'
+                F.lit(0.0).alias("value"),
+            )
+        )
+        ivm.apply_batch(erase, batch_id=IVM_CHUNKS)
+
+        final = ivm.aggregate().select(
+            F.col("event_type").alias("last_event"), "n_keys", "total_cents"
+        )
+        rows = final.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows, "last_event STRING, n_keys LONG, total_cents LONG"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "cdc_scd2_history",
     oracle=f"""

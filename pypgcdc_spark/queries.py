@@ -120,6 +120,12 @@ EXTENDED = frozenset(
         # 8-bit scalar-quantized ANN (memory/bandwidth scale path); ANN
         # family keeps brute/LSH/IVF primary.
         "ann_scalar_quantized",
+        # Integrity/validation dashboard (anti-join + agg shapes all
+        # primary-evidenced).
+        "audit_data_quality",
+        # Targeted erasure through maintained IVM state (delete-path
+        # composition of the kept cdc_incremental_view).
+        "cdc_targeted_erasure",
         # TPC-H variants whose operator shapes are covered by kept queries
         # (q1/q3/q9/q17/q18/q21 + join_*/agg_*/subq_* carry the categories).
         "q4_order_priority",
@@ -233,6 +239,7 @@ def ensure_registered() -> None:
     """Import every operator module for its registration side effects."""
     from pypgcdc_spark.operators import (  # noqa: F401
         analytic,
+        audit,
         bucketed,
         cdc_dedup,
         cdc_queries,
