@@ -123,6 +123,11 @@ EXTENDED = frozenset(
         # Integrity/validation dashboard (anti-join + agg shapes all
         # primary-evidenced).
         "audit_data_quality",
+        # Partition-layout twins (static PartitionFilters + DPP); the
+        # scan/pushdown category keeps its primary evidence via the
+        # plan-pinned q19/q6 parquet scans.
+        "layout_partition_pruned_scan",
+        "layout_dynamic_partition_pruning",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
@@ -246,6 +251,7 @@ def ensure_registered() -> None:
         collections_fns,
         dedup,
         graph_queries,
+        layout,
         ml_lsh,
         multimodal,
         pipeline,

@@ -417,3 +417,28 @@ def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 0  # neither fact table moves
     assert "Bucketed: true" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    """The first-week aggregate must prune at the DIRECTORY level: the
+    partitioned scan's PartitionFilters carries the event_date bounds and
+    the partition count read is ≤7 of the layout's partitions."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["layout_partition_pruned_scan"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "event_date" in m.group(1), txt[:2000]
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    """The dim-driven date join must carry a DPP subquery on the fact
+    scan (dynamicpruningexpression) — the partition keys are only known
+    after the dim filter runs, yet the fact scan still prunes."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["layout_dynamic_partition_pruning"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "dynamicpruning" in txt.lower(), txt[:2000]
