@@ -1,0 +1,237 @@
+"""Sketch-based operators: compact, mergeable summaries instead of data
+movement — the 100 TB substitutes for "ship the keys" and "keep the
+whole term dictionary".
+
+Both operators share the repo's cross-engine determinism trick (md5-
+derived hashing identical in Spark and DuckDB), so the *sketch itself* —
+bloom candidate sets, count-min cell values, the false-positive count —
+is reproduced bit-for-bit by the oracle and rides inside the hashed gate
+output.  Approximation error is measured, not hand-waved.
+
+Reference parity: the reference (pypgcdc, a CDC client) has no query
+layer; sketches are part of the analytics surface this engine adds
+(SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+# --- shared md5 → integer helpers (Spark side) --------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hash functions
+_CM_D = 4  # count-min rows
+_CM_W = 512  # count-min buckets per row
+
+
+def _h(col, salt: str, mod: int):
+    """First-8-hex-chars md5 bucket, identical to the DuckDB expression
+    ``('0x' || substr(md5('<salt>' || x), 1, 8))::BIGINT % mod``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def _h_sql(expr: str, salt: str, mod: int) -> str:
+    return f"(('0x' || substr(md5('{salt}' || {expr}), 1, 8))::BIGINT % {mod})"
+
+
+_BLOOM_DIM_FILTER = "c_mktsegment = 'BUILDING' AND c_acctbal > 5000"
+
+_bloom_positions_sql = ", ".join(
+    _h_sql("c_custkey", f"bf{i}:", _BLOOM_M) + f" AS p{i}" for i in range(_BLOOM_K)
+)
+_order_positions_sql = " AND ".join(
+    _h_sql("o_custkey", f"bf{i}:", _BLOOM_M) + " IN (SELECT p FROM bits)"
+    for i in range(_BLOOM_K)
+)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    -- Bloom-prefiltered dim⋈fact join: the fact side is prefiltered by a
+    -- {_BLOOM_M}-bit / {_BLOOM_K}-hash bloom of the filtered dim's keys, then
+    -- exact-verified.  Because the bloom is md5-defined, the candidate
+    -- and false-positive counts are engine-independent and hash-gated.
+    WITH dim AS (SELECT c_custkey FROM customer WHERE {_BLOOM_DIM_FILTER}),
+         pos AS (SELECT {_bloom_positions_sql} FROM dim),
+         bits AS (SELECT DISTINCT p FROM (
+                    SELECT p0 AS p FROM pos UNION ALL
+                    SELECT p1 FROM pos UNION ALL
+                    SELECT p2 FROM pos)),
+         cand AS (SELECT o_custkey, o_totalprice FROM orders
+                  WHERE {_order_positions_sql}),
+         verified AS (SELECT c.c_custkey, o_totalprice
+                      FROM cand o JOIN dim c ON o.o_custkey = c.c_custkey)
+    SELECT (SELECT COUNT(*) FROM dim)  AS n_dim_keys,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM verified) AS n_true_matches,
+           (SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM verified)
+               AS n_false_positives,
+           (SELECT ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+            FROM verified) AS matched_total
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction via a bloom filter: build a {m}-bit bloom of
+    the (selectively filtered) customer keys, prefilter orders with it
+    map-side, exact-verify only the survivors.
+
+    Scale shape: the fact table never shuffles — the bloom is ~1 KB
+    broadcast as a single sorted-positions row, membership is {k} md5
+    probes per fact row inside codegen, and the exact join touches only
+    candidates.  At 100 TB this is the difference between shuffling the
+    fact on the join key and streaming it through a scan-local filter
+    (Spark's own runtime bloom filters do this invisibly; here the
+    sketch is explicit, so its false-positive cost is *measured in the
+    gate output*: n_candidates − n_true_matches)."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    dim = customer.filter(F.expr(_BLOOM_DIM_FILTER)).select("c_custkey")
+
+    pos = dim.select(
+        F.explode(
+            F.array(*[_h(F.col("c_custkey"), f"bf{i}:", _BLOOM_M) for i in range(_BLOOM_K)])
+        ).alias("p")
+    )
+    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
+
+    probes = [_h(F.col("o_custkey"), f"bf{i}:", _BLOOM_M) for i in range(_BLOOM_K)]
+    member = F.lit(True)
+    for p in probes:
+        member = member & F.array_contains(F.col("bits"), p)
+    cand = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(F.broadcast(bits))  # 1-row scalar broadcast, not a data cartesian
+        .filter(member)
+        .select("o_custkey", "o_totalprice")
+    )
+    verified = cand.join(F.broadcast(dim), cand.o_custkey == dim.c_custkey)
+
+    stats = [
+        dim.agg(F.count(F.lit(1)).alias("n_dim_keys")),
+        bits.select(F.size("bits").cast("long").alias("n_bits_set")),
+        cand.agg(F.count(F.lit(1)).alias("n_candidates")),
+        verified.agg(
+            F.count(F.lit(1)).alias("n_true_matches"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("matched_total"),
+        ),
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.join(F.broadcast(s))  # scalar 1-row combines
+    return out.select(
+        "n_dim_keys",
+        "n_bits_set",
+        "n_candidates",
+        "n_true_matches",
+        (F.col("n_candidates") - F.col("n_true_matches")).alias("n_false_positives"),
+        "matched_total",
+    )
+
+
+_cm_rows_sql = ", ".join(str(i) for i in range(_CM_D))
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+    -- Count-min sketch ({_CM_D}×{_CM_W}) over document terms; estimates for
+    -- the top-8 exact heavy hitters ride next to their true counts, so
+    -- the sketch's overcount is part of the hashed result.
+    WITH tokens AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    rows_ AS (SELECT unnest([{_cm_rows_sql}]) AS i),
+    cells AS (
+      SELECT i, (('0x' || substr(md5('cm' || i || ':' || term), 1, 8))::BIGINT % {_CM_W}) AS bucket,
+             COUNT(*) AS cell_n
+      FROM tokens, rows_ GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_n FROM tokens GROUP BY term),
+    top8 AS (
+      SELECT term, exact_n FROM exact
+      ORDER BY exact_n DESC, term ASC LIMIT 8
+    ),
+    est AS (
+      SELECT t.term, t.exact_n, MIN(c.cell_n) AS cms_est
+      FROM top8 t
+      JOIN rows_ r ON TRUE
+      JOIN cells c
+        ON c.i = r.i
+       AND c.bucket = (('0x' || substr(md5('cm' || r.i || ':' || t.term), 1, 8))::BIGINT % {_CM_W})
+      GROUP BY t.term, t.exact_n
+    )
+    SELECT term, exact_n, cms_est, cms_est - exact_n AS overcount FROM est
+    """,
+)
+def sketch_count_min(spark, sf_dir):
+    """Count-min sketch: a fixed {d}×{w} grid of counters summarizes the
+    full term-frequency distribution; point estimates are the min over
+    {d} hashed cells and can only overcount.
+
+    Scale shape: the sketch is O(1) in corpus size — cells build with one
+    map-side-combining groupBy (at 100 TB, per-executor partial grids
+    merged by cell addition), and a frequency estimate never touches the
+    corpus again.  The top-8 exact counts here exist only to expose the
+    overcount inside the gate hash; a production pipeline keeps just the
+    2 KB grid where the exact dictionary would be billions of rows."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+
+    hashed = tokens.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _h(F.col("term"), f"cm{i}:", _CM_W).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "rb.i", "rb.bucket")
+    cells = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+
+    exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top8 = exact.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(8)
+
+    probes = top8.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _h(F.col("term"), f"cm{i}:", _CM_W).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "exact_n", "rb.i", "rb.bucket")
+
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )

@@ -128,6 +128,11 @@ EXTENDED = frozenset(
         # plan-pinned q19/q6 parquet scans.
         "layout_partition_pruned_scan",
         "layout_dynamic_partition_pruning",
+        # Sketch summaries: bloom semi-join reduction (join family amply
+        # primary) and count-min frequency grid (approx family keeps its
+        # primary slot via approx_distinct_and_quantiles).
+        "join_bloom_prefilter",
+        "sketch_count_min",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
@@ -258,6 +263,7 @@ def ensure_registered() -> None:
         python_exts,
         relational,
         relational2,
+        sketches,
         retrieval,
         similarity,
         streaming_windows,

@@ -442,3 +442,33 @@ def test_dynamic_partition_pruning_injected(spark, sf_dir):
     df = REGISTRY["layout_dynamic_partition_pruning"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "dynamicpruning" in txt.lower(), txt[:2000]
+
+
+def test_bloom_prefilter_never_shuffles_fact(spark, sf_dir):
+    """The bloom semi-join reduction must keep the orders scan shuffle-
+    free: the bitset rides a 1-row broadcast, membership is evaluated in
+    the scan stage, and the exact verify broadcasts the dim — no
+    SortMergeJoin / no shuffle of the fact anywhere."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt  # exact verify of candidates
+
+
+def test_count_min_cells_are_map_side_combined(spark, sf_dir):
+    """The CMS grid groupBy(i, bucket) must partial-aggregate before the
+    exchange (the sketch merges by cell addition — that IS the map-side
+    combine) and the estimate probe must broadcast the 2K-cell grid."""
+    from pypgcdc_spark.operators.sketches import _CM_D, _CM_W
+    from pypgcdc_spark.plans.inspect import count_op, plan_text
+
+    df = REGISTRY["sketch_count_min"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert count_op(df, "HashAggregate") >= 2  # partial + final
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    # the sketch is fixed-size by construction
+    assert _CM_D * _CM_W <= 4096
