@@ -370,3 +370,86 @@ def cdc_scd2_history(spark, sf_dir):
         F.col("next_lsn").alias("valid_to_lsn"),
         F.col("next_lsn").isNull().alias("is_current"),
     )
+
+
+@query(
+    "cdc_time_travel",
+    oracle=f"""
+    -- AS-OF-LSN time travel: reconstruct the keyed state at an interior
+    -- pivot LSN (min + 60% of the LSN span, integer floor — engine-
+    -- independent) and diff it against the final state.  changed_since
+    -- marks keys whose row was later updated or deleted.
+    WITH b AS (SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) * 3 // 5
+                      AS pivot FROM events),
+    st_asof AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT e.user_id, e.event_type, e.value, {_OP} AS op,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.event_id DESC) AS rn
+        FROM events e, b WHERE e.event_id <= b.pivot
+      ) WHERE rn = 1 AND op <> 'D'),
+    st_cur AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value, {_OP} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND op <> 'D')
+    SELECT a.user_id,
+           a.event_type AS last_event_asof,
+           ROUND(CAST(a.value AS DECIMAL(18,4)), 2)::DOUBLE AS last_value_asof,
+           (c.user_id IS NULL
+            OR c.event_type <> a.event_type
+            OR ROUND(CAST(c.value AS DECIMAL(18,4)), 2)
+               <> ROUND(CAST(a.value AS DECIMAL(18,4)), 2)) AS changed_since
+    FROM st_asof a LEFT JOIN st_cur c ON a.user_id = c.user_id
+    """,
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time travel over the change log: the state a reader would have seen
+    at an interior LSN, plus a changed-since-then flag per key.  The
+    reference can only stream forward from an offset (reader.py's resume
+    LSN); retaining the log makes every historical state a *query* —
+    the snapshot-isolation debugging tool a 100 TB pipeline needs when a
+    downstream asks "what did the table look like when my job ran?".
+
+    Plan: both reconstructions are one window over the same user_id hash
+    partitioning (the as-of side is the same scan with an LSN filter
+    pushed to parquet), then a co-partitioned left join — two shuffles
+    total, no state kept anywhere."""
+    (events,) = load(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    pivot = events.agg(
+        (
+            F.min("event_id")
+            + F.expr("(max(event_id) - min(event_id)) * 3 div 5")
+        ).alias("pivot")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+
+    def state(df):
+        return (
+            df.withColumn("op", op)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("user_id", "event_type", money(F.col("value").cast("decimal(18,4)")).alias("v"))
+        )
+
+    asof = state(
+        events.join(F.broadcast(pivot)).filter(F.col("event_id") <= F.col("pivot"))
+    )
+    cur = state(events).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_type").alias("c_event_type"),
+        F.col("v").alias("c_v"),
+    )
+    return asof.join(cur, asof.user_id == cur.c_user_id, "left").select(
+        "user_id",
+        F.col("event_type").alias("last_event_asof"),
+        F.col("v").alias("last_value_asof"),
+        (
+            F.col("c_user_id").isNull()
+            | (F.col("c_event_type") != F.col("event_type"))
+            | (F.col("c_v") != F.col("v"))
+        ).alias("changed_since"),
+    )

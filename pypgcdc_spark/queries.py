@@ -136,6 +136,9 @@ EXTENDED = frozenset(
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
+        # AS-OF-LSN reconstruction: the window+LWW shape is primary-
+        # evidenced by the kept cdc_apply_current_state.
+        "cdc_time_travel",
         # TPC-H variants whose operator shapes are covered by kept queries
         # (q1/q3/q9/q17/q18/q21 + join_*/agg_*/subq_* carry the categories).
         "q4_order_priority",
