@@ -1,0 +1,195 @@
+"""Embedding clustering: fixed-point Lloyd's k-means for domain/topic
+discovery over an embedding column — the unsupervised half of corpus
+curation (cluster → inspect → reweight/drop), next to the supervised
+quality scores in ``text.py``.
+
+Determinism design: floating-point k-means is not reproducible across
+engines (summation order changes argmin ties), so every quantity here is
+**scaled-integer exact**: embeddings quantize to 1e-4 fixed point
+(BIGINT), distances are exact integer sums of squares, centroid updates
+round through double division of exactly-representable integer sums, and
+argmin ties break on cluster id.  The DuckDB oracle replays the same two
+unrolled Lloyd iterations bit-for-bit — an *iterative ML kernel inside
+the correctness gate*, same discipline as graph_pagerank.
+
+Scale shape (100 TB): k centroids are a broadcast literal table (k×dim
+ints); assignment is a map-side broadcast join + min-struct agg per
+vector (no vector ever shuffles); the update shuffles only (cid, pos)
+partial sums — k×dim rows regardless of corpus size, the k-means
+analogue of the rank-vector-only PageRank shuffle.
+
+Reference parity: no counterpart — the reference (pypgcdc) is a CDC
+client; clustering is part of the training-data surface this engine adds
+(SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+K = 8  # clusters
+ITERS = 2  # Lloyd iterations (fixed → oracle-unrollable)
+DIM = 64
+SCALE = 10000  # 1e-4 fixed point
+
+
+def _scaled(col):
+    """embedding FLOAT[] → exact BIGINT fixed-point array."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def _dist2(v, c):
+    """Exact integer squared L2 distance between two scaled arrays."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vectors, centroids):
+    """(vec_id, v, label) × broadcast centroids → min-distance cluster
+    (ties → smallest cid, via lexicographic struct min)."""
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    d = joined.withColumn("d2", _dist2(F.col("v"), F.col("cvec")))
+    return d.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid")).alias("m"),
+        F.any_value("v").alias("v"),
+        F.any_value("label").alias("label"),
+    ).select("vec_id", "v", "label", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+
+
+def _update(assigned):
+    """New centroids: per-dimension rounded mean of the scaled members.
+    Only k×DIM (cid, pos) partial sums shuffle — never the vectors."""
+    exploded = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+    sums = exploded.groupBy("cid", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    coord = sums.withColumn(
+        "cval", F.round(F.col("s").cast("double") / F.col("n")).cast("long")
+    )
+    return coord.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+        ).alias("cvec")
+    )
+
+
+# DuckDB fragments shared by the unrolled oracle iterations.
+_SQL_DIST = (
+    "CAST(list_sum(list_transform(list_zip(v, cvec), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+
+def _sql_assign(vec_cte: str, cent_cte: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT vec_id, v, label, cid, d2 FROM (
+        SELECT t.vec_id, t.v, t.label, c.cid, {_SQL_DIST} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM {vec_cte} t CROSS JOIN {cent_cte} c
+      ) WHERE rn = 1)"""
+
+
+def _sql_update(assign_cte: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT cid, list(cval ORDER BY pos) AS cvec FROM (
+        SELECT cid, pos,
+               CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+        FROM (SELECT cid, unnest(v) AS val,
+                     unnest(range(1, {DIM + 1})) AS pos
+              FROM {assign_cte})
+        GROUP BY cid, pos)
+      GROUP BY cid)"""
+
+
+@query(
+    "embed_kmeans_domains",
+    oracle=f"""
+    -- Two unrolled fixed-point Lloyd iterations (k={K}, 1e-4 quantized,
+    -- exact integer distances, ties → smallest cid), then per-cluster
+    -- size, mean squared distance, and label purity vs ground truth.
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS v
+      FROM embeddings),
+    cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM vecs ORDER BY vec_id LIMIT {K}),
+    {_sql_assign('vecs', 'cent0', 'a0')},
+    {_sql_update('a0', 'cent1')},
+    {_sql_assign('vecs', 'cent1', 'a1')},
+    {_sql_update('a1', 'cent2')},
+    {_sql_assign('vecs', 'cent2', 'a2')},
+    lab AS (
+      SELECT cid, label, COUNT(*) AS n_lab FROM a2 GROUP BY cid, label),
+    top_lab AS (
+      SELECT cid, label AS top_label, n_lab FROM (
+        SELECT cid, label, n_lab,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY n_lab DESC, label ASC) AS rn
+        FROM lab) WHERE rn = 1)
+    SELECT a.cid AS cluster_id,
+           COUNT(*) AS n_members,
+           ROUND(CAST(SUM(a.d2) AS DOUBLE) / COUNT(*) / {SCALE * SCALE}, 4)
+               AS avg_dist2,
+           ANY_VALUE(t.top_label) AS top_label,
+           ROUND(CAST(ANY_VALUE(t.n_lab) AS DOUBLE) / COUNT(*), 4) AS label_purity
+    FROM a2 a JOIN top_lab t ON a.cid = t.cid
+    GROUP BY a.cid
+    """,
+)
+def embed_kmeans_domains(spark, sf_dir):
+    """Domain discovery: k-means over the embedding corpus (k={K}, {ITERS}
+    Lloyd iterations from the {K} lowest-vec_id seeds), reported as
+    per-cluster size, mean squared distance (unscaled), and purity
+    against the fixture's ground-truth labels."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", "label", _scaled(F.col("embedding")).alias("v"))
+
+    from pyspark.sql import Window
+
+    # limit-K first so the ranking window runs over K rows, not the corpus
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(K)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", F.col("v").alias("cvec"))
+    )
+    assigned = None
+    for _ in range(ITERS):
+        assigned = _assign(vectors, centroids)
+        centroids = _update(assigned)
+    final = _assign(vectors, centroids)
+
+    lab = final.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n_lab"))
+    top = lab.groupBy("cid").agg(
+        F.max(F.struct("n_lab", (-F.col("label")).alias("neg_label"))).alias("m")
+    ).select(
+        "cid", (-F.col("m.neg_label")).alias("top_label"), F.col("m.n_lab").alias("n_lab")
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .join(F.broadcast(top), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.round(
+                F.col("sum_d2").cast("double") / F.col("n_members") / (SCALE * SCALE), 4
+            ).alias("avg_dist2"),
+            "top_label",
+            F.round(F.col("n_lab").cast("double") / F.col("n_members"), 4).alias(
+                "label_purity"
+            ),
+        )
+    )

@@ -133,6 +133,10 @@ EXTENDED = frozenset(
         # primary slot via approx_distinct_and_quantiles).
         "join_bloom_prefilter",
         "sketch_count_min",
+        # Fixed-point Lloyd k-means (iterative broadcast-join kernel —
+        # family primary-evidenced by graph_pagerank's unrolled-oracle
+        # discipline; ANN/embedding categories keep their primary slots).
+        "embed_kmeans_domains",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
@@ -256,6 +260,7 @@ def ensure_registered() -> None:
         bucketed,
         cdc_dedup,
         cdc_queries,
+        clustering,
         collections_fns,
         dedup,
         graph_queries,

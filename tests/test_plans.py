@@ -472,3 +472,16 @@ def test_count_min_cells_are_map_side_combined(spark, sf_dir):
     assert "CartesianProduct" not in txt
     # the sketch is fixed-size by construction
     assert _CM_D * _CM_W <= 4096
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Lloyd assignment must be a map-side broadcast of the k×dim
+    centroid table — the vectors themselves never shuffle for argmin;
+    only (cid, pos) partial sums move in the update."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["embed_kmeans_domains"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
