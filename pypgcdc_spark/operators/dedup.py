@@ -699,3 +699,73 @@ def dedup_canonical_selection(spark, sf_dir):
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    -- Typo-level near-dup pairs: edit distance ≤ 4 on the 80-char
+    -- prefix, candidates from shared *rare* 4-grams (df ≤ 32) with a
+    -- length filter — the oracle replays the same candidate generation,
+    -- so the (bounded) recall of the prefilter is itself gate-checked.
+    WITH p AS (SELECT doc_id, substr(text, 1, 80) AS pre
+               FROM documents WHERE length(text) >= 8),
+    gd AS (SELECT DISTINCT doc_id, pre, gram FROM (
+             SELECT doc_id, pre,
+                    unnest(list_transform(range(1, length(pre) - 2),
+                                          i -> substr(pre, i, 4))) AS gram
+             FROM p)),
+    rare AS (SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) <= 32),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                    a.pre AS pa, b.pre AS pb
+             FROM gd a
+             JOIN rare r ON a.gram = r.gram
+             JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             WHERE abs(length(a.pre) - length(b.pre)) <= 4)
+    SELECT doc_id_a, doc_id_b, levenshtein(pa, pb) AS edit_dist
+    FROM cand WHERE levenshtein(pa, pb) <= 4
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup: the typo/OCR-noise complement of the
+    token-level Jaccard and MinHash families — catches pairs that differ
+    by single-character noise a shingle hash scatters.
+
+    Scale shape: candidates come from an inverted index on rare prefix
+    4-grams (df-capped, the same discipline as dedup_ngram_jaccard's
+    max_shingle_df), with a cheap length filter before the only
+    expensive step; levenshtein (quadratic per pair) runs on candidate
+    pairs only, never all-pairs — no cartesian at any size.  The df cap
+    bounds per-gram fan-out, keeping the pair explosion linear in
+    corpus size."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pre = docs.filter(F.length("text") >= 8).select(
+        "doc_id", F.substring("text", 1, 80).alias("pre")
+    )
+    grams = pre.select(
+        "doc_id",
+        "pre",
+        F.explode(
+            F.expr("transform(sequence(1, length(pre) - 3), i -> substring(pre, i, 4))")
+        ).alias("gram"),
+    ).distinct()
+    rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 32
+    )
+    a = grams.join(rare.select("gram"), "gram")
+    b = grams.select(
+        F.col("gram").alias("gram"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pre").alias("pb"),
+    )
+    cand = (
+        a.join(b, (a.gram == b.gram) & (a.doc_id < b.doc_id_b))
+        .filter(F.abs(F.length("pre") - F.length("pb")) <= 4)
+        .select(
+            F.col("doc_id").alias("doc_id_a"), "doc_id_b", F.col("pre").alias("pa"), "pb"
+        )
+        .distinct()
+    )
+    return cand.withColumn("edit_dist", F.levenshtein("pa", "pb")).filter(
+        F.col("edit_dist") <= 4
+    ).select("doc_id_a", "doc_id_b", "edit_dist")

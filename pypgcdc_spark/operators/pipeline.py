@@ -326,3 +326,52 @@ def pipeline_deterministic_sample(spark, sf_dir):
         F.sum(F.when(in_sample, F.col("doc_id")).otherwise(0)).alias("sampled_id_sum"),
         F.min(F.when(in_sample, F.col("doc_id"))).alias("first_sampled"),
     )
+
+
+@query(
+    "pipeline_doc_chunking",
+    oracle="""
+    -- Training-window chunking: 256-char windows at stride 192 (64-char
+    -- overlap), entirely in-row — chunk boundaries, per-chunk md5s, and
+    -- an order-sensitive chunk-chain fingerprint per document.
+    SELECT doc_id,
+           len(chunks) AS n_chunks,
+           length(substr(text, 1 + (len(chunks) - 1) * 192, 256))
+               AS last_chunk_len,
+           md5(array_to_string(chunks, '|')) AS chunk_fingerprint
+    FROM (
+      SELECT doc_id, text,
+             list_transform(range(1, length(text) + 1, 192),
+                            p -> md5(substr(text, p, 256))) AS chunks
+      FROM documents WHERE length(text) > 0)
+    """,
+)
+def pipeline_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking — the step that turns variable-
+    length documents into fixed-size training windows (256 chars, stride
+    192) before packing.  Emits per-doc chunk counts, the ragged last
+    window's length, and an order-sensitive fingerprint of the chunk
+    chain (md5 of the per-chunk md5s in position order).
+
+    Scale shape: ZERO shuffles — chunk positions, windows, and the chain
+    fingerprint are all higher-order array expressions evaluated in-row
+    inside codegen (sequence → transform → concat), so chunking 100 TB
+    is a pure map over the corpus; downstream packing reuses the
+    existing single-window shuffle.  Map-only plan pinned in
+    tests/test_plans.py."""
+    (docs,) = load(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(1, length(text), 192), p -> md5(substring(text, p, 256)))"
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .withColumn("chunks", chunks)
+        .select(
+            "doc_id",
+            F.size("chunks").cast("long").alias("n_chunks"),
+            F.length(
+                F.expr("substring(text, 1 + (size(chunks) - 1) * 192, 256)")
+            ).cast("long").alias("last_chunk_len"),
+            F.md5(F.concat_ws("|", "chunks")).alias("chunk_fingerprint"),
+        )
+    )

@@ -137,6 +137,12 @@ EXTENDED = frozenset(
         # family primary-evidenced by graph_pagerank's unrolled-oracle
         # discipline; ANN/embedding categories keep their primary slots).
         "embed_kmeans_domains",
+        # Typo-level (levenshtein) near-dup: the dedup family keeps
+        # exact/minhash/jaccard/cosine primary.
+        "dedup_edit_distance",
+        # In-row sliding-window chunking (map-only array exprs; the
+        # packing/curation family keeps its primary slots).
+        "pipeline_doc_chunking",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",

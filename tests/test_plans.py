@@ -485,3 +485,23 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in txt
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_doc_chunking_is_map_only(spark, sf_dir):
+    """Chunk windows, counts, and chain fingerprints are in-row array
+    expressions — the chunking pass must not shuffle at all."""
+    from pypgcdc_spark.plans.inspect import shuffle_count
+
+    df = REGISTRY["pipeline_doc_chunking"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+
+def test_edit_distance_no_cartesian(spark, sf_dir):
+    """Candidate pairs come from the rare-gram inverted index — never an
+    all-pairs product; levenshtein runs on candidates only."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["dedup_edit_distance"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
