@@ -235,3 +235,89 @@ def sketch_count_min(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
     )
+
+
+_KMV_K = 64
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    -- KMV (k-minimum-values, k={_KMV_K}) distinct-count sketch per
+    -- language: est = (k-1) * 2^32 / h_(k) over 32-bit md5 hashes.
+    -- Estimate, exact count, and signed relative error all hash-gated.
+    WITH t AS (SELECT DISTINCT lang, term FROM (
+                 SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents)),
+    h AS (SELECT DISTINCT lang,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM t),
+    r AS (SELECT lang, hv,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_h
+          FROM h),
+    kth AS (SELECT lang, MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS rk,
+                   ANY_VALUE(n_h) AS n_h
+            FROM r GROUP BY lang),
+    ex AS (SELECT lang, COUNT(*) AS n_exact FROM t GROUP BY lang),
+    est AS (SELECT e.lang, e.n_exact,
+                   ROUND(CASE WHEN k.rk IS NULL THEN CAST(k.n_h AS DOUBLE)
+                              ELSE {_KMV_K - 1}.0 * 4294967296.0 / k.rk
+                         END, 2) AS kmv_est
+            FROM ex e JOIN kth k ON e.lang = k.lang)
+    SELECT lang, n_exact, kmv_est,
+           ROUND((kmv_est - n_exact) / n_exact * 100, 2) AS rel_err_pct
+    FROM est
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch: per language, keep only the {k} smallest
+    32-bit hashes of the vocabulary; the k-th minimum's position in hash
+    space estimates cardinality as (k-1)·2³²/h₍k₎.
+
+    Scale shape: the sketch state is {k} hashes per group regardless of
+    corpus size (the cardinality dual of count-min's fixed grid — CMS
+    answers "how often", KMV answers "how many distinct"), merges by
+    keeping the union's k smallest, and the estimate never rescans.
+    Spark's own approx_count_distinct (HLL) is the production default
+    (approx_distinct_and_quantiles); KMV is the variant whose estimate
+    an independent engine reproduces EXACTLY, so the sketch math itself
+    sits inside the correctness gate, error and all."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).distinct()
+    hashes = terms.select(
+        "lang",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("lang").orderBy("hv")
+    ranked = hashes.select(
+        "lang",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_h"),
+    )
+    kth = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("rk"),
+        F.any_value("n_h").alias("n_h"),
+    )
+    exact = terms.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = exact.join(kth, "lang").withColumn(
+        "kmv_est",
+        F.round(
+            F.when(F.col("rk").isNull(), F.col("n_h").cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0) / F.col("rk")
+            ),
+            2,
+        ),
+    )
+    return est.select(
+        "lang",
+        "n_exact",
+        "kmv_est",
+        F.round((F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact") * 100, 2).alias(
+            "rel_err_pct"
+        ),
+    )

@@ -143,6 +143,11 @@ EXTENDED = frozenset(
         # In-row sliding-window chunking (map-only array exprs; the
         # packing/curation family keeps its primary slots).
         "pipeline_doc_chunking",
+        # KMV cardinality sketch (exact-reproducible twin of the kept
+        # HLL approx_distinct) and calendar-spine gap fill (join/agg
+        # shapes amply primary).
+        "sketch_kmv_distinct",
+        "timeseries_gap_fill",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
@@ -281,5 +286,6 @@ def ensure_registered() -> None:
         retrieval,
         similarity,
         streaming_windows,
+        timeseries,
         text,
     )
