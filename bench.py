@@ -79,6 +79,16 @@ NEW_OPS_R4 = [
     "graph_pagerank_bucketed",
     "join_bucketed_colocated",
     "ann_scalar_quantized",
+    "layout_partition_pruned_scan",
+    "layout_dynamic_partition_pruning",
+    "join_bloom_prefilter",
+    "sketch_count_min",
+    "sketch_kmv_distinct",
+    "cdc_time_travel",
+    "embed_kmeans_domains",
+    "dedup_edit_distance",
+    "pipeline_doc_chunking",
+    "timeseries_gap_fill",
 ]
 
 
