@@ -198,3 +198,118 @@ def bm25_search(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+RRF_K = 60  # reciprocal-rank-fusion damping (Cormack et al., SIGIR'09)
+RRF_DENSE_QUERY = 3  # fixed query vector: embedding of vec_id 3 (== doc_id)
+RRF_TOPK = 10
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    -- Hybrid retrieval: BM25 (sparse) and cosine (dense, query = the
+    -- embedding of doc {RRF_DENSE_QUERY}) rank lists fused with
+    -- reciprocal-rank fusion: rrf = Σ 1/({RRF_K} + rank).  Ranks use
+    -- rounded scores + id tiebreaks, so fusion is engine-independent.
+    WITH {_TOK_SQL},
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM doclen),
+    tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok
+           WHERE t IN {tuple(BM25_QUERY)} GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    bm25s AS (
+      SELECT tf.doc_id,
+             SUM(CAST(ROUND(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * f / (f + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+             6) AS DECIMAL(18,6))) AS score
+      FROM tf JOIN df USING (t)
+              JOIN doclen USING (doc_id)
+              CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    sparse AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(score AS DOUBLE), 4) DESC, doc_id ASC)
+             AS sparse_rank
+      FROM bm25s QUALIFY sparse_rank <= {RRF_TOPK}),
+    q AS (SELECT embedding AS eq FROM embeddings WHERE vec_id = {RRF_DENSE_QUERY}),
+    ex AS (SELECT c.vec_id AS doc_id, eq[i]::DOUBLE AS x, c.embedding[i]::DOUBLE AS y
+           FROM embeddings c, q, unnest(generate_series(1, 64)) t(i)
+           WHERE c.vec_id <> {RRF_DENSE_QUERY}),
+    cos AS (SELECT doc_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+            FROM ex GROUP BY 1),
+    dense AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+             AS dense_rank
+      FROM cos QUALIFY dense_rank <= {RRF_TOPK}),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             COALESCE(s.sparse_rank, 0) AS sparse_rank,
+             COALESCE(d.dense_rank, 0) AS dense_rank,
+             ROUND(COALESCE(1.0 / ({RRF_K} + s.sparse_rank), 0)
+                   + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0), 6) AS rrf
+      FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+    SELECT doc_id, sparse_rank, dense_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {RRF_TOPK}
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+    standard production search stack (lexical BM25 catches exact terms,
+    embedding cosine catches paraphrase; RRF fuses without score
+    calibration).  Sparse ranks reuse the registered BM25 top-k; dense
+    ranks are cosine against one fixed document embedding (vec_id ==
+    doc_id linkage of the fixture).
+
+    Scale shape: both rank lists are top-k (TakeOrderedAndProject —
+    never a global sort), the fusion is a full-outer join of two ≤k-row
+    lists, and each side inherits its own operator's scale path (term-
+    filtered postings; broadcast-query corpus scan)."""
+    from pyspark.sql import Window
+
+    from pypgcdc_spark.operators.similarity import _cosine
+
+    sparse = (
+        bm25_search(spark, sf_dir)
+        .withColumn(
+            "sparse_rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .filter(F.col("sparse_rank") <= RRF_TOPK)
+        .select("doc_id", "sparse_rank")
+    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_DENSE_QUERY).select(
+        F.col("embedding").alias("eq")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("eq"), F.col("embedding")), 4).alias("cosine"),
+        )
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+        )
+        .filter(F.col("dense_rank") <= RRF_TOPK)
+        .select("doc_id", "dense_rank")
+    )
+    s = sparse.withColumnRenamed("doc_id", "s_doc")
+    d = dense.withColumnRenamed("doc_id", "d_doc")
+    fused = s.join(d, s.s_doc == d.d_doc, "full_outer").select(
+        F.coalesce("s_doc", "d_doc").alias("doc_id"),
+        F.coalesce("sparse_rank", F.lit(0)).cast("long").alias("sparse_rank"),
+        F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)

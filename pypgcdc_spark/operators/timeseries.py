@@ -84,3 +84,73 @@ def timeseries_gap_fill(spark, sf_dir):
             F.col("dday").isNull().alias("is_gap"),
         )
     )
+
+
+@query(
+    "timeseries_rolling_stats",
+    oracle=f"""
+    -- Trailing 7-day rolling mean + relative-deviation anomaly flag over
+    -- the DENSE (gap-filled) daily series: rolling windows are only
+    -- correct over a dense spine — a missing day would silently widen
+    -- the ROWS frame's time span.  All arithmetic runs on already-
+    -- rounded daily revenues through exact decimal sums.
+    WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d0 + {SPINE_DAYS - 1},
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+      FROM orders, b
+      WHERE CAST(o_orderdate AS DATE) BETWEEN d0 AND d0 + {SPINE_DAYS - 1}
+      GROUP BY 1),
+    dense AS (
+      SELECT s.day, COALESCE(d.revenue, 0.0) AS revenue
+      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+    roll AS (
+      SELECT day, revenue,
+             ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w, 2) AS avg7
+      FROM dense
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue, avg7,
+           CASE WHEN avg7 = 0 THEN 0.0
+                ELSE ROUND((revenue - avg7) / avg7 * 100, 2) END AS dev_pct,
+           (avg7 <> 0 AND abs((revenue - avg7) / avg7) > 0.5) AS is_anomaly
+    FROM roll
+    """,
+)
+def timeseries_rolling_stats(spark, sf_dir):
+    """Rolling 7-day trailing mean and anomaly flag (|deviation| > 50% of
+    the trailing mean) over the dense daily revenue series — the
+    monitoring layer on top of gap filling, and the reason gap filling
+    exists: a ROWS frame over a sparse series would silently span a
+    variable amount of calendar time.
+
+    Scale shape: one window over the spine-sized series (rows ∝ calendar
+    days, not data volume), fed by the same pushed-down bounded scan +
+    map-side-combined daily agg as timeseries_gap_fill."""
+    from pyspark.sql import Window
+
+    dense = timeseries_gap_fill(spark, sf_dir).select("day", "revenue")
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    roll = dense.select(
+        "day",
+        "revenue",
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            2,
+        ).alias("avg7"),
+    )
+    dev = (F.col("revenue") - F.col("avg7")) / F.col("avg7")
+    return roll.select(
+        "day",
+        "revenue",
+        "avg7",
+        F.when(F.col("avg7") == 0, F.lit(0.0))
+        .otherwise(F.round(dev * 100, 2))
+        .alias("dev_pct"),
+        ((F.col("avg7") != 0) & (F.abs(dev) > 0.5)).alias("is_anomaly"),
+    )

@@ -148,6 +148,10 @@ EXTENDED = frozenset(
         # shapes amply primary).
         "sketch_kmv_distinct",
         "timeseries_gap_fill",
+        # RRF fusion of the kept BM25 + ANN primaries.
+        "retrieval_hybrid_rrf",
+        # Rolling-window composition over the gap-filled spine.
+        "timeseries_rolling_stats",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
