@@ -89,6 +89,8 @@ NEW_OPS_R4 = [
     "dedup_edit_distance",
     "pipeline_doc_chunking",
     "timeseries_gap_fill",
+    "retrieval_hybrid_rrf",
+    "timeseries_rolling_stats",
 ]
 
 
