@@ -54,6 +54,17 @@ STRESS_ITER = [
     "graph_pagerank_bucketed",
     "dedup_cc_large_star",
 ]
+# Round-4 session additions: candidate-generation dedup (pair-explosion
+# risk), fixed-size sketch build, bloom-prefiltered join (exact-linear
+# match counts by construction), and the iterative k-means kernel
+# (replicated identical vectors ⇒ identical centroids, member counts
+# exactly ×REPL — an absolute correctness check on the iteration).
+STRESS_R4 = [
+    "dedup_edit_distance",
+    "sketch_count_min",
+    "join_bloom_prefilter",
+    "embed_kmeans_domains",
+]
 
 
 def build_scaled(spark, out_dir: str, repl: int) -> None:
@@ -74,9 +85,41 @@ def build_scaled(spark, out_dir: str, repl: int) -> None:
 
     # orders: orderkey offsets aligned with lineitem's, custkey offsets
     # make each replica's customer set disjoint → the trade graph is REPL
-    # disjoint copies of the base graph.
+    # disjoint copies of the base graph.  The custkey offset is shared
+    # with the customer table below so dim⋈fact joins stay replica-
+    # aligned (bloom-prefilter match counts scale EXACTLY ×REPL).
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
-    max_ck = orders.agg(F.max("o_custkey")).first()[0] + 1
+    customer = spark.read.parquet(f"{BASE}/customer.parquet")
+    max_ck = (
+        max(
+            orders.agg(F.max("o_custkey")).first()[0],
+            customer.agg(F.max("c_custkey")).first()[0],
+        )
+        + 1
+    )
+    cparts = [
+        customer.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * max_ck))
+        for i in range(repl)
+    ]
+    cout = cparts[0]
+    for p in cparts[1:]:
+        cout = cout.unionByName(p)
+    cout.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    # embeddings: vec_id offsets only — coordinates and labels unchanged,
+    # so the scaled corpus is REPL identical copies of every vector and
+    # k-means (seeded from replica-0's first k ids) must reproduce the
+    # base centroids with member counts exactly ×REPL.
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    vparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vid))
+        for i in range(repl)
+    ]
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     oparts = [
         orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
         .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * max_ck))
@@ -182,7 +225,7 @@ def main() -> None:
         # so the bucketed variant's one-time edge-table build lands in the
         # warm-up execution (steady-state semantics, same as every other
         # stressed query).
-        for name in STRESS_ITER:
+        for name in STRESS_ITER + STRESS_R4:
             fn = REGISTRY[name].fn
             try:
                 fn(spark, WARM).write.format("noop").mode("overwrite").save()
@@ -317,6 +360,66 @@ def main() -> None:
             "clusters_exact_linear": len(cc_scaled) == repl * len(cc_base),
             "members_exact_linear": int(cc_scaled.n_members.sum())
             == repl * int(cc_base.n_members.sum()),
+        }
+        # -- round-4 session ops: absolute checks at the scaled size ----
+        # bloom: replica-aligned custkey offsets ⇒ dim keys and verified
+        # matches scale EXACTLY ×REPL; false positives need not (the
+        # bitset saturates), so they are recorded, not asserted.
+        bl_base = REGISTRY["join_bloom_prefilter"].fn(spark, BASE).toPandas().iloc[0]
+        bl_scaled = REGISTRY["join_bloom_prefilter"].fn(spark, work).toPandas().iloc[0]
+        report["correctness"]["join_bloom_prefilter"] = {
+            "dim_keys_exact_linear": int(bl_scaled.n_dim_keys)
+            == repl * int(bl_base.n_dim_keys),
+            "true_matches_exact_linear": int(bl_scaled.n_true_matches)
+            == repl * int(bl_base.n_true_matches),
+            f"fp_x{repl}": int(bl_scaled.n_false_positives),
+            "fp_sf0.1": int(bl_base.n_false_positives),
+        }
+
+        # k-means: identical replicated vectors + replica-0 seeds ⇒ the
+        # iteration must reproduce base centroids exactly — member counts
+        # ×REPL, avg_dist2 and top_label bit-identical per cluster.
+        km_base = (
+            REGISTRY["embed_kmeans_domains"].fn(spark, BASE).toPandas()
+            .set_index("cluster_id").sort_index()
+        )
+        km_scaled = (
+            REGISTRY["embed_kmeans_domains"].fn(spark, work).toPandas()
+            .set_index("cluster_id").sort_index()
+        )
+        report["correctness"]["embed_kmeans_domains"] = {
+            "members_exact_linear": bool(
+                (km_scaled.n_members == repl * km_base.n_members).all()
+            ),
+            "avg_dist2_identical": bool(
+                (km_scaled.avg_dist2 == km_base.avg_dist2).all()
+            ),
+            "top_label_identical": bool(
+                (km_scaled.top_label == km_base.top_label).all()
+            ),
+        }
+
+        # edit-distance: word-salting changes intra-pair distances, so
+        # counts are recorded with the structural guarantee only (every
+        # pair stays inside one replica — no cross-replica explosion).
+        ed_base = REGISTRY["dedup_edit_distance"].fn(spark, BASE).toPandas()
+        ed_scaled = REGISTRY["dedup_edit_distance"].fn(spark, work).toPandas()
+        report["correctness"]["dedup_edit_distance"] = {
+            "pairs_sf0.1": len(ed_base),
+            f"pairs_x{repl}": len(ed_scaled),
+            "all_pairs_intra_replica": bool(
+                ((ed_scaled.doc_id_a // DOC_STRIDE) == (ed_scaled.doc_id_b // DOC_STRIDE)).all()
+            )
+            if len(ed_scaled)
+            else True,
+        }
+
+        # count-min: the grid absorbs a ×REPL vocabulary — estimates stay
+        # one-sided (overcount ≥ 0) and the output stays 8 rows.
+        cm_scaled = REGISTRY["sketch_count_min"].fn(spark, work).toPandas()
+        report["correctness"]["sketch_count_min"] = {
+            "rows": len(cm_scaled),
+            "one_sided": bool((cm_scaled.overcount >= 0).all()),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
