@@ -27,27 +27,35 @@ _CM_D = 4  # count-min rows
 _CM_W = 512  # count-min buckets per row
 
 
-def _h(col, salt: str, mod: int):
-    """First-8-hex-chars md5 bucket, identical to the DuckDB expression
-    ``('0x' || substr(md5('<salt>' || x), 1, 8))::BIGINT % mod``."""
+def _md5(col, salt: str):
+    """One md5 per value; independent hash functions come from disjoint
+    8-hex-char windows of the digest (probe cost per row is ONE hash at
+    any k — the thing that matters when the probe runs per fact row at
+    100 TB)."""
+    return F.md5(F.concat(F.lit(salt), col.cast("string")))
+
+
+def _slice(h, i: int, mod: int):
+    """i-th disjoint 32-bit window of an md5 hex digest, mod ``mod`` —
+    identical to the DuckDB expression in ``_slice_sql``."""
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
-        .cast("long")
-        % mod
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % mod
     )
 
 
-def _h_sql(expr: str, salt: str, mod: int) -> str:
-    return f"(('0x' || substr(md5('{salt}' || {expr}), 1, 8))::BIGINT % {mod})"
+def _slice_sql(expr: str, salt: str, i: int, mod: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || {expr}), {1 + 8 * i}, 8))::BIGINT % {mod})"
+    )
 
 
 _BLOOM_DIM_FILTER = "c_mktsegment = 'BUILDING' AND c_acctbal > 5000"
 
 _bloom_positions_sql = ", ".join(
-    _h_sql("c_custkey", f"bf{i}:", _BLOOM_M) + f" AS p{i}" for i in range(_BLOOM_K)
+    _slice_sql("c_custkey", "bf:", i, _BLOOM_M) + f" AS p{i}" for i in range(_BLOOM_K)
 )
 _order_positions_sql = " AND ".join(
-    _h_sql("o_custkey", f"bf{i}:", _BLOOM_M) + " IN (SELECT p FROM bits)"
+    _slice_sql("o_custkey", "bf:", i, _BLOOM_M) + " IN (SELECT p FROM bits)"
     for i in range(_BLOOM_K)
 )
 
@@ -95,19 +103,23 @@ def join_bloom_prefilter(spark, sf_dir):
     customer, orders = load(spark, sf_dir, "customer", "orders")
     dim = customer.filter(F.expr(_BLOOM_DIM_FILTER)).select("c_custkey")
 
-    pos = dim.select(
+    dim_h = dim.withColumn("h", _md5(F.col("c_custkey"), "bf:"))
+    pos = dim_h.select(
         F.explode(
-            F.array(*[_h(F.col("c_custkey"), f"bf{i}:", _BLOOM_M) for i in range(_BLOOM_K)])
+            F.array(*[_slice(F.col("h"), i, _BLOOM_M) for i in range(_BLOOM_K)])
         ).alias("p")
     )
     bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
 
-    probes = [_h(F.col("o_custkey"), f"bf{i}:", _BLOOM_M) for i in range(_BLOOM_K)]
     member = F.lit(True)
-    for p in probes:
-        member = member & F.array_contains(F.col("bits"), p)
+    for i in range(_BLOOM_K):
+        member = member & F.array_contains(
+            F.col("bits"), _slice(F.col("h"), i, _BLOOM_M)
+        )
     cand = (
-        orders.select("o_custkey", "o_totalprice")
+        orders.select(
+            "o_custkey", "o_totalprice", _md5(F.col("o_custkey"), "bf:").alias("h")
+        )
         .join(F.broadcast(bits))  # 1-row scalar broadcast, not a data cartesian
         .filter(member)
         .select("o_custkey", "o_totalprice")
@@ -152,7 +164,7 @@ _cm_rows_sql = ", ".join(str(i) for i in range(_CM_D))
     ),
     rows_ AS (SELECT unnest([{_cm_rows_sql}]) AS i),
     cells AS (
-      SELECT i, (('0x' || substr(md5('cm' || i || ':' || term), 1, 8))::BIGINT % {_CM_W}) AS bucket,
+      SELECT i, (('0x' || substr(md5('cm:' || term), 1 + 8 * i, 8))::BIGINT % {_CM_W}) AS bucket,
              COUNT(*) AS cell_n
       FROM tokens, rows_ GROUP BY 1, 2
     ),
@@ -167,7 +179,7 @@ _cm_rows_sql = ", ".join(str(i) for i in range(_CM_D))
       JOIN rows_ r ON TRUE
       JOIN cells c
         ON c.i = r.i
-       AND c.bucket = (('0x' || substr(md5('cm' || r.i || ':' || t.term), 1, 8))::BIGINT % {_CM_W})
+       AND c.bucket = (('0x' || substr(md5('cm:' || t.term), 1 + 8 * r.i, 8))::BIGINT % {_CM_W})
       GROUP BY t.term, t.exact_n
     )
     SELECT term, exact_n, cms_est, cms_est - exact_n AS overcount FROM est
@@ -189,20 +201,24 @@ def sketch_count_min(spark, sf_dir):
         F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
 
-    hashed = tokens.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _h(F.col("term"), f"cm{i}:", _CM_W).alias("bucket"),
-                    )
-                    for i in range(_CM_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("term", "rb.i", "rb.bucket")
+    hashed = (
+        tokens.withColumn("h", _md5(F.col("term"), "cm:"))  # ONE md5 per token
+        .select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _slice(F.col("h"), i, _CM_W).alias("bucket"),
+                        )
+                        for i in range(_CM_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .select("term", "rb.i", "rb.bucket")
+    )
     cells = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
 
     exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
@@ -216,7 +232,7 @@ def sketch_count_min(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        _h(F.col("term"), f"cm{i}:", _CM_W).alias("bucket"),
+                        _slice(_md5(F.col("term"), "cm:"), i, _CM_W).alias("bucket"),
                     )
                     for i in range(_CM_D)
                 ]
