@@ -21,8 +21,6 @@ from pypgcdc_spark.queries import load, query
 
 # --- shared md5 → integer helpers (Spark side) --------------------------
 
-_BLOOM_M = 8192  # bits
-_BLOOM_K = 3  # hash functions
 _CM_D = 4  # count-min rows
 _CM_W = 512  # count-min buckets per row
 
@@ -50,34 +48,43 @@ def _slice_sql(expr: str, salt: str, i: int, mod: int) -> str:
 
 
 _BLOOM_DIM_FILTER = "c_mktsegment = 'BUILDING' AND c_acctbal > 5000"
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_BITS_PER_KEY = 10  # m sizing target (~1.2% FP at k=3)
+_BLOOM_MIN_M = 4096
 
-_bloom_positions_sql = ", ".join(
-    _slice_sql("c_custkey", "bf:", i, _BLOOM_M) + f" AS p{i}" for i in range(_BLOOM_K)
-)
-_order_positions_sql = " AND ".join(
-    _slice_sql("o_custkey", "bf:", i, _BLOOM_M) + " IN (SELECT p FROM bits)"
-    for i in range(_BLOOM_K)
+# m = smallest power of two ≥ bits_per_key·|dim| (floored at MIN_M): the
+# sizing rule the ×10 stress run demonstrated the need for — a fixed m
+# saturates when the dim side grows (SCALE_STRESS_r04: FP 8.8k → 1.34M).
+# Engine-independent: 2^j is never a multiple of 10, so log2 can't land
+# on an integer boundary where libm rounding could disagree.
+_BLOOM_M_SQL = (
+    f"CAST(POWER(2, CEIL(LOG2(GREATEST({_BLOOM_BITS_PER_KEY} * COUNT(*), "
+    f"{_BLOOM_MIN_M})))) AS BIGINT)"
 )
 
 
 @query(
     "join_bloom_prefilter",
     oracle=f"""
-    -- Bloom-prefiltered dim⋈fact join: the fact side is prefiltered by a
-    -- {_BLOOM_M}-bit / {_BLOOM_K}-hash bloom of the filtered dim's keys, then
-    -- exact-verified.  Because the bloom is md5-defined, the candidate
-    -- and false-positive counts are engine-independent and hash-gated.
+    -- Bloom-prefiltered dim⋈fact join: the fact side is prefiltered by an
+    -- adaptively-sized ({_BLOOM_BITS_PER_KEY} bits/key, power of two) md5 bloom of the
+    -- filtered dim's keys, then exact-verified.  Because the bloom (size
+    -- included) is md5-defined, the candidate and false-positive counts
+    -- are engine-independent and hash-gated.
     WITH dim AS (SELECT c_custkey FROM customer WHERE {_BLOOM_DIM_FILTER}),
-         pos AS (SELECT {_bloom_positions_sql} FROM dim),
+         mm AS (SELECT {_BLOOM_M_SQL} AS m FROM dim),
+         pos AS (SELECT (('0x' || substr(md5('bf:' || c_custkey), 1, 8))::BIGINT % m) AS p0, (('0x' || substr(md5('bf:' || c_custkey), 9, 8))::BIGINT % m) AS p1, (('0x' || substr(md5('bf:' || c_custkey), 17, 8))::BIGINT % m) AS p2
+                 FROM dim, mm),
          bits AS (SELECT DISTINCT p FROM (
                     SELECT p0 AS p FROM pos UNION ALL
                     SELECT p1 FROM pos UNION ALL
                     SELECT p2 FROM pos)),
-         cand AS (SELECT o_custkey, o_totalprice FROM orders
-                  WHERE {_order_positions_sql}),
+         cand AS (SELECT o_custkey, o_totalprice FROM orders, mm
+                  WHERE (('0x' || substr(md5('bf:' || o_custkey), 1, 8))::BIGINT % m) IN (SELECT p FROM bits) AND (('0x' || substr(md5('bf:' || o_custkey), 9, 8))::BIGINT % m) IN (SELECT p FROM bits) AND (('0x' || substr(md5('bf:' || o_custkey), 17, 8))::BIGINT % m) IN (SELECT p FROM bits)),
          verified AS (SELECT c.c_custkey, o_totalprice
                       FROM cand o JOIN dim c ON o.o_custkey = c.c_custkey)
-    SELECT (SELECT COUNT(*) FROM dim)  AS n_dim_keys,
+    SELECT (SELECT m FROM mm) AS bloom_bits,
+           (SELECT COUNT(*) FROM dim)  AS n_dim_keys,
            (SELECT COUNT(*) FROM bits) AS n_bits_set,
            (SELECT COUNT(*) FROM cand) AS n_candidates,
            (SELECT COUNT(*) FROM verified) AS n_true_matches,
@@ -88,33 +95,39 @@ _order_positions_sql = " AND ".join(
     """,
 )
 def join_bloom_prefilter(spark, sf_dir):
-    """Semi-join reduction via a bloom filter: build a {m}-bit bloom of
+    """Semi-join reduction via a bloom filter sized to its key set
+    (~{bits_per_key} bits/key, next power of two): build the bloom of
     the (selectively filtered) customer keys, prefilter orders with it
     map-side, exact-verify only the survivors.
 
-    Scale shape: the fact table never shuffles — the bloom is ~1 KB
-    broadcast as a single sorted-positions row, membership is {k} md5
-    probes per fact row inside codegen, and the exact join touches only
-    candidates.  At 100 TB this is the difference between shuffling the
-    fact on the join key and streaming it through a scan-local filter
-    (Spark's own runtime bloom filters do this invisibly; here the
-    sketch is explicit, so its false-positive cost is *measured in the
-    gate output*: n_candidates − n_true_matches)."""
+    Scale shape: the fact table never shuffles — the bloom rides a 1-row
+    broadcast (KB-scale even at millions of dim keys), membership is one
+    md5 + {k} window probes per fact row inside codegen, and the exact
+    join touches only candidates.  Sizing is adaptive because the ×10
+    stress run showed a fixed bitset saturating (FP 8.8k → 1.34M,
+    SCALE_STRESS_r04.json); with m ∝ |dim| the FP *rate* stays flat as
+    the dim grows.  The sketch is explicit and md5-defined, so its
+    false-positive cost is measured in the gate output, not estimated:
+    n_candidates − n_true_matches."""
     customer, orders = load(spark, sf_dir, "customer", "orders")
     dim = customer.filter(F.expr(_BLOOM_DIM_FILTER)).select("c_custkey")
+    mm = dim.agg(F.expr(_BLOOM_M_SQL.replace("COUNT(*)", "count(1)")).alias("m"))
 
     dim_h = dim.withColumn("h", _md5(F.col("c_custkey"), "bf:"))
-    pos = dim_h.select(
+    pos = dim_h.join(F.broadcast(mm)).select(
         F.explode(
-            F.array(*[_slice(F.col("h"), i, _BLOOM_M) for i in range(_BLOOM_K)])
+            F.array(*[_slice(F.col("h"), i, F.col("m")) for i in range(_BLOOM_K)])
         ).alias("p")
     )
-    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    # one row: (sorted set positions, m) — the whole broadcast sketch
+    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits")).join(
+        F.broadcast(mm)
+    )
 
     member = F.lit(True)
     for i in range(_BLOOM_K):
         member = member & F.array_contains(
-            F.col("bits"), _slice(F.col("h"), i, _BLOOM_M)
+            F.col("bits"), _slice(F.col("h"), i, F.col("m"))
         )
     cand = (
         orders.select(
@@ -127,6 +140,7 @@ def join_bloom_prefilter(spark, sf_dir):
     verified = cand.join(F.broadcast(dim), cand.o_custkey == dim.c_custkey)
 
     stats = [
+        mm.select(F.col("m").alias("bloom_bits")),
         dim.agg(F.count(F.lit(1)).alias("n_dim_keys")),
         bits.select(F.size("bits").cast("long").alias("n_bits_set")),
         cand.agg(F.count(F.lit(1)).alias("n_candidates")),
@@ -141,6 +155,7 @@ def join_bloom_prefilter(spark, sf_dir):
     for s in stats[1:]:
         out = out.join(F.broadcast(s))  # scalar 1-row combines
     return out.select(
+        "bloom_bits",
         "n_dim_keys",
         "n_bits_set",
         "n_candidates",
