@@ -146,8 +146,8 @@ def _sql_update(assign_cte: str, out: str) -> str:
     """,
 )
 def embed_kmeans_domains(spark, sf_dir):
-    """Domain discovery: k-means over the embedding corpus (k={K}, {ITERS}
-    Lloyd iterations from the {K} lowest-vec_id seeds), reported as
+    """Domain discovery: k-means over the embedding corpus (k=8, two
+    Lloyd iterations from the 8 lowest-vec_id seeds), reported as
     per-cluster size, mean squared distance (unscaled), and purity
     against the fixture's ground-truth labels."""
     (emb,) = load(spark, sf_dir, "embeddings")

@@ -96,13 +96,13 @@ _BLOOM_M_SQL = (
 )
 def join_bloom_prefilter(spark, sf_dir):
     """Semi-join reduction via a bloom filter sized to its key set
-    (~{bits_per_key} bits/key, next power of two): build the bloom of
+    (~10 bits/key, next power of two): build the bloom of
     the (selectively filtered) customer keys, prefilter orders with it
     map-side, exact-verify only the survivors.
 
     Scale shape: the fact table never shuffles — the bloom rides a 1-row
     broadcast (KB-scale even at millions of dim keys), membership is one
-    md5 + {k} window probes per fact row inside codegen, and the exact
+    md5 + 3 window probes per fact row inside codegen, and the exact
     join touches only candidates.  Sizing is adaptive because the ×10
     stress run showed a fixed bitset saturating (FP 8.8k → 1.34M,
     SCALE_STRESS_r04.json); with m ∝ |dim| the FP *rate* stays flat as
@@ -201,9 +201,9 @@ _cm_rows_sql = ", ".join(str(i) for i in range(_CM_D))
     """,
 )
 def sketch_count_min(spark, sf_dir):
-    """Count-min sketch: a fixed {d}×{w} grid of counters summarizes the
+    """Count-min sketch: a fixed 4×512 grid of counters summarizes the
     full term-frequency distribution; point estimates are the min over
-    {d} hashed cells and can only overcount.
+    4 hashed cells and can only overcount.
 
     Scale shape: the sketch is O(1) in corpus size — cells build with one
     map-side-combining groupBy (at 100 TB, per-executor partial grids
@@ -301,11 +301,11 @@ _KMV_K = 64
     """,
 )
 def sketch_kmv_distinct(spark, sf_dir):
-    """KMV distinct-count sketch: per language, keep only the {k} smallest
+    """KMV distinct-count sketch: per language, keep only the 64 smallest
     32-bit hashes of the vocabulary; the k-th minimum's position in hash
     space estimates cardinality as (k-1)·2³²/h₍k₎.
 
-    Scale shape: the sketch state is {k} hashes per group regardless of
+    Scale shape: the sketch state is 64 hashes per group regardless of
     corpus size (the cardinality dual of count-min's fixed grid — CMS
     answers "how often", KMV answers "how many distinct"), merges by
     keeping the union's k smallest, and the estimate never rescans.

@@ -44,7 +44,7 @@ SPINE_DAYS = 60  # first N calendar days of the order history
 )
 def timeseries_gap_fill(spark, sf_dir):
     """Calendar gap filling: aggregate orders per day over the history's
-    first {SPINE_DAYS} days, then LEFT JOIN a generated date spine so
+    first 60 days, then LEFT JOIN a generated date spine so
     missing days appear explicitly (n_orders = 0, is_gap = true).
 
     Scale shape: the spine is a generated in-memory array (one row per
