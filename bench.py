@@ -91,6 +91,8 @@ NEW_OPS_R4 = [
     "timeseries_gap_fill",
     "retrieval_hybrid_rrf",
     "timeseries_rolling_stats",
+    "pipeline_temperature_sampling",
+    "events_pattern_detect",
 ]
 
 

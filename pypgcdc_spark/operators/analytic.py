@@ -722,3 +722,60 @@ def funnel_signup_click_purchase(spark, sf_dir):
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "events_pattern_detect",
+    oracle="""
+    -- MATCH_RECOGNIZE-style adjacency pattern: a click IMMEDIATELY
+    -- followed by a purchase in the same user's LSN-ordered stream
+    -- (no intervening event of any type).  lag() chains express the
+    -- pattern automaton; both engines walk the same ordered log.
+    SELECT user_id,
+           COUNT(*) AS n_matches,
+           MIN(event_id) AS first_match_lsn,
+           ROUND(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,4))), 2)::DOUBLE
+               AS matched_value
+    FROM (
+      SELECT user_id, event_id, value, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS prev_type
+      FROM events)
+    WHERE event_type = 'purchase' AND prev_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def events_pattern_detect(spark, sf_dir):
+    """Event-pattern detection (CEP): find click→purchase adjacencies per
+    user — the simplest MATCH_RECOGNIZE automaton, expressed as a lag()
+    chain over the per-user LSN order.  Longer patterns chain more lags
+    (or a stateful streaming automaton, streaming/stateful.py, when the
+    pattern must fire mid-stream).
+
+    Plan: ONE shuffle of the log on user_id shared by the window and the
+    aggregation — pattern detection at 100 TB costs exactly one
+    repartition of the events, no joins, no state."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        lagged.filter(
+            (F.col("event_type") == "purchase") & (F.col("prev_type") == "click")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("event_id").alias("first_match_lsn"),
+            money(F.sum(F.round("value", 2).cast("decimal(18,4)"))).alias(
+                "matched_value"
+            ),
+        )
+    )

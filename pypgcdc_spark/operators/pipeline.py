@@ -375,3 +375,85 @@ def pipeline_doc_chunking(spark, sf_dir):
             F.md5(F.concat_ws("|", "chunks")).alias("chunk_fingerprint"),
         )
     )
+
+
+MIX_ALPHA = 0.7  # temperature exponent (multilingual sampling standard)
+MIX_BUDGET = 200  # total sampled docs
+
+
+@query(
+    "pipeline_temperature_sampling",
+    oracle=f"""
+    -- Temperature-based mixture sampling: per-source targets follow
+    -- n^{MIX_ALPHA} (upsampling the tail, damping the head — the standard
+    -- multilingual/multi-domain LLM recipe), selection is md5-ranked so
+    -- any engine re-derives the same document subset.
+    WITH counts AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    wts AS (SELECT source, n_total,
+                   ROUND(POWER(n_total, {MIX_ALPHA})
+                         / SUM(POWER(n_total, {MIX_ALPHA})) OVER (), 6) AS weight
+            FROM counts),
+    tgt AS (SELECT source, n_total, weight,
+                   CAST(ROUND({MIX_BUDGET} * weight) AS BIGINT) AS n_target
+            FROM wts),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+    SELECT t.source, t.n_total, t.weight, t.n_target,
+           CAST(SUM(CASE WHEN r.rk <= t.n_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN r.rk <= t.n_target THEN r.doc_id ELSE 0 END) AS BIGINT)
+               AS sampled_id_sum
+    FROM ranked r JOIN tgt t ON r.source = t.source
+    GROUP BY t.source, t.n_total, t.weight, t.n_target
+    """,
+)
+def pipeline_temperature_sampling(spark, sf_dir):
+    """Temperature sampling: per-source draw targets proportional to
+    n^0.7 — the mixture-rebalancing recipe that keeps low-resource
+    sources visible without letting head domains dominate.  Selection is
+    a deterministic md5-ranked draw (id-sum checksum pins exactly WHICH
+    documents were taken, not just how many), the same reproducibility
+    discipline as pipeline_domain_mix's fixed quotas.
+
+    Scale shape: weights come from one map-side-combined count per
+    source (a handful of rows broadcast back), the draw is one window
+    over the source partitioning — a single shuffle of (source, doc_id)
+    pairs, never of document payloads."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    wts = counts.select(
+        "source",
+        "n_total",
+        F.round(
+            F.pow("n_total", F.lit(MIX_ALPHA))
+            / F.sum(F.pow("n_total", F.lit(MIX_ALPHA))).over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("weight"),
+    )
+    tgt = wts.withColumn(
+        "n_target", F.round(F.lit(MIX_BUDGET) * F.col("weight")).cast("long")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    keep = F.col("rk") <= F.col("n_target")
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .groupBy("source", "n_total", "weight", "n_target")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("sampled_id_sum"),
+        )
+    )

@@ -152,6 +152,11 @@ EXTENDED = frozenset(
         "retrieval_hybrid_rrf",
         # Rolling-window composition over the gap-filled spine.
         "timeseries_rolling_stats",
+        # α-powered mixture targets (reproducible-draw twin of the kept
+        # pipeline_domain_mix / deterministic_sample primaries).
+        "pipeline_temperature_sampling",
+        # Lag-chain CEP adjacency pattern (window family amply primary).
+        "events_pattern_detect",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
