@@ -93,6 +93,7 @@ NEW_OPS_R4 = [
     "timeseries_rolling_stats",
     "pipeline_temperature_sampling",
     "events_pattern_detect",
+    "dedup_shingle_containment",
 ]
 
 

@@ -769,3 +769,69 @@ def dedup_edit_distance(spark, sf_dir):
     return cand.withColumn("edit_dist", F.levenshtein("pa", "pb")).filter(
         F.col("edit_dist") <= 4
     ).select("doc_id_a", "doc_id_b", "edit_dist")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+CONTAINMENT_MIN_SHINGLES = 3
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    -- Asymmetric containment C(A→B) = |A∩B| / |A|: catches SUB-document
+    -- duplication (quotes, wrapped reposts, boilerplate-plus-payload)
+    -- that symmetric Jaccard under-scores — a contained doc can resemble
+    -- its container arbitrarily little when the container is long.
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+           ROUND(n_inter::DOUBLE / sa.n, 3) AS containment,
+           ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 3) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE sa.n >= {CONTAINMENT_MIN_SHINGLES}
+      AND n_inter::DOUBLE / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Containment near-dup: ordered pairs where ≥80% of the smaller
+    document's shingles appear in another document — the asymmetric
+    complement of dedup_ngram_jaccard (a tweet quoted inside an article
+    has high containment but near-zero Jaccard).  The jaccard column
+    rides along so the two criteria are directly comparable per pair.
+
+    Scale shape: same inverted-index self-join as the Jaccard path (the
+    shingle set is shared and localCheckpointed once), same
+    max_shingle_df stop-shingle cap applies at scale; candidates only,
+    never all-pairs.  At 100 TB, containment against a *fixed reference
+    set* (licensed/benchmark material) drops the self-join for a
+    broadcast semi-join on the reference's shingles — the
+    decontamination shape with containment scoring."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    b = sh.select(F.col("doc_id").alias("doc_b_id"), "shingle")
+    inter = (
+        sh.join(b, "shingle")
+        .filter(F.col("doc_id") != F.col("doc_b_id"))
+        .groupBy(F.col("doc_id").alias("doc_contained"), F.col("doc_b_id").alias("doc_container"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_contained"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_container"), F.col("n").alias("nb"))
+    cont = F.col("n_inter").cast("double") / F.col("na")
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_contained")
+        .join(F.broadcast(sb), "doc_container")
+        .filter((F.col("na") >= CONTAINMENT_MIN_SHINGLES) & (cont >= CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.round(cont, 3).alias("containment"),
+            F.round(jac, 3).alias("jaccard"),
+        )
+    )

@@ -157,6 +157,8 @@ EXTENDED = frozenset(
         "pipeline_temperature_sampling",
         # Lag-chain CEP adjacency pattern (window family amply primary).
         "events_pattern_detect",
+        # Asymmetric containment twin of the kept jaccard ground truth.
+        "dedup_shingle_containment",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
