@@ -137,19 +137,32 @@ def join_bloom_prefilter(spark, sf_dir):
         .filter(member)
         .select("o_custkey", "o_totalprice")
     )
-    verified = cand.join(F.broadcast(dim), cand.o_custkey == dim.c_custkey)
+    # ONE pass over the candidate set: left-join the (broadcast) dim and
+    # count candidates / verified matches / matched revenue together —
+    # the fact-side pipeline runs exactly once.
+    cand_stats = cand.join(
+        F.broadcast(dim), cand.o_custkey == dim.c_custkey, "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("c_custkey").alias("n_true_matches"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("c_custkey").isNotNull(),
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("matched_total"),
+    )
 
     stats = [
         mm.select(F.col("m").alias("bloom_bits")),
         dim.agg(F.count(F.lit(1)).alias("n_dim_keys")),
         bits.select(F.size("bits").cast("long").alias("n_bits_set")),
-        cand.agg(F.count(F.lit(1)).alias("n_candidates")),
-        verified.agg(
-            F.count(F.lit(1)).alias("n_true_matches"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("matched_total"),
-        ),
+        cand_stats,
     ]
     out = stats[0]
     for s in stats[1:]:
