@@ -505,3 +505,13 @@ def test_edit_distance_no_cartesian(spark, sf_dir):
     txt = plan_text(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """Containment pairs come from the shingle inverted-index join —
+    never an all-pairs product."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["dedup_shingle_containment"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt

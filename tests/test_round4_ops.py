@@ -124,3 +124,17 @@ def test_gap_fill_is_dense_and_rolling_aligns(spark, sf_dir):
     assert days == [(d0 + timedelta(days=i)).isoformat() for i in range(60)]
     roll = REGISTRY["timeseries_rolling_stats"].fn(spark, sf_dir).collect()
     assert sorted(r.day for r in roll) == days
+
+
+def test_hybrid_rrf_rank_fusion_properties(spark, sf_dir):
+    """RRF bounds and monotonicity: every score ≤ 1/61 + 1/61; a doc
+    present in BOTH lists outranks one present in a single list at equal
+    or worse ranks; ranks are within [0, 10]."""
+    rows = REGISTRY["retrieval_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sparse_rank <= 10 and 0 <= r.dense_rank <= 10
+        assert r.rrf <= round(2 / 61, 6) + 1e-9
+        both = r.sparse_rank > 0 and r.dense_rank > 0
+        if both:
+            assert r.rrf > 1.0 / 61  # beats any single-list-only score
