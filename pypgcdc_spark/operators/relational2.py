@@ -539,3 +539,88 @@ def cohort_weekly_retention(spark, sf_dir):
         F.col("cohort_week").cast("long").alias("cohort_week"),
         (F.col("active_week") - F.col("cohort_week")).cast("long").alias("week_offset"),
     ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+
+
+# --- TPC-H q8 / q12 (the two remaining numbers expressible over the
+# shipped tables — q2/q11/q20 need partsupp, which the fixture omits),
+# both written as PURE spark.sql() text to exercise the SQL surface the
+# same Catalyst plans serve (reference parity: the reference has no SQL
+# surface at all, SURVEY §0).
+
+_Q8_SQL = """
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN nation = 'EUROPE' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT YEAR(o_orderdate) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
+                  AS DECIMAL(18,4)) AS volume,
+             r2.r_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r1.r_name = 'ASIA'
+        AND p_type = 'PROMO'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1999-01-01'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the supplier region's share of
+    PROMO-part revenue sold into ASIA customers per year — region-level
+    supplier nation (the fixture's nation table is region-granular for
+    supplier attribution).  The SQL string IS the implementation: Spark
+    executes the identical text DuckDB verifies, so the oracle checks
+    the SQL front-end + Catalyst end-to-end.
+
+    Plan: all dimension joins broadcast; one fact shuffle for the year
+    aggregation; the p_type and region predicates reach the scans."""
+    for t in ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"):
+        (df,) = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+    return spark.sql(_Q8_SQL)
+
+
+_Q12_SQL = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+@query("q12_late_priority_lines", oracle=_Q12_SQL)
+def q12_late_priority_lines(spark, sf_dir):
+    """TPC-H Q12 adapted to the shipped schema (the fixture lineitem
+    carries no shipmode/commitdate/receiptdate): lines shipped > 60 days
+    after their order date in 1996, split into high/low order-priority
+    counts per linestatus — Q12's exact CASE-count skeleton with
+    lateness standing in for the mode/commit criteria.  Pure spark.sql()
+    text, identical to the DuckDB oracle.
+
+    Plan: one orders⋈lineitem join (orders side filtered only by the
+    join), shipdate window pushed to the lineitem scan, map-side-
+    combined conditional counts."""
+    for t in ("orders", "lineitem"):
+        (df,) = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+    return spark.sql(_Q12_SQL)
