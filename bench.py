@@ -94,6 +94,9 @@ NEW_OPS_R4 = [
     "pipeline_temperature_sampling",
     "events_pattern_detect",
     "dedup_shingle_containment",
+    "q8_market_share",
+    "q12_late_priority_lines",
+    "stream_pattern_detect",
 ]
 
 

@@ -472,3 +472,75 @@ def stream_simhash_dedup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name).select("simhash").distinct()
+
+
+@query(
+    "stream_pattern_detect",
+    oracle="""
+    -- The streaming automaton's final state must equal the batch lag
+    -- query: click→purchase adjacencies per user, counted over the full
+    -- LSN-ordered log (integer cents — no float in the state).
+    SELECT user_id,
+           COUNT(*) AS n_matches,
+           MIN(event_id) AS first_match_lsn,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS matched_cents
+    FROM (
+      SELECT user_id, event_id, value, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS prev_type
+      FROM events)
+    WHERE event_type = 'purchase' AND prev_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def stream_pattern_detect(spark, sf_dir):
+    """REAL streaming CEP: the click→purchase automaton runs as
+    ``streaming.stateful.pattern_matcher`` (applyInPandasWithState) over
+    the LSN-chunked event log, one micro-batch per chunk — so
+    adjacencies that SPAN a batch boundary only fire because prev_type
+    persists in the per-user state store.  The drained final state must
+    hash-match the batch lag-chain oracle (the streaming/batch twin of
+    events_pattern_detect).
+
+    At 100 TB: state is one tiny tuple per user (RocksDB-sharded by the
+    groupBy key), each batch touches only the users present in it, and
+    the pattern extends to longer automata by widening the state —
+    never by re-reading history."""
+    import uuid
+
+    from pypgcdc_spark.operators.cdc_queries import _chunked_event_log
+    from pypgcdc_spark.streaming.stateful import pattern_matcher
+
+    (events,) = load(spark, sf_dir, "events")
+    log_dir = _chunked_event_log(spark, sf_dir, events)
+    schema = spark.read.parquet(log_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one LSN chunk per micro-batch
+        .parquet(log_dir)
+    )
+    name = "cep_" + uuid.uuid4().hex[:12]
+    q = (
+        pattern_matcher(
+            stream.select("user_id", "event_id", "event_type", "value")
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    # n_matches is monotone per user; the final state is the max row.
+    # Users whose final state has zero matches are absent from the oracle.
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_matches").alias("n_matches"),
+            F.min("first_match_lsn").alias("first_match_lsn"),
+            F.max("matched_cents").alias("matched_cents"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -159,6 +159,9 @@ EXTENDED = frozenset(
         "events_pattern_detect",
         # Asymmetric containment twin of the kept jaccard ground truth.
         "dedup_shingle_containment",
+        # Streaming twin of events_pattern_detect (stateful CEP; the
+        # stateful category keeps stream_stateful_running_stats primary).
+        "stream_pattern_detect",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",

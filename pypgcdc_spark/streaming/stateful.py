@@ -84,3 +84,63 @@ def running_value_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN_SCHEMA = (
+    "user_id BIGINT, n_matches BIGINT, first_match_lsn BIGINT, matched_cents BIGINT"
+)
+PATTERN_STATE_SCHEMA = (
+    "prev_type STRING, n_matches BIGINT, first_match_lsn BIGINT, matched_cents BIGINT"
+)
+
+
+def _pattern_step(
+    key: Tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # prev_type carries the automaton ACROSS micro-batches: an adjacency
+    # whose click arrives in batch N and purchase in batch N+1 must still
+    # fire — that cross-boundary match is what distinguishes stateful CEP
+    # from per-batch windowing.
+    prev, n, first_lsn, cents = (
+        state.get if state.exists else (None, 0, None, 0)
+    )
+    for pdf in batches:
+        pdf = pdf.sort_values("event_id")
+        types = pdf["event_type"].tolist()
+        shifted = [prev] + types[:-1]
+        hit = (pdf["event_type"] == "purchase") & (
+            pd.Series(shifted, index=pdf.index) == "click"
+        )
+        if hit.any():
+            n += int(hit.sum())
+            batch_first = int(pdf.loc[hit, "event_id"].min())
+            first_lsn = batch_first if first_lsn is None else min(first_lsn, batch_first)
+            cents += int(
+                (pdf.loc[hit, "value"] * 100).round().astype("int64").sum()
+            )
+        if types:
+            prev = types[-1]
+    state.update((prev, n, first_lsn, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_matches": [n],
+            "first_match_lsn": [first_lsn],
+            "matched_cents": [cents],
+        }
+    )
+
+
+def pattern_matcher(events: DataFrame) -> DataFrame:
+    """events: streaming DF with (user_id LONG, event_id LONG,
+    event_type STRING, value DOUBLE).  Emits the running click→purchase
+    adjacency-match state per user on every batch the user appears in."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _pattern_step,
+        outputStructType=PATTERN_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

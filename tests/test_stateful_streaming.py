@@ -204,3 +204,52 @@ def test_latest_version_feed_v1_and_v2_equivalence(spark, tmp_path):
         # container with installs disallowed (stateful_v2.py module doc).
         with pytest.raises(ModuleNotFoundError, match="google"):
             from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401, F811
+
+
+def test_pattern_matcher_fires_across_batch_boundary(spark, tmp_path):
+    """A click that ends micro-batch 1 and a purchase that opens
+    micro-batch 2 must still match: prev_type persists in the state
+    store — the property that makes the automaton CEP rather than
+    per-batch windowing."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from pypgcdc_spark.streaming.stateful import pattern_matcher
+
+    rows1 = [(7, 1, "signup", 1.0), (7, 2, "click", 2.0)]
+    rows2 = [(7, 3, "purchase", 30.5), (7, 4, "click", 1.0)]
+    schema = "user_id LONG, event_id LONG, event_type STRING, value DOUBLE"
+    log = tmp_path / "log"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(log / "chunk=0")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(log / "chunk=1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(log)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(log))
+    )
+    name = "cep_t_" + uuid.uuid4().hex[:8]
+    q = (
+        pattern_matcher(stream.select("user_id", "event_id", "event_type", "value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_matches").alias("n"),
+            F.min("first_match_lsn").alias("lsn"),
+            F.max("matched_cents").alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert (final.n, final.lsn, final.cents) == (1, 3, 3050)
