@@ -624,3 +624,34 @@ def q12_late_priority_lines(spark, sf_dir):
         (df,) = load(spark, sf_dir, t)
         df.createOrReplaceTempView(t)
     return spark.sql(_Q12_SQL)
+
+
+_Q11_SQL = """
+    WITH pc AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS part_cents
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(part_cents) AS total_cents, COUNT(*) AS n_parts FROM pc)
+    SELECT l_partkey, CAST(part_cents AS BIGINT) AS part_revenue_cents
+    FROM pc, t
+    WHERE 2 * part_cents * n_parts > 3 * total_cents
+"""
+
+
+@query("q11_revenue_concentration", oracle=_Q11_SQL)
+def q11_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11's skeleton over the shipped schema (true Q11 needs the
+    absent partsupp): parts whose discounted revenue exceeds 1.5× the mean
+    part revenue — GROUP BY + a scalar-aggregate comparison, the
+    value-concentration query shape.  The threshold comparison is pure
+    BIGINT cents arithmetic (2·part_cents·n_parts > 3·total_cents), so
+    the boundary is engine-exact at every SF — no decimal-scale or
+    float-literal coercion differences can move it.  Pure spark.sql()
+    text identical to the oracle.
+
+    Plan: the fact aggregates once into per-part cents; the scalar
+    (total, n) pair is one more tiny agg broadcast into the filter."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_Q11_SQL)
