@@ -96,6 +96,7 @@ NEW_OPS_R4 = [
     "dedup_shingle_containment",
     "q8_market_share",
     "q12_late_priority_lines",
+    "q11_revenue_concentration",
     "stream_pattern_detect",
 ]
 
