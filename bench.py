@@ -97,6 +97,7 @@ NEW_OPS_R4 = [
     "q8_market_share",
     "q12_late_priority_lines",
     "q11_revenue_concentration",
+    "q20_dominant_suppliers",
     "stream_pattern_detect",
 ]
 

@@ -655,3 +655,41 @@ def q11_revenue_concentration(spark, sf_dir):
     (li,) = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_Q11_SQL)
+
+
+_Q20_SQL = """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sp_qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    pt AS (SELECT l_partkey, SUM(sp_qty) AS p_qty FROM sp GROUP BY l_partkey),
+    shares AS (
+      SELECT sp.l_suppkey, sp.l_partkey,
+             CAST(FLOOR(1000000.0 * sp.sp_qty / pt.p_qty) AS BIGINT) AS share_ppm
+      FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey)
+    SELECT s.s_name, sh.l_partkey, sh.share_ppm
+    FROM shares sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    ORDER BY sh.share_ppm DESC, s.s_name ASC, sh.l_partkey ASC
+    LIMIT 10
+"""
+
+
+@query("q20_dominant_suppliers", oracle=_Q20_SQL)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20's skeleton over the shipped schema (true Q20 needs the
+    absent partsupp availability): the ten most concentrated
+    supplier→part relationships by quantity share — the excess-supply
+    screen as a top-k instead of a fixed threshold, because supply
+    concentration falls as the corpus grows (a threshold that fires at
+    sf0.001 is empty at sf0.1).  Shares are exact integer ppm
+    (FLOOR(1e6·sp_qty/p_qty) — integer-ratio doubles cannot straddle a
+    FLOOR boundary), totally ordered with name/part tiebreaks.  Pure
+    spark.sql() text identical to the oracle.
+
+    Plan: one fact aggregation to (supplier, part) quantities; per-part
+    totals reuse that aggregate (groupBy of the groupBy); top-k via
+    TakeOrderedAndProject — no global sort, supplier dim broadcast."""
+    supplier, li = load(spark, sf_dir, "supplier", "lineitem")
+    supplier.createOrReplaceTempView("supplier")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_Q20_SQL)

@@ -185,6 +185,7 @@ EXTENDED = frozenset(
         "q8_market_share",  # pure-SQL path; join shapes carried by q5/q7/q9
         "q12_late_priority_lines",  # pure-SQL path; CASE-count shape via q14
         "q11_revenue_concentration",  # pure-SQL; HAVING-scalar-subquery skeleton
+        "q20_dominant_suppliers",  # pure-SQL; majority-share nested-agg skeleton
         "q22_global_sales_opportunity",
         # Scalar-function families beyond the kept date/json/array set
         # (string exprs — md5/substr/concat_ws/regexp — appear in nearly
