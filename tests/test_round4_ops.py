@@ -138,3 +138,19 @@ def test_hybrid_rrf_rank_fusion_properties(spark, sf_dir):
         both = r.sparse_rank > 0 and r.dense_rank > 0
         if both:
             assert r.rrf > 1.0 / 61  # beats any single-list-only score
+
+
+def test_partitioned_layout_is_session_cached(spark, sf_dir):
+    """The date-partitioned events fixture builds once per (session,
+    dataset): a second call must return the SAME directory without a
+    rewrite — the layout is an amortized ingest-time decision, not a
+    per-query cost."""
+    from pypgcdc_spark.operators.layout import partitioned_events_dir
+
+    d1 = partitioned_events_dir(spark, sf_dir)
+    d2 = partitioned_events_dir(spark, sf_dir)
+    assert d1 == d2
+    import os
+
+    parts = [p for p in os.listdir(d1) if p.startswith("event_date=")]
+    assert len(parts) > 1  # genuinely partitioned by date
