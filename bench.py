@@ -98,6 +98,7 @@ NEW_OPS_R4 = [
     "q12_late_priority_lines",
     "q11_revenue_concentration",
     "q20_dominant_suppliers",
+    "join_shuffle_hash_equivalence",
     "stream_pattern_detect",
 ]
 

@@ -693,3 +693,40 @@ def q20_dominant_suppliers(spark, sf_dir):
     supplier.createOrReplaceTempView("supplier")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_Q20_SQL)
+
+
+@query(
+    "join_shuffle_hash_equivalence",
+    oracle="""
+    -- Physical-strategy equivalence row: the same orders⋈lineitem
+    -- aggregate the planner would SMJ, forced through a shuffled hash
+    -- join — results must be identical (the SHJ avoids both sort passes
+    -- when one side's partitions fit in memory; at 100 TB that's the
+    -- right pick for medium-dim joins too big to broadcast).
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash_equivalence(spark, sf_dir):
+    """Shuffled-hash-join strategy, gate-verified: the SHUFFLE_HASH hint
+    replaces sort-merge with build/probe hash tables per partition —
+    skipping two sorts — and the oracle proves the strategy swap is
+    correctness-neutral.  Completes the physical-strategy equivalence
+    series (salted: join_salted_skew_equivalence; bucketed zero-exchange:
+    join_bucketed_colocated; hashed: here) — at 100 TB these three plus
+    broadcast are the four join layouts an engine must pick between, and
+    each is pinned AND hash-matched.
+
+    Plan pin (tests/test_plans.py): ShuffledHashJoin present, no
+    SortMergeJoin."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    joined = orders.hint("shuffle_hash").join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty"),
+    )

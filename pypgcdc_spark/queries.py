@@ -186,6 +186,8 @@ EXTENDED = frozenset(
         "q12_late_priority_lines",  # pure-SQL path; CASE-count shape via q14
         "q11_revenue_concentration",  # pure-SQL; HAVING-scalar-subquery skeleton
         "q20_dominant_suppliers",  # pure-SQL; majority-share nested-agg skeleton
+        # Physical-strategy equivalence: SHJ vs planner default.
+        "join_shuffle_hash_equivalence",
         "q22_global_sales_opportunity",
         # Scalar-function families beyond the kept date/json/array set
         # (string exprs — md5/substr/concat_ws/regexp — appear in nearly

@@ -515,3 +515,14 @@ def test_containment_no_cartesian(spark, sf_dir):
     df = REGISTRY["dedup_shingle_containment"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "CartesianProduct" not in txt
+
+
+def test_shuffle_hash_join_strategy_applied(spark, sf_dir):
+    """The SHUFFLE_HASH hint must take effect: hash join, no sort-merge
+    below the aggregate."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["join_shuffle_hash_equivalence"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "ShuffledHashJoin" in txt
+    assert "SortMergeJoin" not in txt
