@@ -99,6 +99,7 @@ NEW_OPS_R4 = [
     "q11_revenue_concentration",
     "q20_dominant_suppliers",
     "join_shuffle_hash_equivalence",
+    "retrieval_maxsim",
     "stream_pattern_detect",
 ]
 

@@ -526,3 +526,96 @@ def ann_scalar_quantized(spark, sf_dir):
             F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_topk"),
         )
     )
+
+
+MAXSIM_QUERY_ID = 5  # fixed query document (vec_id == doc_id linkage)
+MAXSIM_TOKENS = 8  # sub-vectors per embedding
+MAXSIM_SUBDIM = 8  # dims per sub-vector
+MAXSIM_TOPK = 10
+
+
+@query(
+    "retrieval_maxsim",
+    oracle=f"""
+    -- ColBERT-style late interaction (Khattab & Zaharia, SIGIR'20):
+    -- embeddings decompose into {MAXSIM_TOKENS} sub-vectors of {MAXSIM_SUBDIM} dims
+    -- ("token" vectors); score(q,d) = Σ_i max_j cos(q_i, d_j).  Per-pair
+    -- cosines round to 4 before the max, and the {MAXSIM_TOKENS} maxes sum
+    -- through exact decimal — rank order is engine-independent.
+    WITH toks AS (
+      SELECT vec_id, t.i,
+             embedding[{MAXSIM_SUBDIM} * t.i + 1 : {MAXSIM_SUBDIM} * (t.i + 1)] AS tv
+      FROM embeddings, (SELECT unnest(range({MAXSIM_TOKENS})) AS i) t),
+    q AS (SELECT i AS qi, tv AS qv FROM toks WHERE vec_id = {MAXSIM_QUERY_ID}),
+    ex AS (
+      SELECT d.vec_id, q.qi, d.i AS dj,
+             qv[k]::DOUBLE AS x, tv[k]::DOUBLE AS y
+      FROM toks d, q, (SELECT unnest(range(1, {MAXSIM_SUBDIM + 1})) AS k) kk
+      WHERE d.vec_id <> {MAXSIM_QUERY_ID}),
+    cos AS (
+      SELECT vec_id, qi, dj,
+             ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS c
+      FROM ex GROUP BY 1, 2, 3),
+    best AS (
+      SELECT vec_id, qi, MAX(c) AS m FROM cos GROUP BY 1, 2),
+    scored AS (
+      SELECT vec_id AS doc_id,
+             ROUND(CAST(SUM(CAST(m AS DECIMAL(18,4))) AS DOUBLE), 4) AS maxsim
+      FROM best GROUP BY 1)
+    SELECT doc_id, maxsim FROM scored
+    ORDER BY maxsim DESC, doc_id ASC LIMIT {MAXSIM_TOPK}
+    """,
+)
+def retrieval_maxsim(spark, sf_dir):
+    """Late-interaction retrieval: each embedding is treated as 8 token
+    sub-vectors; a document scores Σ over query tokens of its best-
+    matching doc token (maxsim).  This is the multi-vector ranking model
+    (ColBERT) that beats single-vector cosine when different parts of a
+    document match different parts of the query — the retrieval-quality
+    upgrade of ann_topk_bruteforce, sharing its fixture linkage.
+
+    Scale shape: query tokens broadcast (k·subdim floats); the corpus
+    scan is embarrassingly parallel with all 8×8 pair cosines computed
+    in-row per document (no doc ever shuffles); per-query cost is
+    O(corpus · tokens²·subdim) map work + one TakeOrderedAndProject.
+    At 100 TB the IVF/LSH bucketing of the single-vector paths
+    prefilters candidates and maxsim re-ranks the shortlist."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    tok = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.slice("embedding", MAXSIM_SUBDIM * i + 1, MAXSIM_SUBDIM).alias(
+                            "tv"
+                        ),
+                    )
+                    for i in range(MAXSIM_TOKENS)
+                ]
+            )
+        ).alias("t"),
+    ).select("vec_id", "t.i", "t.tv")
+    q = (
+        tok.filter(F.col("vec_id") == MAXSIM_QUERY_ID)
+        .select(F.col("i").alias("qi"), F.col("tv").alias("qv"))
+    )
+    pairs = (
+        tok.filter(F.col("vec_id") != MAXSIM_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "qi",
+            F.round(_cosine(F.col("qv"), F.col("tv")), 4).alias("c"),
+        )
+    )
+    best = pairs.groupBy("vec_id", "qi").agg(F.max("c").alias("m"))
+    scored = best.groupBy(F.col("vec_id").alias("doc_id")).agg(
+        F.round(F.sum(F.col("m").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "maxsim"
+        )
+    )
+    return scored.orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(MAXSIM_TOPK)

@@ -188,6 +188,9 @@ EXTENDED = frozenset(
         "q20_dominant_suppliers",  # pure-SQL; majority-share nested-agg skeleton
         # Physical-strategy equivalence: SHJ vs planner default.
         "join_shuffle_hash_equivalence",
+        # Multi-vector late-interaction reranker (ANN family keeps
+        # brute/LSH/IVF primary).
+        "retrieval_maxsim",
         "q22_global_sales_opportunity",
         # Scalar-function families beyond the kept date/json/array set
         # (string exprs — md5/substr/concat_ws/regexp — appear in nearly
