@@ -100,6 +100,7 @@ NEW_OPS_R4 = [
     "q20_dominant_suppliers",
     "join_shuffle_hash_equivalence",
     "retrieval_maxsim",
+    "layout_zorder_skipping",
     "stream_pattern_detect",
 ]
 

@@ -158,3 +158,103 @@ def layout_dynamic_partition_pruning(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "layout_zorder_skipping",
+    oracle="""
+    -- Z-order (Morton) vs linear layout, as exact bucket math: 16×16
+    -- (orderkey, suppkey) grid, 16 "files" per layout — linear packs by
+    -- orderkey bucket, z-order packs by interleaved bits.  For each
+    -- layout × predicate: how many files must a reader touch?  Linear
+    -- is perfect on its sort key (1) and worthless on the other (16);
+    -- z-order pays √-ish on both (4/4) — the multi-dimensional
+    -- data-skipping tradeoff, engine-exact.
+    WITH b AS (SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_suppkey) + 1 AS ms
+               FROM lineitem),
+    cells AS (
+      SELECT CAST(l_orderkey * 16 // mo AS BIGINT) AS ob,
+             CAST(l_suppkey * 16 // ms AS BIGINT) AS sb
+      FROM lineitem, b),
+    coded AS (
+      SELECT ob, sb,
+             ob AS linear_file,
+             (  (ob & 1)       | ((ob & 2) << 1) | ((ob & 4) << 2) | ((ob & 8) << 3)
+              | ((sb & 1) << 1) | ((sb & 2) << 2) | ((sb & 4) << 3) | ((sb & 8) << 4)
+             ) // 16 AS z_file
+      FROM cells)
+    SELECT layout, predicate,
+           CAST(files_touched AS BIGINT) AS files_touched,
+           CAST(rows_matched AS BIGINT) AS rows_matched
+    FROM (
+      SELECT 'linear' AS layout, 'orderkey_band' AS predicate,
+             COUNT(DISTINCT linear_file) AS files_touched, COUNT(*) AS rows_matched
+      FROM coded WHERE ob = 3
+      UNION ALL
+      SELECT 'zorder', 'orderkey_band', COUNT(DISTINCT z_file), COUNT(*)
+      FROM coded WHERE ob = 3
+      UNION ALL
+      SELECT 'linear', 'suppkey_band', COUNT(DISTINCT linear_file), COUNT(*)
+      FROM coded WHERE sb = 5
+      UNION ALL
+      SELECT 'zorder', 'suppkey_band', COUNT(DISTINCT z_file), COUNT(*)
+      FROM coded WHERE sb = 5)
+    """,
+)
+def layout_zorder_skipping(spark, sf_dir):
+    """Multi-dimensional data skipping as verifiable layout math: bucket
+    lineitem into a 16×16 (orderkey, suppkey) grid, pack cells into 16
+    files two ways — linear (by orderkey bucket) and Morton-interleaved
+    (z-order) — and count the files a banded predicate on EITHER
+    dimension must touch.  The numbers are the argument for z-ordering
+    a 100 TB fact table queried on two keys: linear is 1-vs-16 files
+    (perfect on one dim, full scan on the other), z-order is 4-vs-4.
+
+    The layout is simulated in exact integer arithmetic (bucket math +
+    bit interleave), so the DuckDB oracle reproduces the file counts
+    bit-for-bit — the skipping claim itself is hash-gated, unlike real
+    writer file boundaries which no second engine could replay."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        (F.max("l_orderkey") + 1).alias("mo"), (F.max("l_suppkey") + 1).alias("ms")
+    )
+    cells = li.join(F.broadcast(b)).select(
+        F.expr("CAST(l_orderkey * 16 div mo AS BIGINT)").alias("ob"),
+        F.expr("CAST(l_suppkey * 16 div ms AS BIGINT)").alias("sb"),
+    )
+
+    coded = cells.select(
+        "ob",
+        "sb",
+        F.col("ob").alias("linear_file"),
+        F.expr(
+            "CAST(("
+            "  (ob & 1) | shiftleft(ob & 2, 1) | shiftleft(ob & 4, 2) | shiftleft(ob & 8, 3)"
+            "| shiftleft(sb & 1, 1) | shiftleft(sb & 2, 2) | shiftleft(sb & 4, 3) | shiftleft(sb & 8, 4)"
+            ") div 16 AS BIGINT)"
+        ).alias("z_file"),
+    )
+
+    def probe(layout, pred_name, cond, file_col):
+        return (
+            coded.filter(cond)
+            .agg(
+                F.countDistinct(file_col).cast("long").alias("files_touched"),
+                F.count(F.lit(1)).cast("long").alias("rows_matched"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                F.lit(pred_name).alias("predicate"),
+                "files_touched",
+                "rows_matched",
+            )
+        )
+
+    ok_band = F.col("ob") == 3
+    sk_band = F.col("sb") == 5
+    return (
+        probe("linear", "orderkey_band", ok_band, "linear_file")
+        .unionByName(probe("zorder", "orderkey_band", ok_band, "z_file"))
+        .unionByName(probe("linear", "suppkey_band", sk_band, "linear_file"))
+        .unionByName(probe("zorder", "suppkey_band", sk_band, "z_file"))
+    )

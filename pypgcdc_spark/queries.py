@@ -191,6 +191,8 @@ EXTENDED = frozenset(
         # Multi-vector late-interaction reranker (ANN family keeps
         # brute/LSH/IVF primary).
         "retrieval_maxsim",
+        # Z-order vs linear skipping math (layout family twin).
+        "layout_zorder_skipping",
         "q22_global_sales_opportunity",
         # Scalar-function families beyond the kept date/json/array set
         # (string exprs — md5/substr/concat_ws/regexp — appear in nearly
