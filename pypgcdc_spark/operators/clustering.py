@@ -109,12 +109,12 @@ def _sql_update(assign_cte: str, out: str) -> str:
       GROUP BY cid)"""
 
 
-@query(
-    "embed_kmeans_domains",
-    oracle=f"""
+# The full unrolled two-iteration Lloyd pipeline as a WITH-clause prefix —
+# shared verbatim by the kmeans-domains oracle and the SemDeDup oracle so
+# both replay the identical clustering.
+_SQL_KMEANS_CTES = f"""
     -- Two unrolled fixed-point Lloyd iterations (k={K}, 1e-4 quantized,
-    -- exact integer distances, ties → smallest cid), then per-cluster
-    -- size, mean squared distance, and label purity vs ground truth.
+    -- exact integer distances, ties → smallest cid).
     WITH vecs AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS v
@@ -126,7 +126,34 @@ def _sql_update(assign_cte: str, out: str) -> str:
     {_sql_update('a0', 'cent1')},
     {_sql_assign('vecs', 'cent1', 'a1')},
     {_sql_update('a1', 'cent2')},
-    {_sql_assign('vecs', 'cent2', 'a2')},
+    {_sql_assign('vecs', 'cent2', 'a2')}"""
+
+
+def _final_assignment(vectors):
+    """Seeds (K lowest vec_ids) → two Lloyd iterations → final assignment
+    ``(vec_id, v, label, cid, d2)``.  Shared by embed_kmeans_domains and
+    dedup_semantic_semdedup so both cluster identically."""
+    from pyspark.sql import Window
+
+    # limit-K first so the ranking window runs over K rows, not the corpus
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(K)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", F.col("v").alias("cvec"))
+    )
+    for _ in range(ITERS):
+        assigned = _assign(vectors, centroids)
+        centroids = _update(assigned)
+    return _assign(vectors, centroids)
+
+
+@query(
+    "embed_kmeans_domains",
+    oracle=f"""
+    -- Per-cluster size, mean squared distance, and label purity vs
+    -- ground truth over the shared unrolled-Lloyd assignment.
+    {_SQL_KMEANS_CTES},
     lab AS (
       SELECT cid, label, COUNT(*) AS n_lab FROM a2 GROUP BY cid, label),
     top_lab AS (
@@ -152,21 +179,7 @@ def embed_kmeans_domains(spark, sf_dir):
     against the fixture's ground-truth labels."""
     (emb,) = load(spark, sf_dir, "embeddings")
     vectors = emb.select("vec_id", "label", _scaled(F.col("embedding")).alias("v"))
-
-    from pyspark.sql import Window
-
-    # limit-K first so the ranking window runs over K rows, not the corpus
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(K)
-        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .select("cid", F.col("v").alias("cvec"))
-    )
-    assigned = None
-    for _ in range(ITERS):
-        assigned = _assign(vectors, centroids)
-        centroids = _update(assigned)
-    final = _assign(vectors, centroids)
+    final = _final_assignment(vectors)
 
     lab = final.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n_lab"))
     top = lab.groupBy("cid").agg(
@@ -191,5 +204,132 @@ def embed_kmeans_domains(spark, sf_dir):
             F.round(F.col("n_lab").cast("double") / F.col("n_members"), 4).alias(
                 "label_purity"
             ),
+        )
+    )
+
+
+SEM_TAU = 0.25  # SemDeDup cosine threshold (fixture planted near-dups ≈ 0.3-0.4)
+
+
+def _dot(a, b):
+    """Exact BIGINT dot product of two scaled arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    -- SemDeDup (Abbas et al. 2023): cluster the embedding corpus, then
+    -- prune semantic duplicates WITHIN each cluster — a vector is removed
+    -- when another member of its cluster has cosine >= {SEM_TAU} and is
+    -- "better kept" (closer to the centroid; ties -> lower vec_id).
+    -- Clustering replays the shared unrolled-Lloyd CTEs bit-for-bit;
+    -- cosines are computed over the same 1e-4 fixed-point integers on
+    -- both engines, so the double arithmetic is bit-identical.
+    {_SQL_KMEANS_CTES},
+    norms AS (
+      SELECT vec_id, cid, d2,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2, v
+      FROM a2),
+    prs AS (
+      SELECT a.cid,
+             CASE WHEN (a.d2 < b.d2) OR (a.d2 = b.d2 AND a.vec_id < b.vec_id)
+                  THEN b.vec_id ELSE a.vec_id END AS removed
+      FROM norms a JOIN norms b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                                         z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+            / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= {SEM_TAU}),
+    rem AS (SELECT DISTINCT cid, removed FROM prs),
+    per AS (SELECT cid, COUNT(*) AS n_removed,
+                   CAST(SUM(removed) AS BIGINT) AS removed_id_sum
+            FROM rem GROUP BY cid),
+    mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+    SELECT m.cid AS cluster_id,
+           m.n_members,
+           CAST(m.n_members - COALESCE(p.n_removed, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(p.removed_id_sum, 0) AS BIGINT) AS removed_id_sum,
+           ROUND(COALESCE(p.n_removed, 0)::DOUBLE / m.n_members, 4) AS removal_rate
+    FROM mem m LEFT JOIN per p ON m.cid = p.cid
+    """,
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", 2023): k-means
+    the embedding corpus (shared fixed-point Lloyd kernel), then drop any
+    vector that has an intra-cluster cosine neighbor >= SEM_TAU which is
+    closer to the centroid (ties -> lower vec_id keeps).  Reported
+    per-cluster: members, kept, removed, removed-id checksum, removal
+    rate.
+
+    Scale shape (100 TB): the pair join is an equi-join on cluster id —
+    the clustering step is precisely what bounds the quadratic term (the
+    paper scales k with corpus size so cluster width stays ~constant; at
+    1000 executors each cluster's pair block is one shuffle partition).
+    The centroid distance d2 needed for the keep rule falls out of the
+    assignment for free.  No counterpart in the reference (CDC client,
+    SURVEY §0) — this is training-data surface.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", "label", _scaled(F.col("embedding")).alias("v"))
+    # Assignment feeds both sides of the pair join and the membership agg:
+    # checkpoint so the Lloyd pipeline runs once.
+    final = _final_assignment(vectors).localCheckpoint(eager=True)
+    norms = final.select(
+        "vec_id", "cid", "d2", "v", _dot(F.col("v"), F.col("v")).alias("n2")
+    )
+    a = norms.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("d2").alias("da"),
+        F.col("n2").alias("na"),
+    )
+    b = norms.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("d2").alias("db"),
+        F.col("n2").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    rem = (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("a_id") < F.col("b_id")))
+        .filter(cos >= SEM_TAU)
+        .select(
+            "cid",
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))),
+                F.col("b_id"),
+            )
+            .otherwise(F.col("a_id"))
+            .alias("removed"),
+        )
+        .distinct()
+    )
+    per = rem.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum("removed").alias("removed_id_sum"),
+    )
+    mem = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        mem.join(per, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            (F.col("n_members") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("removed_id_sum", F.lit(0).cast("long")).alias("removed_id_sum"),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)).cast("double") / F.col("n_members"), 4
+            ).alias("removal_rate"),
         )
     )

@@ -140,6 +140,9 @@ EXTENDED = frozenset(
         # Typo-level (levenshtein) near-dup: the dedup family keeps
         # exact/minhash/jaccard/cosine primary.
         "dedup_edit_distance",
+        # SemDeDup cluster-then-prune (composition of the kmeans kernel +
+        # intra-cluster cosine; dedup family keeps its primaries).
+        "dedup_semantic_semdedup",
         # In-row sliding-window chunking (map-only array exprs; the
         # packing/curation family keeps its primary slots).
         "pipeline_doc_chunking",
