@@ -457,3 +457,150 @@ def pipeline_temperature_sampling(spark, sf_dir):
             .alias("sampled_id_sum"),
         )
     )
+
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (Xie et al. 2023 use 10k)
+DSIR_KEEP = 0.2  # per-source selection quota
+
+
+@query(
+    "pipeline_dsir_importance",
+    oracle=f"""
+    -- DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    -- Importance Resampling"): hashed-unigram bucket counts give a
+    -- target (lang='en') and a raw distribution; each document scores
+    -- the sum of its bucket counts times the smoothed log likelihood
+    -- ratio, and the top {DSIR_KEEP:.0%} per source is selected.
+    -- Determinism: the log-ratio is rounded to 6 decimals and carried
+    -- as DECIMAL(18,6), so per-doc weights are exact decimal sums
+    -- regardless of partitioning.
+    WITH wsplit AS (
+      SELECT doc_id, source, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(w), 1, 4))::INTEGER % {DSIR_BUCKETS} AS bucket,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM wsplit WHERE w <> ''),
+    bc AS (SELECT bucket, SUM(is_t) AS c_t, COUNT(*) AS c_r FROM tok GROUP BY bucket),
+    tot AS (SELECT SUM(is_t) AS n_t, COUNT(*) AS n_r FROM tok),
+    lr AS (
+      SELECT bucket,
+             CAST(round(ln((c_t + 1)::DOUBLE / (n_t + {DSIR_BUCKETS}))
+                      - ln((c_r + 1)::DOUBLE / (n_r + {DSIR_BUCKETS})), 6)
+                  AS DECIMAL(18,6)) AS lr
+      FROM bc, tot),
+    db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    wt AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(SUM(db.n * lr.lr), 0) AS wt
+      FROM documents d
+      LEFT JOIN db ON d.doc_id = db.doc_id
+      LEFT JOIN lr ON db.bucket = lr.bucket
+      GROUP BY d.doc_id, d.source),
+    rk AS (
+      SELECT doc_id, source, wt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY wt DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM wt),
+    sel AS (
+      SELECT doc_id, source, wt,
+             CASE WHEN rn <= greatest(1, CAST(floor(n_src * {DSIR_KEEP}) AS BIGINT))
+                  THEN 1 ELSE 0 END AS s
+      FROM rk)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS n_selected,
+           ROUND(SUM(CASE WHEN s = 1 THEN wt ELSE 0 END)::DOUBLE, 4)
+               AS sel_weight_sum,
+           CAST(SUM(CASE WHEN s = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sel_id_sum
+    FROM sel GROUP BY source
+    """,
+)
+def pipeline_dsir_importance(spark, sf_dir):
+    """DSIR-style importance-weighted data selection (Xie et al. 2023):
+    words hash into DSIR_BUCKETS md5 buckets; the target distribution is
+    the lang='en' slice, the raw distribution is the whole corpus; each
+    doc's weight is sum(count_b * round(log(p_t(b)/p_r(b)), 6)) with
+    add-1 smoothing, carried as exact DECIMAL so partial sums commute;
+    the top 20% per source by weight (ties -> lower doc_id) is selected.
+
+    Scale shape (100 TB): two linear token scans (bucket counts are
+    DSIR_BUCKETS rows — a broadcast), one (doc, bucket) agg that is
+    pre-combined map-side, and a per-source quota window — the same
+    bounded-partition window discipline as pipeline_domain_mix.  No
+    global sort; no vector or model state.  Reference has no counterpart
+    (CDC client, SURVEY §0)."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tok = words.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % DSIR_BUCKETS
+        ).alias("bucket"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
+    )
+    bc = tok.groupBy("bucket").agg(
+        F.sum("is_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    tot = tok.agg(F.sum("is_t").alias("n_t"), F.count(F.lit(1)).alias("n_r"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_t") + 1).cast("double") / (F.col("n_t") + DSIR_BUCKETS))
+            - F.log((F.col("c_r") + 1).cast("double") / (F.col("n_r") + DSIR_BUCKETS)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    db = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wt = (
+        docs.select("doc_id", "source")
+        .join(db, "doc_id", "left")
+        .join(F.broadcast(lr), "bucket", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("n") * F.col("lr")), F.lit(0).cast("decimal(18,6)")
+            ).alias("wt")
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    rk = wt.select(
+        "doc_id",
+        "source",
+        "wt",
+        F.row_number().over(wsrc.orderBy(F.col("wt").desc(), "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("n_src"),
+    )
+    sel = rk.withColumn(
+        "s",
+        F.when(
+            F.col("rn")
+            <= F.greatest(F.lit(1).cast("long"), F.floor(F.col("n_src") * DSIR_KEEP)),
+            1,
+        ).otherwise(0),
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s").cast("long").alias("n_selected"),
+        F.round(
+            F.sum(F.when(F.col("s") == 1, F.col("wt")).otherwise(F.lit(0))).cast(
+                "double"
+            ),
+            4,
+        ).alias("sel_weight_sum"),
+        F.sum(F.when(F.col("s") == 1, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sel_id_sum"),
+    )

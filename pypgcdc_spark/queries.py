@@ -143,6 +143,9 @@ EXTENDED = frozenset(
         # SemDeDup cluster-then-prune (composition of the kmeans kernel +
         # intra-cluster cosine; dedup family keeps its primaries).
         "dedup_semantic_semdedup",
+        # DSIR hashed-ngram importance selection (curation family keeps
+        # domain_mix / deterministic_sample primary).
+        "pipeline_dsir_importance",
         # In-row sliding-window chunking (map-only array exprs; the
         # packing/curation family keeps its primary slots).
         "pipeline_doc_chunking",
