@@ -619,3 +619,144 @@ def retrieval_maxsim(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("maxsim"), F.asc("doc_id")).limit(MAXSIM_TOPK)
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = _DIM // PQ_M  # dims per subspace
+PQ_C = 16  # codewords per subspace (seeded from the 16 lowest vec_ids)
+PQ_SCALE = 10000  # 1e-4 fixed point -> exact integer distances
+
+_PQ_D2 = (
+    "CAST(list_sum(list_transform(list_zip(sv, cv), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+
+@query(
+    "ann_product_quantized",
+    oracle=f"""
+    -- Product-quantized k-NN (Jegou et al. 2011): the 64-dim corpus
+    -- splits into {PQ_M} subspaces of {PQ_SUBDIM} dims; each subspace
+    -- has a {PQ_C}-codeword book (subvectors of the {PQ_C} lowest
+    -- vec_ids — deterministic seeds, same discipline as the Lloyd
+    -- kernel); every vector stores only its {PQ_M} codes.  Queries score
+    -- candidates via the classic ADC lookup table: per (query, m, c)
+    -- squared distance, summed over the candidate's codes.  All
+    -- arithmetic is 1e-4 fixed-point integer, so both engines agree
+    -- bit-for-bit.
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS v
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, list_slice(v, m * {PQ_SUBDIM} + 1, (m + 1) * {PQ_SUBDIM}) AS sv
+      FROM vecs, (SELECT unnest(range({PQ_M})) AS m)),
+    cw AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec_id
+      FROM vecs ORDER BY vec_id LIMIT {PQ_C}),
+    cb AS (
+      SELECT s.m, cw.c, s.sv AS cv FROM sub s JOIN cw ON s.vec_id = cw.vec_id),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT s.vec_id, s.m, b.c,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_D2}, b.c) AS rn
+        FROM sub s JOIN cb b ON s.m = b.m) WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, b.m, b.c, {_PQ_D2} AS d2q
+      FROM sub q JOIN cb b ON q.m = b.m
+      WHERE q.vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS cand_id, CAST(SUM(l.d2q) AS BIGINT) AS ad2
+      FROM codes co JOIN lut l ON co.m = l.m AND co.c = l.c
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, cand_id, ad2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ad2 ASC, cand_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, cand_id,
+           ROUND(ad2::DOUBLE / {PQ_SCALE * PQ_SCALE}, 4) AS approx_d2,
+           rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_product_quantized(spark, sf_dir):
+    """Product-quantization k-NN (Jegou, Douze, Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011): vectors are
+    stored as PQ_M codebook indices (here 8 codes ≈ 8 bytes vs 256 bytes
+    float32 — a 32× compression); search computes, per query, a
+    (PQ_M × PQ_C) table of subspace distances once, then scores every
+    candidate with PQ_M table lookups + adds — no float math per
+    candidate.
+
+    Spark shape: the codebook (PQ_M*PQ_C rows) and the per-query LUT
+    (N_QUERIES*PQ_M*PQ_C rows) are broadcast; candidates join the LUT on
+    their stored (m, code) — a map-side broadcast join + partial-agg sum,
+    zero shuffles of vector data.  At 100 TB the code table IS the index:
+    8 bytes/vector means a 3 TB corpus of codes for 400B vectors, scanned
+    at memory bandwidth; the exact-rerank stage (not needed at fixture
+    scale) would fetch full vectors for only the top candidates.
+    Distances are 1e-4 fixed-point integers (exact across engines)."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
+        ).alias("v"),
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    sub = vecs.select("vec_id", ms, F.col("v")).select(
+        "vec_id",
+        "m",
+        F.slice("v", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    cw = (
+        vecs.orderBy("vec_id")
+        .limit(PQ_C)
+        .withColumn("c", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("c", "vec_id")
+    )
+    cb = sub.join(cw, "vec_id").select("m", "c", F.col("sv").alias("cv"))
+
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.c").alias("c"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "m")
+        .withColumn("d2q", d2)
+        .select("query_id", "m", "c", "d2q")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "c"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2q").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("ad2").cast("double") / (PQ_SCALE * PQ_SCALE), 4).alias(
+                "approx_d2"
+            ),
+            "rank",
+        )
+    )

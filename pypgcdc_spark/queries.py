@@ -120,6 +120,9 @@ EXTENDED = frozenset(
         # 8-bit scalar-quantized ANN (memory/bandwidth scale path); ANN
         # family keeps brute/LSH/IVF primary.
         "ann_scalar_quantized",
+        # Product-quantized ADC k-NN (codebook twin of the scalar-
+        # quantized row; same family).
+        "ann_product_quantized",
         # Integrity/validation dashboard (anti-join + agg shapes all
         # primary-evidenced).
         "audit_data_quality",
