@@ -730,3 +730,102 @@ def join_shuffle_hash_equivalence(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty"),
     )
+
+
+@query(
+    "q2_minimum_cost_supplier",
+    oracle="""
+    -- TPC-H Q2's skeleton over the shipped schema (true Q2 needs the
+    -- absent partsupp): supply offers are derived from observed
+    -- lineitems — the cheapest extendedprice a supplier has ever shipped
+    -- a part for, in exact BIGINT cents.  For every SMALL-type part, the
+    -- EUROPE-region supplier(s) matching the per-part minimum cost.
+    WITH ps AS (
+      SELECT l_suppkey, l_partkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    esup AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    offers AS (
+      SELECT ps.l_partkey, ps.cost_cents, e.s_suppkey, e.s_name,
+             e.s_acctbal, e.n_name,
+             MIN(ps.cost_cents) OVER (PARTITION BY ps.l_partkey) AS min_cents
+      FROM ps JOIN esup e ON ps.l_suppkey = e.s_suppkey)
+    SELECT ROUND(o.s_acctbal, 2)::DOUBLE AS s_acctbal,
+           o.s_name, o.n_name,
+           p.p_partkey, p.p_brand,
+           o.cost_cents
+    FROM offers o JOIN part p ON o.l_partkey = p.p_partkey
+    WHERE o.cost_cents = o.min_cents AND p.p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, o.n_name ASC, o.s_name ASC, p.p_partkey ASC,
+             o.s_suppkey ASC
+    LIMIT 100
+    """,
+)
+def q2_minimum_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the reference benchmark's
+    correlated scalar subquery — ``cost = (SELECT MIN(cost) ... WHERE
+    same part, region)`` — decorrelated into a per-part window MIN over
+    the region-filtered offer table (one pass, no re-join of the
+    subquery), Q15's decorrelation discipline applied to Q2's
+    supplier-selection semantics.
+
+    Plan: lineitem aggregates once to (supplier, part, min cents); the
+    region-supplier dim (supplier⋈nation⋈region, ~100 rows) broadcasts
+    into it; the window MIN shuffles once on partkey; the part dim
+    broadcasts into the filtered winners; top-100 via
+    TakeOrderedAndProject with a total tiebreak order.  At 100 TB the
+    only full-fact shuffle is the initial (suppkey, partkey) aggregate —
+    map-side combined, key cardinality |parts|x|suppliers| not rows."""
+    li, supp, nation, region, part = load(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_cents")
+    )
+    esup = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(
+        F.broadcast(esup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).withColumn(
+        "min_cents", F.min("cost_cents").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        offers.filter(F.col("cost_cents") == F.col("min_cents"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "SMALL")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "cost_cents",
+            "s_suppkey",
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+            F.asc("s_suppkey"),
+        )
+        .limit(100)
+        .drop("s_suppkey")
+    )

@@ -195,6 +195,7 @@ EXTENDED = frozenset(
         "q12_late_priority_lines",  # pure-SQL path; CASE-count shape via q14
         "q11_revenue_concentration",  # pure-SQL; HAVING-scalar-subquery skeleton
         "q20_dominant_suppliers",  # pure-SQL; majority-share nested-agg skeleton
+        "q2_minimum_cost_supplier",  # window-decorrelated min-cost skeleton
         # Physical-strategy equivalence: SHJ vs planner default.
         "join_shuffle_hash_equivalence",
         # Multi-vector late-interaction reranker (ANN family keeps
