@@ -77,6 +77,9 @@ EXTENDED = frozenset(
         # No-broadcast scale path of the same PageRank (src-bucketed edge
         # table, rank-vector-only shuffle); hash-matches the same oracle.
         "graph_pagerank_bucketed",
+        # Degree-oriented exact triangle count (graph family keeps the
+        # CC primary slot).
+        "graph_triangle_count",
         # CDC-maintained minhash index: the CDC-apply and minhash halves
         # are each primary-evidenced; this composition joins them.
         "cdc_minhash_maintenance",
