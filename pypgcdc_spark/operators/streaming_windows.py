@@ -544,3 +544,85 @@ def stream_pattern_detect(spark, sf_dir):
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+HH_TOPK = 10
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle=f"""
+    -- The streaming state's final per-user counts, reduced to the
+    -- top-{HH_TOPK} heavy hitters, must equal the batch frequency query.
+    -- Shares are exact integer ppm (FLOOR(1e6*n/total) — integer-ratio
+    -- doubles cannot straddle a FLOOR boundary), q20's discipline, so
+    -- the output is SF-stable where a fixed phi threshold is not.
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n_events) AS total FROM u)
+    SELECT user_id, n_events, total_cents,
+           CAST(FLOOR(1000000.0 * n_events / t.total) AS BIGINT) AS share_ppm
+    FROM u, t
+    ORDER BY n_events DESC, user_id ASC LIMIT {HH_TOPK}
+    """,
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters: per-user frequency state maintained by
+    the ``running_value_stats`` stateful operator (applyInPandasWithState)
+    over the LSN-chunked event log — one micro-batch per chunk, so the
+    counters genuinely accumulate across batch boundaries — then the
+    drained final states reduce to the top-{HH_TOPK} users with exact
+    ppm traffic shares.
+
+    At 100 TB the exact per-key state is viable whenever the key space
+    fits the sharded state store (RocksDB across executors — billions of
+    keys); when it doesn't, the documented degradation path is
+    Misra-Gries summaries per shard (mergeable, ±n/k error bound) feeding
+    the same top-k reduction — the output contract is unchanged, which
+    is why the top-k (not a fixed phi threshold that empties as the
+    corpus grows) is the right stable surface."""
+    import uuid
+
+    from pypgcdc_spark.operators.cdc_queries import _chunked_event_log
+    from pypgcdc_spark.streaming.stateful import running_value_stats
+
+    (events,) = load(spark, sf_dir, "events")
+    log_dir = _chunked_event_log(spark, sf_dir, events)
+    schema = spark.read.parquet(log_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one LSN chunk per micro-batch
+        .parquet(log_dir)
+    )
+    name = "hh_" + uuid.uuid4().hex[:12]
+    q = (
+        running_value_stats(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    # n_events is monotone per user; the final state is the max row.
+    final = sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
+    )
+    total = final.agg(F.sum("n_events").alias("total"))
+    return (
+        final.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            "total_cents",
+            F.floor(F.lit(1000000.0) * F.col("n_events") / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(HH_TOPK)
+    )

@@ -174,6 +174,9 @@ EXTENDED = frozenset(
         # Streaming twin of events_pattern_detect (stateful CEP; the
         # stateful category keeps stream_stateful_running_stats primary).
         "stream_pattern_detect",
+        # Top-k heavy hitters from drained stateful frequency state
+        # (stateful family keeps running_stats primary).
+        "stream_heavy_hitters",
         # Targeted erasure through maintained IVM state (delete-path
         # composition of the kept cdc_incremental_view).
         "cdc_targeted_erasure",
