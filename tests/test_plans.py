@@ -526,3 +526,68 @@ def test_shuffle_hash_join_strategy_applied(spark, sf_dir):
     txt = plan_text(df)
     assert "ShuffledHashJoin" in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_semdedup_pairs_join_on_cluster_id(spark, sf_dir):
+    """SemDeDup's pair join must be an equi-join on cluster id — the
+    clustering step is what bounds the quadratic term, so a cartesian
+    here would defeat the operator's whole point."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["dedup_semantic_semdedup"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_pq_ann_broadcasts_codebook_and_lut(spark, sf_dir):
+    """PQ search must broadcast the codebook and the per-query LUT —
+    candidates join map-side on their stored (m, code); no vector data
+    may shuffle."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["ann_product_quantized"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    """Wedge build and closing check are node-key equi-joins; degree
+    orientation exists precisely so no step enumerates an unbounded
+    product."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["graph_triangle_count"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    # The only nested-loop join allowed is the broadcast of the 1-row
+    # global-total scalar into the output (tree lines read
+    # "BroadcastNestedLoopJoin Cross"; the detail section repeats the
+    # node name alone, so count tree lines).
+    assert txt.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_dsir_broadcasts_bucket_ratios(spark, sf_dir):
+    """The DSIR log-ratio table is DSIR_BUCKETS rows — it must broadcast
+    into the per-doc weight join, never shuffle the token stream against
+    it."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["pipeline_dsir_importance"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q2_broadcasts_dims_and_takeordered(spark, sf_dir):
+    """Q2's region-supplier and part dims broadcast; the top-100 is a
+    TakeOrderedAndProject, not a global sort."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["q2_minimum_cost_supplier"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt

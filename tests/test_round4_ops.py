@@ -154,3 +154,125 @@ def test_partitioned_layout_is_session_cached(spark, sf_dir):
 
     parts = [p for p in os.listdir(d1) if p.startswith("event_date=")]
     assert len(parts) > 1  # genuinely partitioned by date
+
+
+def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
+    """The degree-oriented count must equal a naive u<v<w enumeration —
+    feasible at test SF — so the orientation bookkeeping provably
+    neither drops nor double-counts triangles."""
+    rows = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+    assert rows, "fixture co-purchase graph should contain triangles"
+    total = rows[0].total_triangles
+    import duckdb
+
+    con = duckdb.connect()
+    naive = con.execute(
+        f"""
+        WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM '{sf_dir}/lineitem.parquet'),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lines a JOIN lines b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        """
+    ).fetchone()[0]
+    assert total == naive
+
+
+def test_semdedup_partition_is_consistent(spark, sf_dir):
+    """kept + removed = members in every cluster, nothing is removed
+    from a singleton cluster, and the removal decision is deterministic
+    (re-run equality)."""
+    a = {r.cluster_id: r for r in REGISTRY["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()}
+    for r in a.values():
+        assert r.n_kept + r.n_removed == r.n_members
+        assert r.n_kept >= 1  # the best-kept member always survives
+    b = {r.cluster_id: r for r in REGISTRY["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()}
+    assert {k: (v.n_removed, v.removed_id_sum) for k, v in a.items()} == {
+        k: (v.n_removed, v.removed_id_sum) for k, v in b.items()
+    }
+
+
+def test_pq_ann_approximates_exact_l2(spark, sf_dir):
+    """PQ distances are approximations, but the ADC arithmetic must be
+    internally consistent: every approx_d2 is nonnegative and each query
+    returns exactly TOP_K ranked candidates with distinct ranks 1..k."""
+    from pypgcdc_spark.operators.similarity import TOP_K
+
+    rows = REGISTRY["ann_product_quantized"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.approx_d2 >= 0
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1))
+
+
+def test_dsir_selects_english_leaning_docs(spark, sf_dir):
+    """DSIR's whole point: with lang='en' as the target, the selected
+    slice must be more English than the corpus at large."""
+    import duckdb
+
+    con = duckdb.connect()
+    sel = REGISTRY["pipeline_dsir_importance"].fn(spark, sf_dir).collect()
+    n_sel = sum(r.n_selected for r in sel)
+    assert n_sel > 0
+    # The registered output aggregates away doc ids, so measure the
+    # enrichment on the oracle side (the gate proves Spark == DuckDB):
+    # replicate the weight + per-source quota selection and compare the
+    # English fraction of the selected slice against the whole corpus.
+    from pypgcdc_spark.operators.pipeline import DSIR_BUCKETS, DSIR_KEEP
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    en_sel, en_all = con.execute(
+        f"""
+        WITH wsplit AS (SELECT doc_id, source, lang,
+                               unnest(string_split(lower(text), ' ')) AS w
+                        FROM documents),
+        tok AS (SELECT doc_id, source,
+                       ('0x' || substr(md5(w), 1, 4))::INTEGER % {DSIR_BUCKETS} AS bucket,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+                FROM wsplit WHERE w <> ''),
+        bc AS (SELECT bucket, SUM(is_t) c_t, COUNT(*) c_r FROM tok GROUP BY bucket),
+        tot AS (SELECT SUM(is_t) n_t, COUNT(*) n_r FROM tok),
+        lr AS (SELECT bucket,
+                      CAST(round(ln((c_t+1)::DOUBLE/(n_t+{DSIR_BUCKETS}))
+                               - ln((c_r+1)::DOUBLE/(n_r+{DSIR_BUCKETS})), 6)
+                           AS DECIMAL(18,6)) lr
+               FROM bc, tot),
+        db AS (SELECT doc_id, bucket, COUNT(*) n FROM tok GROUP BY 1, 2),
+        wt AS (SELECT d.doc_id, d.source, d.lang, COALESCE(SUM(db.n*lr.lr), 0) wt
+               FROM documents d
+               LEFT JOIN db ON d.doc_id = db.doc_id
+               LEFT JOIN lr ON db.bucket = lr.bucket
+               GROUP BY 1, 2, 3),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY wt DESC, doc_id) rn,
+                      COUNT(*) OVER (PARTITION BY source) n_src FROM wt)
+        SELECT (SELECT AVG(CASE WHEN lang='en' THEN 1.0 ELSE 0 END) FROM rk
+                WHERE rn <= greatest(1, floor(n_src * {DSIR_KEEP}))),
+               (SELECT AVG(CASE WHEN lang='en' THEN 1.0 ELSE 0 END) FROM documents)
+        """
+    ).fetchone()
+    assert en_sel > en_all, (en_sel, en_all)
+
+
+def test_stream_heavy_hitters_share_accounting(spark, sf_dir):
+    """Shares are exact ppm of the TOTAL stream (not of the top-k), so
+    the top-k shares must sum below 1e6 and each equals
+    floor(1e6 * n / total) for the batch-true counts."""
+    import duckdb
+
+    rows = REGISTRY["stream_heavy_hitters"].fn(spark, sf_dir).collect()
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        assert r.share_ppm == (1_000_000 * r.n_events) // total
