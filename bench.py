@@ -102,6 +102,12 @@ NEW_OPS_R4 = [
     "retrieval_maxsim",
     "layout_zorder_skipping",
     "stream_pattern_detect",
+    "dedup_semantic_semdedup",
+    "pipeline_dsir_importance",
+    "ann_product_quantized",
+    "q2_minimum_cost_supplier",
+    "graph_triangle_count",
+    "stream_heavy_hitters",
 ]
 
 

@@ -829,3 +829,81 @@ def q2_minimum_cost_supplier(spark, sf_dir):
         .limit(100)
         .drop("s_suppkey")
     )
+
+
+@query(
+    "join_preagg_pushdown_equivalence",
+    oracle="""
+    -- Eager aggregation (partial agg pushed BELOW the join — the
+    -- rewrite Catalyst does not apply on its own): per-customer revenue
+    -- computed the naive way (join 6M-row lineitem to orders, then
+    -- aggregate) and the pushed-down way (aggregate lineitem to
+    -- per-order cents FIRST, join the collapsed relation).  The oracle
+    -- computes both paths and the output carries their per-customer
+    -- equality, so the rewrite is gate-proven correctness-neutral.
+    WITH naive AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey),
+    pre AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS ocents
+      FROM lineitem GROUP BY l_orderkey),
+    pushed AS (
+      SELECT o.o_custkey, CAST(SUM(p.ocents) AS BIGINT) AS cents
+      FROM orders o JOIN pre p ON o.o_orderkey = p.l_orderkey
+      GROUP BY o.o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n.cents) AS BIGINT) AS total_cents_naive,
+           CAST(SUM(p.cents) AS BIGINT) AS total_cents_preagg,
+           CAST(SUM(CASE WHEN n.cents = p.cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matching,
+           (COUNT(*) = SUM(CASE WHEN n.cents = p.cents THEN 1 ELSE 0 END))
+               AS all_match
+    FROM naive n JOIN pushed p ON n.o_custkey = p.o_custkey
+    """,
+)
+def join_preagg_pushdown_equivalence(spark, sf_dir):
+    """Eager-aggregation rewrite, gate-verified: per-customer revenue via
+    (a) the naive join-then-aggregate plan and (b) partial aggregation
+    pushed below the join — lineitem collapses to one row per order
+    BEFORE joining orders.  The output compares the two per customer, so
+    the manual rewrite (Catalyst has no eager-aggregation rule) is
+    hash-proven correctness-neutral.
+
+    Why it matters at 100 TB: the join input shrinks from |lineitem| to
+    |orders| rows (~4× here, more when the fact is wider), and the
+    pushed-down aggregate is map-side combined on the same key the join
+    shuffles on — so the rewrite removes the dominant shuffle's data
+    volume, the single biggest lever on a fact-to-fact join.  Both
+    variants run in one plan; the gate hash carries their equality."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    naive = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    pre = li.groupBy("l_orderkey").agg(F.sum(cents).cast("long").alias("ocents"))
+    pushed = (
+        orders.join(pre, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("ocents").cast("long").alias("cents"))
+    )
+    n = naive.select(F.col("o_custkey"), F.col("cents").alias("cn"))
+    p = pushed.select(F.col("o_custkey"), F.col("cents").alias("cp"))
+    return n.join(p, "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cn").cast("long").alias("total_cents_naive"),
+        F.sum("cp").cast("long").alias("total_cents_preagg"),
+        F.sum(F.when(F.col("cn") == F.col("cp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matching"),
+        (
+            F.count(F.lit(1))
+            == F.sum(F.when(F.col("cn") == F.col("cp"), 1).otherwise(0))
+        ).alias("all_match"),
+    )

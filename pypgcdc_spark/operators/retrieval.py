@@ -313,3 +313,89 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    -- Bigram-LM quality scoring (the sequence-aware refinement of the
+    -- unigram signal): P(w2 | w1) from corpus bigram counts over
+    -- first-word context totals; document score = mean ln P over its
+    -- bigrams.  Repetitive/boilerplate text scores HIGH (its bigrams
+    -- dominate their contexts), disfluent noise scores LOW — the two
+    -- tails perplexity filtering separates.  Per-bigram logprobs round
+    -- to 6 places and sum as DECIMAL (order-free partial aggregation).
+    WITH words AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+                   FROM documents),
+    bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM words, unnest(range(1, len(w))) t(i)),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c) AS n FROM bc GROUP BY w1),
+    doc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS lp
+      FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+      GROUP BY doc_id)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(lp, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_logprob,
+           ROUND(MIN(lp), 2) AS worst_logprob,
+           ROUND(MAX(lp), 2) AS best_logprob
+    FROM doc GROUP BY lang
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-probability scoring: the corpus trains its own
+    bigram LM (counts over first-word contexts), every document scores
+    the mean ln P(w2|w1) of its word pairs, rolled up per language.
+    The sequence-aware sibling of ``text_unigram_logprob`` — a document
+    of common words in impossible ORDER now scores low.
+
+    Scale shape: bigram extraction is an in-row zip of two array slices
+    (map-only); the model is two hash aggregations (bigram, context);
+    scoring is two equi-joins on token keys, partial-agg combined.  No
+    state beyond the bigram vocabulary — the same cardinality class a
+    shuffle already handles.  Docs with fewer than two words have no
+    bigrams and drop out identically in both engines."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    words = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
+    )
+    bg = words.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, size(w) - 1)"),
+                F.expr("slice(w, 2, size(w) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy("w1").agg(F.sum("c").alias("n"))
+    lp_term = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    doc = (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            (F.sum(lp_term).cast("double") / F.count(F.lit(1))).alias("lp"),
+        )
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("lp"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_logprob"),
+        F.round(F.min("lp"), 2).alias("worst_logprob"),
+        F.round(F.max("lp"), 2).alias("best_logprob"),
+    )

@@ -66,6 +66,8 @@ EXTENDED = frozenset(
         # evidenced (quality_score, token_stats, langid, pii, repetition).
         "text_unigram_logprob",
         "bm25_search",
+        # Sequence-aware bigram refinement of the unigram LM signal.
+        "text_bigram_logprob",
         # Batch sessionization is the lag→cumsum window composition
         # (streaming session window + win_lag keep the primary slots).
         "win_sessionize_events",
@@ -204,6 +206,9 @@ EXTENDED = frozenset(
         "q2_minimum_cost_supplier",  # window-decorrelated min-cost skeleton
         # Physical-strategy equivalence: SHJ vs planner default.
         "join_shuffle_hash_equivalence",
+        # Eager-aggregation rewrite equivalence (join family amply
+        # primary; the rewrite is the point, not the join).
+        "join_preagg_pushdown_equivalence",
         # Multi-vector late-interaction reranker (ANN family keeps
         # brute/LSH/IVF primary).
         "retrieval_maxsim",
