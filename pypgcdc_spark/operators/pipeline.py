@@ -604,3 +604,112 @@ def pipeline_dsir_importance(spark, sf_dir):
         .cast("long")
         .alias("sel_id_sum"),
     )
+
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # percent boundaries of the md5 bucket
+
+
+@query(
+    "pipeline_train_val_test_split",
+    oracle=f"""
+    -- Deterministic stratified train/val/test split: every doc lands in
+    -- exactly one split by md5(doc_id) bucket mod 100 (< {SPLIT_TRAIN}
+    -- train, < {SPLIT_VAL} val, else test) — reproducible on any
+    -- engine, stable under corpus growth (an existing doc never changes
+    -- split when new docs arrive, unlike rank-based quotas).  Reported
+    -- per (lang, split) with id checksums so the assignment itself is
+    -- hash-gated.
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+                       < {SPLIT_TRAIN} THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+                       < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def pipeline_train_val_test_split(spark, sf_dir):
+    """Hash-deterministic train/val/test assignment (md5 bucket mod 100),
+    reported per (lang, split) with id checksums.  The property that
+    matters operationally: membership is a pure function of doc_id, so
+    re-running the split after the corpus grows never migrates an
+    existing document across splits — no train/test leakage from
+    re-splits, the failure mode rank- or quota-based splits have.
+
+    Scale: map-only (one md5 per row) + one grouped count.  Splitting
+    100 TB costs one pass, and any engine (or a downstream consumer in a
+    different stack) reproduces the same membership from the rule."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+WS_K = 25  # weighted sample size
+
+
+@query(
+    "pipeline_weighted_sampling",
+    oracle=f"""
+    -- Weighted sampling without replacement (Efraimidis & Spirakis
+    -- 2006): each doc draws key = u^(1/w) with u a deterministic
+    -- md5-uniform and w = n_chars; the top-{WS_K} keys ARE a weighted
+    -- sample without replacement.  Keys are rounded to 9 places with a
+    -- doc_id tiebreak so the boundary is engine-stable.
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROUND(POW((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                       / 4294967297.0,
+                       1.0 / n_chars), 9) AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, source, n_chars, k AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id ASC LIMIT {WS_K}
+    """,
+)
+def pipeline_weighted_sampling(spark, sf_dir):
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    key = u^(1/weight) with u uniform; the k largest keys are exactly a
+    weighted sample without replacement.  u derives from md5 so both
+    engines draw the same "randomness"; weight = n_chars (longer docs
+    proportionally likelier — the byte-budget sampling a corpus
+    curator actually wants).
+
+    Scale: this is THE cluster-friendly weighted sampler — no sequential
+    reservoir, no global state; each partition computes keys map-side
+    and a top-k (TakeOrderedAndProject) replaces any sort.  Composes
+    with per-group sampling by windowing the same key per group."""
+    (docs,) = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") + 1
+    ) / F.lit(4294967297.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WS_K)
+    )

@@ -365,3 +365,149 @@ def sketch_kmv_distinct(spark, sf_dir):
             "rel_err_pct"
         ),
     )
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    -- KMV set-operation estimates (Beyer et al., SIGMOD 2007): the
+    -- vocabulary overlap of every language with English, estimated from
+    -- the two k={_KMV_K} sketches alone — combine to the union's k
+    -- smallest hashes, count how many live in BOTH input sketches
+    -- (rho = m/k estimates Jaccard), scale by the union estimate for
+    -- the intersection size.  Exact values ride next to the estimates,
+    -- so the sketch algebra itself is inside the hashed gate.
+    WITH t AS (SELECT DISTINCT lang, term FROM (
+                 SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents)),
+    h AS (SELECT DISTINCT lang,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM t),
+    sk AS (SELECT lang, hv FROM (
+             SELECT lang, hv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) rn
+             FROM h) WHERE rn <= {_KMV_K}),
+    en AS (SELECT hv FROM sk WHERE lang = 'en'),
+    other AS (SELECT DISTINCT lang FROM documents WHERE lang <> 'en'),
+    uni AS (
+      SELECT lang, hv, in_en, in_b,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM (
+        SELECT o.lang, x.hv,
+               MAX(CASE WHEN x.side = 'en' THEN 1 ELSE 0 END) AS in_en,
+               MAX(CASE WHEN x.side = 'b' THEN 1 ELSE 0 END) AS in_b
+        FROM other o JOIN (
+          SELECT 'en' AS side, NULL AS lang, hv FROM en
+          UNION ALL
+          SELECT 'b', lang, hv FROM sk WHERE lang <> 'en') x
+          ON x.side = 'en' OR x.lang = o.lang
+        GROUP BY o.lang, x.hv)),
+    comb AS (
+      SELECT lang,
+             COUNT(*) AS ku,
+             CAST(SUM(CASE WHEN in_en = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS m,
+             MAX(hv) AS hk
+      FROM uni WHERE rn <= {_KMV_K} GROUP BY lang),
+    ex AS (
+      SELECT b.lang,
+             CAST(SUM(CASE WHEN e.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_inter,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM (SELECT lang, term FROM t WHERE lang <> 'en') b
+      LEFT JOIN (SELECT term FROM t WHERE lang = 'en') e USING (term)
+      GROUP BY b.lang),
+    en_n AS (SELECT COUNT(*) AS n_en FROM t WHERE lang = 'en')
+    SELECT c.lang,
+           e.n_inter AS exact_intersection,
+           ROUND(e.n_inter::DOUBLE / (e.n_b + en_n.n_en - e.n_inter), 4)
+               AS exact_jaccard,
+           ROUND(c.m::DOUBLE / c.ku, 4) AS kmv_jaccard,
+           ROUND(c.m::DOUBLE / c.ku
+                 * ({_KMV_K - 1}.0 * 4294967296.0 / c.hk), 2)
+               AS kmv_intersection_est
+    FROM comb c JOIN ex e ON c.lang = e.lang CROSS JOIN en_n
+    """,
+)
+def sketch_kmv_intersection(spark, sf_dir):
+    """KMV sketch set algebra (Beyer et al. 2007): Jaccard and
+    intersection-size estimates between each language's vocabulary and
+    English, computed ONLY from the two fixed-size sketches — combine to
+    the union's k smallest hashes, the both-sketch fraction estimates
+    Jaccard, scaled by the union cardinality estimate for intersection
+    size.  Exact values sit beside the estimates in the gate hash.
+
+    Why it matters at 100 TB: cross-corpus overlap questions ("how much
+    of corpus B is already in A?") otherwise cost a full anti-join of
+    two vocabularies; sketches answer in O(k) per pair after one linear
+    sketch-build each, and sketches MERGE — per-partition k-minima union
+    to the global sketch, so the build is one map + tiny combine."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).distinct()
+    hashes = terms.select(
+        "lang",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("lang").orderBy("hv")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("lang", "hv")
+        .localCheckpoint(eager=True)  # feeds both sides of the pair union
+    )
+    en = sk.filter(F.col("lang") == "en").select("hv")
+    others = docs.filter(F.col("lang") != "en").select("lang").distinct()
+    # Tag each (lang, hv) with sketch membership on both sides.
+    en_exp = others.crossJoin(F.broadcast(en)).select(
+        "lang", "hv", F.lit(1).alias("in_en"), F.lit(0).alias("in_b")
+    )
+    b_exp = sk.filter(F.col("lang") != "en").select(
+        "lang", "hv", F.lit(0).alias("in_en"), F.lit(1).alias("in_b")
+    )
+    uni = (
+        en_exp.unionAll(b_exp)
+        .groupBy("lang", "hv")
+        .agg(F.max("in_en").alias("in_en"), F.max("in_b").alias("in_b"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("lang").orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    comb = uni.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.sum(((F.col("in_en") == 1) & (F.col("in_b") == 1)).cast("long"))
+        .cast("long")
+        .alias("m"),
+        F.max("hv").alias("hk"),
+    )
+    en_terms = terms.filter(F.col("lang") == "en").select("term")
+    ex = (
+        terms.filter(F.col("lang") != "en")
+        .join(en_terms.withColumn("_hit", F.lit(1)), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_inter"),
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+        )
+    )
+    n_en = en_terms.agg(F.count(F.lit(1)).alias("n_en"))
+    return (
+        comb.join(ex, "lang")
+        .crossJoin(F.broadcast(n_en))
+        .select(
+            "lang",
+            F.col("n_inter").alias("exact_intersection"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_b") + F.col("n_en") - F.col("n_inter")),
+                4,
+            ).alias("exact_jaccard"),
+            F.round(F.col("m").cast("double") / F.col("ku"), 4).alias("kmv_jaccard"),
+            F.round(
+                F.col("m").cast("double")
+                / F.col("ku")
+                * (F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0) / F.col("hk")),
+                2,
+            ).alias("kmv_intersection_est"),
+        )
+    )

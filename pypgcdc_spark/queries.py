@@ -161,6 +161,13 @@ EXTENDED = frozenset(
         # HLL approx_distinct) and calendar-spine gap fill (join/agg
         # shapes amply primary).
         "sketch_kmv_distinct",
+        # KMV set algebra: cross-corpus intersection/Jaccard estimates
+        # from the same fixed-size sketches.
+        "sketch_kmv_intersection",
+        # md5-bucket stratified split and Efraimidis-Spirakis weighted
+        # sampling (curation family keeps its primaries).
+        "pipeline_train_val_test_split",
+        "pipeline_weighted_sampling",
         "timeseries_gap_fill",
         # RRF fusion of the kept BM25 + ANN primaries.
         "retrieval_hybrid_rrf",
