@@ -591,3 +591,33 @@ def test_q2_broadcasts_dims_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in txt
     assert "TakeOrderedAndProject" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_weighted_sampling_is_takeordered(spark, sf_dir):
+    """The E-S weighted sample must be a TakeOrderedAndProject over
+    map-side keys — no global sort, no shuffle beyond the top-k."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["pipeline_weighted_sampling"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "Sort " not in txt.replace("TakeOrderedAndProject", "")
+
+
+def test_split_is_map_only(spark, sf_dir):
+    """Split assignment is one md5 per row; the only shuffle is the
+    final (lang, split) rollup."""
+    from pypgcdc_spark.plans.inspect import shuffle_count
+
+    df = REGISTRY["pipeline_train_val_test_split"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_preagg_variant_shuffles_less_data(spark, sf_dir):
+    """Both variants appear in one plan; the pushed-down branch joins
+    the COLLAPSED per-order relation (its aggregate runs below its
+    join).  Executed check: identical totals, all_match true."""
+    row = REGISTRY["join_preagg_pushdown_equivalence"].fn(spark, sf_dir).collect()[0]
+    assert row.all_match
+    assert row.total_cents_naive == row.total_cents_preagg
+    assert row.n_customers == row.n_matching
