@@ -907,3 +907,82 @@ def join_preagg_pushdown_equivalence(spark, sf_dir):
             == F.sum(F.when(F.col("cn") == F.col("cp"), 1).otherwise(0))
         ).alias("all_match"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY cents DESC, o_orderkey ASC LIMIT 1) l
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("join_lateral_top_order", oracle=_LATERAL_SQL)
+def join_lateral_top_order(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — each
+    BUILDING-segment customer's single most expensive order.  The SQL
+    text IS the implementation and the oracle (same string on both
+    engines): this checks the lateral-join front end plus Catalyst's
+    decorrelation of a per-row top-1 into a window/aggregate plan —
+    users write the correlated form, the engine must not execute it as
+    one subquery per row.
+
+    At 100 TB the decorrelated plan is one orders shuffle by custkey
+    (exactly what the hand-written window variant would cost, pinned by
+    win_topk_orders_per_segment); the lateral row exists so the
+    *declarative* formulation stays gate-verified too."""
+    for t in ("customer", "orders"):
+        (df,) = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+KHOP_DEPTH = 2
+
+_KHOP_SQL = f"""
+    WITH RECURSIVE edges0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+    reach(node, depth) AS (
+      SELECT DISTINCT 'c' || o_custkey, 0 FROM orders WHERE o_custkey < 3
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.depth < {KHOP_DEPTH}
+    )
+    SELECT depth,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node) first_seen
+    JOIN (SELECT node, depth FROM reach) walks USING (node, depth)
+    GROUP BY depth
+"""
+
+
+@query("graph_khop_recursive_sql", oracle=_KHOP_SQL)
+def graph_khop_recursive_sql(spark, sf_dir):
+    """Depth-bounded k-hop reachability as a RECURSIVE CTE — identical
+    SQL text on both engines, exercising the recursive-CTE front end
+    Spark 4 added (UNION ALL + monotone depth guard; Spark does not yet
+    support set-semantics UNION in recursion).  From the three lowest
+    customers, BFS levels over the symmetric customer↔supplier trade
+    graph: per level, nodes first reached there and the number of
+    distinct walks arriving at that level.
+
+    Scale honesty: recursive walk enumeration is exponential in
+    unguarded depth — the {KHOP_DEPTH}-hop bound keeps the walk count
+    under Spark's recursion row limit (depth 3 already exceeds the
+    default 1M at sf0.01 on this dense bipartite graph), and at 100 TB the production shape is the frontier-deduped
+    iterative DataFrame BFS the CC kernels already demonstrate
+    (per-level DISTINCT, O(V) state).  This row keeps the declarative
+    recursive formulation itself inside the correctness gate."""
+    for t in ("orders", "lineitem"):
+        (df,) = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+    return spark.sql(_KHOP_SQL)

@@ -216,6 +216,10 @@ EXTENDED = frozenset(
         # Eager-aggregation rewrite equivalence (join family amply
         # primary; the rewrite is the point, not the join).
         "join_preagg_pushdown_equivalence",
+        # Correlated LATERAL front end (decorrelation twin of the kept
+        # window top-k) and Spark 4 recursive-CTE k-hop BFS.
+        "join_lateral_top_order",
+        "graph_khop_recursive_sql",
         # Multi-vector late-interaction reranker (ANN family keeps
         # brute/LSH/IVF primary).
         "retrieval_maxsim",
