@@ -331,23 +331,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Carry the destination's (degree, id) on the oriented edge so the
+    # wedge build needs NO degree re-joins — the a-before-b ordering is a
+    # plain column comparison on the self-join output.
     oriented = (
         edges.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
         .localCheckpoint(eager=True)  # feeds wedges twice + closing join
     )
-    e1 = oriented.select("src", F.col("dst").alias("a"))
-    e2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("b"))
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    e1 = oriented.select("src", F.col("dst").alias("a"), F.col("ddst").alias("da"))
+    e2 = oriented.select(
+        F.col("src").alias("src2"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
     wedges = (
         e1.join(e2, F.col("src") == F.col("src2"))
-        .join(da, "a")
-        .join(db, "b")
         .filter(
             (F.col("da") < F.col("db"))
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
