@@ -65,6 +65,20 @@ STRESS_R4 = [
     "join_bloom_prefilter",
     "embed_kmeans_domains",
 ]
+# Round-4 session-3 additions: triangle counting (order replication
+# leaves the DISTINCT co-purchase relation unchanged — the triangle
+# total must be INVARIANT, an absolute check), PQ search (codes ×REPL,
+# LUT constant — linear scan), DSIR (token scans linear; per-source doc
+# and selection counts exactly ×REPL), and bigram scoring (salted
+# replica vocabularies are disjoint, so each replica reproduces the
+# base LM exactly — per-lang averages must be IDENTICAL at both
+# scales while n_docs scales ×REPL).
+STRESS_R4S3 = [
+    "graph_triangle_count",
+    "ann_product_quantized",
+    "pipeline_dsir_importance",
+    "text_bigram_logprob",
+]
 
 
 def build_scaled(spark, out_dir: str, repl: int) -> None:
@@ -225,7 +239,7 @@ def main() -> None:
         # so the bucketed variant's one-time edge-table build lands in the
         # warm-up execution (steady-state semantics, same as every other
         # stressed query).
-        for name in STRESS_ITER + STRESS_R4:
+        for name in STRESS_ITER + STRESS_R4 + STRESS_R4S3:
             fn = REGISTRY[name].fn
             try:
                 fn(spark, WARM).write.format("noop").mode("overwrite").save()
@@ -420,6 +434,58 @@ def main() -> None:
         report["correctness"]["sketch_count_min"] = {
             "rows": len(cm_scaled),
             "one_sided": bool((cm_scaled.overcount >= 0).all()),
+        }
+
+        # triangle count: order replication leaves the DISTINCT
+        # co-purchase edge relation unchanged (l_partkey is not offset),
+        # so the global triangle total must be INVARIANT under ×REPL.
+        tr_base = REGISTRY["graph_triangle_count"].fn(spark, BASE).toPandas()
+        tr_scaled = REGISTRY["graph_triangle_count"].fn(spark, work).toPandas()
+        report["correctness"]["graph_triangle_count"] = {
+            "total_sf0.1": int(tr_base.total_triangles.iloc[0]),
+            f"total_x{repl}": int(tr_scaled.total_triangles.iloc[0]),
+            "total_invariant": int(tr_base.total_triangles.iloc[0])
+            == int(tr_scaled.total_triangles.iloc[0]),
+        }
+
+        # DSIR: per-source doc counts and quota selections scale EXACTLY
+        # ×REPL (sources are preserved; quota = floor(n*keep) commutes
+        # with ×REPL when n*keep is integral, which the fixture's
+        # per-source counts make true).
+        ds_base = by_source(
+            REGISTRY["pipeline_dsir_importance"].fn(spark, BASE).toPandas()
+        )
+        ds_scaled = by_source(
+            REGISTRY["pipeline_dsir_importance"].fn(spark, work).toPandas()
+        )
+        report["correctness"]["pipeline_dsir_importance"] = {
+            "docs_exact_linear": all(
+                ds_scaled[s]["n_docs"] == repl * ds_base[s]["n_docs"] for s in ds_base
+            ),
+            "selected_exact_linear": all(
+                ds_scaled[s]["n_selected"] == repl * ds_base[s]["n_selected"]
+                for s in ds_base
+            ),
+        }
+
+        # bigram LM: disjoint salted replica vocabularies ⇒ every replica
+        # reproduces the base model exactly — per-lang avg/min/max
+        # logprobs IDENTICAL at both scales, n_docs ×REPL.
+        def by_lang(pdf):
+            return {r["lang"]: r for _, r in pdf.iterrows()}
+
+        bg_base = by_lang(REGISTRY["text_bigram_logprob"].fn(spark, BASE).toPandas())
+        bg_scaled = by_lang(REGISTRY["text_bigram_logprob"].fn(spark, work).toPandas())
+        report["correctness"]["text_bigram_logprob"] = {
+            "docs_exact_linear": all(
+                bg_scaled[lg]["n_docs"] == repl * bg_base[lg]["n_docs"]
+                for lg in bg_base
+            ),
+            "scores_identical": all(
+                bg_scaled[lg][c] == bg_base[lg][c]
+                for lg in bg_base
+                for c in ("avg_logprob", "worst_logprob", "best_logprob")
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
