@@ -258,3 +258,72 @@ def layout_zorder_skipping(spark, sf_dir):
         .unionByName(probe("linear", "suppkey_band", sk_band, "linear_file"))
         .unionByName(probe("zorder", "suppkey_band", sk_band, "z_file"))
     )
+
+
+RANGE_PARTS = 8  # target range-partition count
+
+
+@query(
+    "layout_range_partition_stats",
+    oracle=f"""
+    -- Range-partitioner boundary design for a balanced global sort:
+    -- exact rank-based boundaries over the sort key (o_totalprice in
+    -- integer cents, o_orderkey tiebreak) split orders into
+    -- {RANGE_PARTS} ranges; per-range row counts and the max-range skew
+    -- (ppm of ideal) quantify balance.  Spark's own RangePartitioner
+    -- samples non-deterministically, so the gate uses the exact-rank
+    -- formulation — same boundaries on any engine.
+    WITH keyed AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                         o_orderkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM orders),
+    assigned AS (
+      SELECT cents, ((rk - 1) * {RANGE_PARTS}) // n AS part, n FROM keyed)
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(FLOOR(1000000.0 * COUNT(*) * {RANGE_PARTS} / ANY_VALUE(n)) AS BIGINT)
+               AS fill_ppm
+    FROM assigned GROUP BY part
+    """,
+)
+def layout_range_partition_stats(spark, sf_dir):
+    """Range-partition boundary design — the pre-pass that makes a
+    100 TB global sort balanced.  Exact rank over (sort key, tiebreak)
+    assigns each row a target range; the output is per-range counts,
+    key bounds, and fill ppm (1e6 = perfectly balanced).
+
+    Scale shape: the design pass touches ONLY the 8-byte key column
+    (column pruning keeps the scan narrow), so its sort shuffles ~1% of
+    the row width; the subsequent full-row range exchange then lands
+    near-uniform partitions.  In production Spark's RangePartitioner
+    reservoir-samples for the same boundaries (non-deterministic, hence
+    the exact-rank formulation inside the gate); the balance arithmetic
+    this query hash-checks is identical.  Completes the layout family:
+    pruning (static + DPP), z-order skipping, bucketing, and now range
+    boundaries for sort."""
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keyed = orders.select(cents.alias("cents"), "o_orderkey").select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    assigned = keyed.select(
+        "cents", F.expr(f"((rk - 1) * {RANGE_PARTS}) div n").alias("part"), "n"
+    )
+    return assigned.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.floor(
+            F.lit(1000000.0) * F.count(F.lit(1)) * RANGE_PARTS / F.any_value("n")
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+    )

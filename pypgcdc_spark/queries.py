@@ -136,6 +136,8 @@ EXTENDED = frozenset(
         # plan-pinned q19/q6 parquet scans.
         "layout_partition_pruned_scan",
         "layout_dynamic_partition_pruning",
+        # Range-partitioner boundary design (layout family twin).
+        "layout_range_partition_stats",
         # Sketch summaries: bloom semi-join reduction (join family amply
         # primary) and count-min frequency grid (approx family keeps its
         # primary slot via approx_distinct_and_quantiles).
