@@ -108,7 +108,51 @@ NEW_OPS_R4 = [
     "q2_minimum_cost_supplier",
     "graph_triangle_count",
     "stream_heavy_hitters",
+    "join_preagg_pushdown_equivalence",
+    "text_bigram_logprob",
+    "sketch_kmv_intersection",
+    "pipeline_train_val_test_split",
+    "pipeline_weighted_sampling",
 ]
+
+
+def decode_throughput_vs_reference(
+    n_rows: int = 2000,
+    ref_path: str = "/root/reference/src/pypgcdc/decoders.py",
+) -> dict:
+    """Decode the same I/U/D frame mix with this repo's pgoutput decoder
+    and the reference's (file-loaded, stdlib-only), in msg/s each."""
+    import importlib.util
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+
+    frames = []
+    for i in range(n_rows):
+        frames.append(pg.encode_insert(16385, [str(i), None, "1.00", "x" * 20, "a"]))
+        frames.append(pg.encode_update(16385, [str(i), None, "2.00", "y" * 20, "b"]))
+        frames.append(pg.encode_delete(16385, [str(i), None, None, None, None]))
+
+    t0 = time.perf_counter()
+    for f in frames:
+        pg.decode_message(f)
+    ours = len(frames) / (time.perf_counter() - t0)
+
+    if not os.path.exists(ref_path):
+        return {"ours_msg_per_sec": round(ours, 0), "reference": "absent"}
+    spec = importlib.util.spec_from_file_location("ref_decoders", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    cls = {b"I": ref.Insert, b"U": ref.Update, b"D": ref.Delete}
+    t0 = time.perf_counter()
+    for f in frames:
+        cls[f[:1]](f)
+    refs = len(frames) / (time.perf_counter() - t0)
+    return {
+        "ours_msg_per_sec": round(ours, 0),
+        "reference_msg_per_sec": round(refs, 0),
+        "speedup_vs_reference": round(ours / refs, 2),
+        "n_frames": len(frames),
+    }
 
 
 def main():
@@ -183,6 +227,18 @@ def main():
     except Exception as e:  # never lose the batch record to the stream bench
         streaming = {"error": str(e)[:200]}
 
+    # Head-to-head pgoutput decode throughput vs the REFERENCE decoder on
+    # identical frames — the one directly comparable single-node number
+    # (the reference is a single-threaded CDC client with no query
+    # surface).  Loaded via importlib straight from decoders.py (stdlib-
+    # only) so the reference package's psycopg2 import is bypassed;
+    # skipped gracefully when the reference checkout is absent.
+    decode_bench = {}
+    try:
+        decode_bench = decode_throughput_vs_reference()
+    except Exception as e:
+        decode_bench = {"error": str(e)[:200]}
+
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
@@ -197,6 +253,7 @@ def main():
         "failed": failed,
         "queries": timings,
         "streaming_steady_state": streaming,
+        "decode_throughput": decode_bench,
         "sf": sf,
         "cpus": cpus,
     }
