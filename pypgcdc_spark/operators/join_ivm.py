@@ -1,0 +1,346 @@
+"""Incremental maintenance of a two-table JOIN view (delta-join IVM).
+
+The textbook rule the other IVM operators don't cover: for a view
+``V = A ⋈ B``, a batch of changes maintains V as
+
+    ΔV = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+
+(applying ΔA against the OLD B-state and ΔB against the NEW A-state
+counts the same-batch ΔA⋈ΔB pairs exactly once).  Here A = orders
+(keyed o_orderkey, with revisions), B = lineitem (keyed (orderkey,
+linenumber)), and the maintained derivative is the joined aggregate
+revenue per order priority — A-side updates RETRACT their old joined
+contribution and ADD the new one, so the maintained aggregate never
+recomputes from the base tables.  B is append-only fact rows (order
+lines are immutable — the fixture's (orderkey, linenumber) is not even
+a unique key); A carries the upsert/LSN-guard machinery.
+
+The change log is synthesized deterministically from the fixtures and
+hash-chunked so A and B rows of the same order usually arrive in
+DIFFERENT micro-batches (both delta directions exercised), and every
+order with ``o_orderkey % REV_MOD == 0`` receives a later priority
+revision — the retract path.  Per-key LSN guards make the maintainer
+tolerant of the cross-chunk LSN disorder hash-chunking creates.
+
+Scale design (same discipline as operators/ivm.py): A- and B-state live
+in parquet datasets partitioned by ``bucket = orderkey % N_BUCKETS``;
+each batch rewrites only touched buckets via dynamic partition
+overwrite and reads them partition-pruned, so per-batch cost is
+O(touched buckets), not O(state).  The joined aggregate is priorities ×
+counters — metadata-sized.  Insert/update scope; the delete/tombstone
+machinery is demonstrated by ivm.py and cdc_targeted_erasure.
+
+Reference parity: the reference (pypgcdc, ``reader.py:104``) replays
+the log into consumer callbacks — view maintenance is left entirely to
+the consumer.  This operator is that consumer done right, for joins.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.queries import load, query
+
+N_BUCKETS = 8
+N_CHUNKS = 4
+REV_MOD = 10  # orders with key % REV_MOD == 0 get a later priority revision
+REV_PRIORITY = "9-REVISED"
+
+_JOIN_LOGS: dict = {}
+
+A_SCHEMA = "lsn LONG, tbl STRING, orderkey LONG, linenumber LONG, custkey LONG, priority STRING, cents LONG"
+
+
+def chunked_join_log(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic two-table change log: orders as table-A upserts
+    (base lsn 4k, revision 4k+2 for every REV_MOD-th key), lineitem as
+    table-B upserts (lsn 4k+1), md5-hash-chunked into N_CHUNKS files so
+    related A/B rows split across micro-batches.  Session-cached."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _JOIN_LOGS:
+        return _JOIN_LOGS[key]
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    a_base = orders.select(
+        (F.col("o_orderkey") * 4).alias("lsn"),
+        F.lit("A").alias("tbl"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(None).cast("long").alias("linenumber"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(None).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("A:"), F.col("o_orderkey"))), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % (N_CHUNKS - 1)
+        ).alias("chunk"),
+    )
+    a_rev = (
+        orders.filter(F.col("o_orderkey") % REV_MOD == 0)
+        .select(
+            (F.col("o_orderkey") * 4 + 2).alias("lsn"),
+            F.lit("A").alias("tbl"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.lit(None).cast("long").alias("linenumber"),
+            F.col("o_custkey").alias("custkey"),
+            F.lit(REV_PRIORITY).alias("priority"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(N_CHUNKS - 1).alias("chunk"),  # revisions in the last batch
+        )
+    )
+    b_rows = li.select(
+        (F.col("l_orderkey") * 4 + 1).alias("lsn"),
+        F.lit("B").alias("tbl"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.lit(None).cast("long").alias("custkey"),
+        F.lit(None).cast("string").alias("priority"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("B:"),
+                            F.col("l_orderkey"),
+                            F.lit(":"),
+                            F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % N_CHUNKS
+        ).alias("chunk"),
+    )
+    log = a_base.unionByName(a_rev).unionByName(b_rows)
+    base = tempfile.mkdtemp(prefix="cdc_joinlog_")
+    for i in range(N_CHUNKS):
+        log.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/log/chunk={i}")
+    _JOIN_LOGS[key] = f"{base}/log"
+    return _JOIN_LOGS[key]
+
+
+class JoinViewMaintainer:
+    """ΔV = ΔA⋈B_old ∪ A_new⋈ΔB with retract/add aggregate upkeep."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_BUCKETS):
+        self.spark = spark
+        self.work = work_dir
+        self.n_buckets = n_buckets
+        self._has_a = False
+        self._has_b = False
+        self._agg_ver = -1
+
+    def _read_state(self, path: str, has: bool, schema: str, buckets) -> DataFrame:
+        if not has:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.parquet(path)
+            .filter(F.col("bucket").isin(list(buckets)))
+            .drop("bucket")
+        )
+
+    def _read_agg(self) -> DataFrame:
+        if self._agg_ver < 0:
+            return self.spark.createDataFrame([], "priority STRING, n_lines LONG, total_cents LONG")
+        return self.spark.read.parquet(f"{self.work}/agg_v{self._agg_ver}")
+
+    def aggregate(self) -> DataFrame:
+        return self._read_agg().filter(F.col("n_lines") > 0)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bucket = (F.col("orderkey") % self.n_buckets).cast("int")
+
+        # Bounded driver metadata: touched bucket ids only.
+        touched = [
+            r[0] for r in batch_df.select(bucket.alias("b")).distinct().collect()
+        ]
+        if not touched:
+            return
+
+        a_old = self._read_state(
+            f"{self.work}/a_state",
+            self._has_a,
+            "orderkey LONG, custkey LONG, priority STRING, lsn LONG",
+            touched,
+        )
+        b_old = self._read_state(
+            f"{self.work}/b_state",
+            self._has_b,
+            "orderkey LONG, linenumber LONG, cents LONG, lsn LONG",
+            touched,
+        )
+
+        # Latest version per key WITHIN the batch, then the cross-batch
+        # LSN guard (stale rows dropped — hash chunking delivers keys out
+        # of global LSN order).
+        wa = Window.partitionBy("orderkey").orderBy(F.col("lsn").desc())
+        da = (
+            batch_df.filter(F.col("tbl") == "A")
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("orderkey", "custkey", "priority", "lsn")
+        )
+        da_eff = (
+            da.join(
+                a_old.select(
+                    "orderkey",
+                    F.col("priority").alias("old_priority"),
+                    F.col("lsn").alias("old_lsn"),
+                ),
+                "orderkey",
+                "left",
+            )
+            .filter(F.col("lsn") > F.coalesce(F.col("old_lsn"), F.lit(-1)))
+            .localCheckpoint(eager=True)
+        )
+        # B is APPEND-ONLY fact rows (order lines are immutable; the
+        # fixture's (orderkey, linenumber) is not even unique, so there
+        # is no per-line upsert key) — dB is simply the batch's B rows.
+        db_eff = (
+            batch_df.filter(F.col("tbl") == "B")
+            .select("orderkey", "linenumber", "cents", "lsn")
+            .localCheckpoint(eager=True)
+        )
+
+        # -- ΔA ⋈ B_old: retract the old joined contribution, add the new
+        b_old_sums = b_old.groupBy("orderkey").agg(
+            F.count(F.lit(1)).alias("b_n"), F.sum("cents").alias("b_cents")
+        )
+        a_join = da_eff.join(b_old_sums, "orderkey", "left").select(
+            "orderkey",
+            "priority",
+            "old_priority",
+            F.coalesce("b_n", F.lit(0)).alias("b_n"),
+            F.coalesce("b_cents", F.lit(0)).alias("b_cents"),
+        )
+        delta_a = a_join.filter(F.col("old_priority").isNotNull()).select(
+            F.col("old_priority").alias("priority"),
+            (-F.col("b_n")).alias("d_n"),
+            (-F.col("b_cents")).alias("d_cents"),
+        ).unionByName(
+            a_join.select(
+                "priority", F.col("b_n").alias("d_n"), F.col("b_cents").alias("d_cents")
+            )
+        )
+
+        # -- new A-state (needed before ΔB joins it)
+        a_new = (
+            a_old.join(da_eff.select("orderkey", F.lit(1).alias("_r")), "orderkey", "left_anti")
+            .unionByName(da_eff.select("orderkey", "custkey", "priority", "lsn"))
+            .localCheckpoint(eager=True)
+        )
+
+        # -- A_new ⋈ ΔB: every appended line contributes to the CURRENT
+        # priority (lines whose A has not arrived yet contribute nothing
+        # now — the later A-arrival's add, computed over B-state, picks
+        # them up)
+        delta_b = (
+            db_eff.join(a_new.select("orderkey", "priority"), "orderkey")
+            .select(
+                "priority",
+                F.lit(1).cast("long").alias("d_n"),
+                F.col("cents").alias("d_cents"),
+            )
+        )
+
+        # -- fold deltas into the (metadata-sized) aggregate
+        deltas = (
+            delta_a.unionByName(delta_b)
+            .groupBy("priority")
+            .agg(F.sum("d_n").alias("d_n"), F.sum("d_cents").alias("d_cents"))
+        )
+        agg_new = (
+            self._read_agg()
+            .join(deltas, "priority", "full_outer")
+            .select(
+                "priority",
+                (F.coalesce("n_lines", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                    "n_lines"
+                ),
+                (
+                    F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+                ).alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ver = self._agg_ver + 1
+        agg_new.coalesce(1).write.mode("overwrite").parquet(f"{self.work}/agg_v{ver}")
+        self._agg_ver = ver
+
+        # -- state writes: only the touched buckets are replaced
+        b_new = b_old.unionByName(
+            db_eff.select("orderkey", "linenumber", "cents", "lsn")
+        ).localCheckpoint(eager=True)
+        a_new.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{self.work}/a_state")
+        self._has_a = True
+        b_new.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{self.work}/b_state")
+        self._has_b = True
+
+
+@query(
+    "cdc_join_view_ivm",
+    oracle=f"""
+    -- Batch recompute over FINAL table states: orders with every
+    -- REV_MOD-th key's priority revised, joined to lineitem, revenue per
+    -- priority.  The Spark side maintained the same aggregate
+    -- INCREMENTALLY via the delta-join rule — the hash-match proves
+    -- dV = dA><B_old + A_new><dB (retract/add included) equals the
+    -- recompute.
+    WITH final_a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {REV_MOD} = 0 THEN '{REV_PRIORITY}'
+                  ELSE o_orderpriority END AS priority
+      FROM orders)
+    SELECT a.priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM final_a a JOIN lineitem l ON a.o_orderkey = l.l_orderkey
+    GROUP BY a.priority
+    """,
+)
+def cdc_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the synthesized two-table change log in {N_CHUNKS}
+    hash-chunked micro-batches through ``JoinViewMaintainer`` and return
+    the final maintained join aggregate — which must hash-match the
+    batch recompute over final table states."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="cdc_jivm_")
+    try:
+        log_dir = chunked_join_log(spark, sf_dir)
+        maint = JoinViewMaintainer(spark, work)
+        q = (
+            spark.readStream.schema(A_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+            .writeStream.foreachBatch(maint.apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = maint.aggregate().collect()
+        return spark.createDataFrame(
+            rows, "priority STRING, n_lines LONG, total_cents LONG"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

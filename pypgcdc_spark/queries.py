@@ -85,6 +85,9 @@ EXTENDED = frozenset(
         # CDC-maintained minhash index: the CDC-apply and minhash halves
         # are each primary-evidenced; this composition joins them.
         "cdc_minhash_maintenance",
+        # Delta-join IVM (dV = dA><B_old + A_new><dB with retract/add;
+        # the IVM family keeps cdc_incremental_view primary).
+        "cdc_join_view_ivm",
         # Online near-dup filter: streaming dedup keeps its primary slot
         # via stream_dedup_watermark; this adds the simhash-keyed variant.
         "stream_simhash_dedup",
@@ -331,6 +334,7 @@ def ensure_registered() -> None:
         cdc_dedup,
         cdc_queries,
         clustering,
+        join_ivm,
         collections_fns,
         dedup,
         graph_queries,

@@ -276,3 +276,47 @@ def test_stream_heavy_hitters_share_accounting(spark, sf_dir):
     assert sum(r.share_ppm for r in rows) <= 1_000_000
     for r in rows:
         assert r.share_ppm == (1_000_000 * r.n_events) // total
+
+
+def test_join_view_ivm_correct_after_every_batch(spark, tmp_path):
+    """The delta-join maintainer must equal the batch join truth AFTER
+    EVERY micro-batch — not just at the end — or retract/add errors
+    could cancel by luck over the full log."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.operators.join_ivm import (
+        A_SCHEMA,
+        N_CHUNKS,
+        JoinViewMaintainer,
+        chunked_join_log,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    log = chunked_join_log(spark, sf)
+    m = JoinViewMaintainer(spark, str(tmp_path / "state"))
+    for i in range(N_CHUNKS):
+        batch = spark.read.schema(A_SCHEMA).parquet(f"{log}/chunk={i}")
+        m.apply_batch(batch, i)
+        got = {
+            r.priority: (r.n_lines, r.total_cents) for r in m.aggregate().collect()
+        }
+        seen = spark.read.schema(A_SCHEMA).parquet(
+            *[f"{log}/chunk={j}" for j in range(i + 1)]
+        )
+        wa = Window.partitionBy("orderkey").orderBy(F.col("lsn").desc())
+        a = (
+            seen.filter("tbl='A'")
+            .withColumn("rn", F.row_number().over(wa))
+            .filter("rn=1")
+            .select("orderkey", "priority")
+        )
+        b = seen.filter("tbl='B'").select("orderkey", "cents")
+        truth = {
+            r.priority: (r.n, r.c)
+            for r in a.join(b, "orderkey")
+            .groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+            .collect()
+        }
+        assert got == truth, f"batch {i}: {got} != {truth}"
