@@ -621,3 +621,29 @@ def test_preagg_variant_shuffles_less_data(spark, sf_dir):
     assert row.all_match
     assert row.total_cents_naive == row.total_cents_preagg
     assert row.n_customers == row.n_matching
+
+
+def test_lateral_top1_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the correlated LATERAL top-1 into a
+    join-shaped plan — never one subquery execution per customer row,
+    and never a cartesian."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["join_lateral_top_order"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    # Decorrelated shape: some join over the orders side (any algorithm).
+    assert any(j in txt for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_range_partition_boundaries_are_balanced(spark, sf_dir):
+    """Every range's fill must be within 2% of ideal (exact-rank
+    boundaries can only be off by rounding)."""
+    rows = REGISTRY["layout_range_partition_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 980_000 <= r.fill_ppm <= 1_020_000, (r.part, r.fill_ppm)
+    # ranges must tile the key space in order
+    ordered = sorted(rows, key=lambda r: r.part)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo.max_cents <= hi.min_cents
