@@ -113,6 +113,10 @@ NEW_OPS_R4 = [
     "sketch_kmv_intersection",
     "pipeline_train_val_test_split",
     "pipeline_weighted_sampling",
+    "join_lateral_top_order",
+    "graph_khop_recursive_sql",
+    "layout_range_partition_stats",
+    "cdc_join_view_ivm",
 ]
 
 
