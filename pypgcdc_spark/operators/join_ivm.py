@@ -124,10 +124,12 @@ def chunked_join_log(spark: SparkSession, sf_dir: str) -> str:
     )
     log = a_base.unionByName(a_rev).unionByName(b_rows)
     base = tempfile.mkdtemp(prefix="cdc_joinlog_")
-    for i in range(N_CHUNKS):
-        log.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/log/chunk={i}")
+    # ONE partitioned write (not N_CHUNKS sequential jobs): repartition
+    # by chunk so each chunk dir gets a single file -> one micro-batch
+    # per chunk under maxFilesPerTrigger=1, same layout as before.
+    log.repartition(N_CHUNKS, "chunk").write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(f"{base}/log")
     _JOIN_LOGS[key] = f"{base}/log"
     return _JOIN_LOGS[key]
 
@@ -206,7 +208,9 @@ class JoinViewMaintainer:
                 "left",
             )
             .filter(F.col("lsn") > F.coalesce(F.col("old_lsn"), F.lit(-1)))
-            .localCheckpoint(eager=True)
+            # Not checkpointed: cheap to recompute, and a_new (which IS
+            # checkpointed before the state overwrite) covers the
+            # read-own-write hazard.
         )
         # B is APPEND-ONLY fact rows (order lines are immutable; the
         # fixture's (orderkey, linenumber) is not even unique, so there
@@ -214,7 +218,6 @@ class JoinViewMaintainer:
         db_eff = (
             batch_df.filter(F.col("tbl") == "B")
             .select("orderkey", "linenumber", "cents", "lsn")
-            .localCheckpoint(eager=True)
         )
 
         # -- ΔA ⋈ B_old: retract the old joined contribution, add the new
