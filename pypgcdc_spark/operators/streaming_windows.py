@@ -626,3 +626,96 @@ def stream_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(HH_TOPK)
     )
+
+
+_LI_LOGS: dict = {}
+
+
+def _chunked_lineitem_log(spark, sf_dir: str) -> str:
+    """Order-key-range chunks of lineitem, one file each → one
+    micro-batch each (the fact-stream fixture for stream-static joins).
+    Session-cached."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LI_LOGS:
+        return _LI_LOGS[key]
+    (li,) = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 4
+        ).alias("chunk"),
+    )
+    base = tempfile.mkdtemp(prefix="li_log_")
+    fact.repartition(4, "chunk").write.mode("overwrite").partitionBy("chunk").parquet(
+        f"{base}/log"
+    )
+    _LI_LOGS[key] = f"{base}/log"
+    return _LI_LOGS[key]
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    -- The drained stream-static join must equal the batch join: revenue
+    -- per part brand over the whole fact stream.
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join — the dimension-enrichment pattern Structured
+    Streaming names explicitly: a micro-batched lineitem fact stream
+    joins the STATIC part dimension (broadcast into every batch, no
+    stream state for the dim side), aggregating running revenue per
+    brand in update mode; the drained final totals must hash-match the
+    batch join.
+
+    At 100 TB the static side is the point: the dim participates with
+    zero streaming state (re-broadcast per batch, or a lake-table
+    snapshot under slowly-changing dims), so enrichment cost is
+    per-batch-rows × broadcast probe — the same plan batch q3/q5 pin,
+    applied continuously."""
+    import uuid
+
+    from pypgcdc_spark.queries import load as _load
+
+    (part,) = _load(spark, sf_dir, "part")
+    log_dir = _chunked_lineitem_log(spark, sf_dir)
+    schema = spark.read.parquet(log_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one key-range chunk per batch
+        .parquet(log_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        stream.l_partkey == F.col("p_partkey"),
+    )
+    agg = enriched.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("total_cents"),
+    )
+    name = "sse_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    # Running totals are monotone per brand: final = max-n_lines row.
+    return sink.groupBy("p_brand").agg(
+        F.max("n_lines").cast("long").alias("n_lines"),
+        F.max_by("total_cents", "n_lines").cast("long").alias("total_cents"),
+    )

@@ -134,6 +134,11 @@ EXTENDED = frozenset(
         # Integrity/validation dashboard (anti-join + agg shapes all
         # primary-evidenced).
         "audit_data_quality",
+        # One-pass stack() column profiler (audit family twin).
+        "audit_column_profile",
+        # Stream-static dimension enrichment (streaming family keeps its
+        # stateful/session/dedup primaries).
+        "stream_static_enrich",
         # Partition-layout twins (static PartitionFilters + DPP); the
         # scan/pushdown category keeps its primary evidence via the
         # plan-pinned q19/q6 parquet scans.
