@@ -117,6 +117,8 @@ NEW_OPS_R4 = [
     "graph_khop_recursive_sql",
     "layout_range_partition_stats",
     "cdc_join_view_ivm",
+    "stream_static_enrich",
+    "audit_column_profile",
 ]
 
 
