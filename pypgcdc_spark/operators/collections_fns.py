@@ -145,3 +145,77 @@ def higher_order_functions(spark, sf_dir):
         non_error.alias("non_error_cents"),
         F.array_max("cents").alias("max_cents"),
     )
+
+
+@query(
+    "scalar_variant_shredding",
+    oracle="""
+    -- Semi-structured shredding parity: each order serializes to a JSON
+    -- document (built with concat on BOTH engines so the input text is
+    -- byte-identical), Spark parses it into the VARIANT type and
+    -- extracts typed fields (variant_get) while DuckDB extracts with
+    -- json_extract — per-status aggregates over the extracted values
+    -- must hash-match.  try-variant of a missing path must be NULL.
+    WITH j AS (
+      SELECT '{"id":' || o_orderkey || ',"status":"' || o_orderstatus
+             || '","prio":"' || o_orderpriority || '","cents":'
+             || CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             || ',"arr":[' || o_orderkey || ',' || o_orderkey + 1 || ']}'
+             AS doc
+      FROM orders),
+    x AS (
+      SELECT CAST(json_extract_string(doc, '$.status') AS VARCHAR) AS status,
+             CAST(json_extract_string(doc, '$.prio') AS VARCHAR) AS prio,
+             CAST(json_extract(doc, '$.cents') AS BIGINT) AS cents,
+             CAST(json_extract(doc, '$.arr[1]') AS BIGINT) AS second_arr,
+             json_extract(doc, '$.missing') AS missing
+      FROM j)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_priorities,
+           CAST(SUM(second_arr) AS BIGINT) AS arr_checksum,
+           CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_null
+    FROM x GROUP BY status
+    """,
+)
+def scalar_variant_shredding(spark, sf_dir):
+    """Spark 4 VARIANT shredding: rows serialize to JSON text (concat —
+    byte-identical to the oracle's), ``parse_json`` turns them into
+    VARIANT, and ``variant_get`` extracts typed scalars and array
+    elements; per-status aggregates over the extracted values sit in
+    the gate hash, with ``try_variant_get`` of a missing path pinned
+    NULL.
+
+    Why it matters at 100 TB: metadata/sidecar columns in training
+    corpora are exactly this semi-structured shape; VARIANT keeps them
+    one binary column with typed, pushdown-friendly extraction instead
+    of per-query string parsing (get_json_object) — the modern
+    replacement for the scalar_json_extraction path."""
+    (orders,) = load(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"id":'), F.col("o_orderkey"),
+        F.lit(',"status":"'), F.col("o_orderstatus"),
+        F.lit('","prio":"'), F.col("o_orderpriority"),
+        F.lit('","cents":'), F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.lit(',"arr":['), F.col("o_orderkey"), F.lit(","),
+        (F.col("o_orderkey") + 1), F.lit("]}"),
+    )
+    v = orders.select(F.parse_json(doc).alias("v"))
+    x = v.select(
+        F.expr("variant_get(v, '$.status', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.prio', 'string')").alias("prio"),
+        F.expr("variant_get(v, '$.cents', 'long')").alias("cents"),
+        F.expr("variant_get(v, '$.arr[1]', 'long')").alias("second_arr"),
+        F.expr("try_variant_get(v, '$.missing', 'long')").alias("missing"),
+    )
+    return x.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("prio").cast("long").alias("n_priorities"),
+        F.sum("second_arr").cast("long").alias("arr_checksum"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_null"),
+    )

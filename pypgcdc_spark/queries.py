@@ -269,6 +269,9 @@ EXTENDED = frozenset(
         "text_vocab_topk",
         # Array basics subsumed by the kept higher_order_functions.
         "scalar_array_functions",
+        # Spark 4 VARIANT shredding (modern twin of the kept
+        # scalar_json_extraction).
+        "scalar_variant_shredding",
         # Unpivot demoted; pivot (agg_conditional_pivot_status) kept.
         "unpivot_price_measures",
         # Byte-stat metadata pass: multimodal_decode_stats (real codecs)
