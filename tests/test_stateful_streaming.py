@@ -253,3 +253,47 @@ def test_pattern_matcher_fires_across_batch_boundary(spark, tmp_path):
         .collect()[0]
     )
     assert (final.n, final.lsn, final.cents) == (1, 3, 3050)
+
+
+def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
+    """Spark's statestore reader — streaming-state forensics: after a
+    checkpointed per-user count over the event log drains, reading the
+    checkpoint with format('statestore') must reproduce the exact batch
+    counts.  This is the observability story for every stateful operator
+    in the repo: state is INSPECTABLE offline, not a black box."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "ssr_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.groupBy("user_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(str(tmp_path / "ckpt"))
+    got = {
+        r["key"]["user_id"]: r["value"]["count"]
+        for r in state.collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
