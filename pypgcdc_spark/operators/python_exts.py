@@ -212,3 +212,76 @@ def approx_distinct_and_quantiles(spark, sf_dir):
         within(F.col("apx_p95"), F.col("exact_p95")).alias("p95_within_5pct"),
         within(F.col("apx_p99"), F.col("exact_p99")).alias("p99_within_5pct"),
     )
+
+
+@query(
+    "udtf_polymorphic_parse",
+    oracle="""
+    -- The polymorphic UDTF parses 'key,status,cents' lines into columns
+    -- NAMED BY ITS HEADER ARGUMENT at analyze time; the downstream
+    -- aggregate over the parsed columns must match parsing the same
+    -- lines with plain string_split.
+    WITH lines AS (
+      SELECT o_orderkey || ',' || o_orderstatus || ','
+             || CAST(ROUND(o_totalprice * 100) AS BIGINT) AS line
+      FROM orders),
+    parsed AS (
+      SELECT string_split(line, ',')[1] AS okey,
+             string_split(line, ',')[2] AS status,
+             string_split(line, ',')[3] AS cents
+      FROM lines)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(okey AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM parsed GROUP BY status
+    """,
+)
+def udtf_polymorphic_parse(spark, sf_dir):
+    """Spark 4 polymorphic Python UDTF: ``analyze()`` computes the
+    output schema FROM the header argument ('okey,status,cents' → three
+    string columns), so one table function parses any delimited layout
+    without a hand-declared schema per shape.  The registered aggregate
+    over the parsed columns hash-matches a plain string-split oracle.
+
+    Scale honesty: a per-row Python UDTF is the slow path — this row
+    exists for front-end/API parity (schema-from-arguments), and the
+    equivalent hot-path parse is the JVM split the oracle uses;
+    at 100 TB you run the UDTF only where the schema genuinely varies
+    per call site."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ParseDelimited:
+        @staticmethod
+        def analyze(header: AnalyzeArgument, line: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for name in header.value.split(","):
+                st = st.add(name, "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, header: str, line: str):
+            yield tuple(line.split(","))
+
+    spark.udtf.register("parse_delimited", ParseDelimited)
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.select(
+        F.concat(
+            F.col("o_orderkey"),
+            F.lit(","),
+            F.col("o_orderstatus"),
+            F.lit(","),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ).alias("line")
+    ).createOrReplaceTempView("order_lines")
+    parsed = spark.sql(
+        "SELECT p.* FROM order_lines, "
+        "LATERAL parse_delimited('okey,status,cents', order_lines.line) p"
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("long")).cast("long").alias("total_cents"),
+        F.sum(F.col("okey").cast("long")).cast("long").alias("key_checksum"),
+    )

@@ -272,6 +272,9 @@ EXTENDED = frozenset(
         # Spark 4 VARIANT shredding (modern twin of the kept
         # scalar_json_extraction).
         "scalar_variant_shredding",
+        # Polymorphic (analyze-time-schema) UDTF; the UDTF family keeps
+        # udtf_shingle_expand primary.
+        "udtf_polymorphic_parse",
         # Unpivot demoted; pivot (agg_conditional_pivot_status) kept.
         "unpivot_price_measures",
         # Byte-stat metadata pass: multimodal_decode_stats (real codecs)
