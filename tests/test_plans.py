@@ -647,3 +647,13 @@ def test_range_partition_boundaries_are_balanced(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r.part)
     for lo, hi in zip(ordered, ordered[1:]):
         assert lo.max_cents <= hi.min_cents
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    """rank()<=k over a window must trigger Spark's WindowGroupLimit
+    pushdown — per-partition top-k before the full window sort, the
+    difference between sorting k rows and sorting everything at scale."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["win_topk_orders_per_segment"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in plan_text(df)
