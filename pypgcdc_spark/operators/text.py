@@ -708,3 +708,135 @@ def text_char_entropy(spark, sf_dir):
         F.round(F.min("h"), 3).alias("min_entropy"),
         F.round(F.max("h"), 3).alias("max_entropy"),
     )
+
+
+@query(
+    "text_dup_span_removal",
+    oracle=f"""
+    -- The REMOVAL half of exact-substring dedup (Lee et al. 2022): the
+    -- duplicated positional spans of text_duplicate_spans merge into
+    -- maximal removal islands per document (gaps-and-islands: sort by
+    -- span start, running max of prior ends, new island when the start
+    -- clears prev_end+1), and the per-source accounting — affected
+    -- docs, islands, removed words, removal ppm — is exact-integer.
+    WITH words AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                   FROM documents),
+    spans AS (SELECT doc_id, source, i AS st, i + {SPAN_NGRAM - 1} AS en,
+                     array_to_string(list_slice(w, i + 1, i + {SPAN_NGRAM}), ' ') AS s
+              FROM words, unnest(range(len(w) - {SPAN_NGRAM - 1})) AS t(i)
+              WHERE len(w) >= {SPAN_NGRAM}),
+    df AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS n FROM spans GROUP BY s)
+           WHERE n >= 2),
+    dup AS (SELECT p.doc_id, p.source, p.st, p.en
+            FROM spans p JOIN df USING (s)),
+    marked AS (
+      SELECT doc_id, source, st, en,
+             CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup),
+    islands AS (
+      SELECT doc_id, source, island,
+             MAX(en) - MIN(st) + 1 AS island_words
+      FROM (SELECT *, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY st
+                                            ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked)
+      GROUP BY doc_id, source, island),
+    per_doc AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_islands,
+             SUM(island_words) AS removed_words
+      FROM islands GROUP BY doc_id, source),
+    lens AS (SELECT doc_id, len(w) AS doc_words FROM words)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_affected,
+           CAST(SUM(p.n_islands) AS BIGINT) AS n_islands,
+           CAST(SUM(p.removed_words) AS BIGINT) AS removed_words,
+           CAST(SUM(l.doc_words) AS BIGINT) AS affected_doc_words,
+           CAST(FLOOR(1000000.0 * SUM(p.removed_words) / SUM(l.doc_words)) AS BIGINT)
+               AS removal_ppm
+    FROM per_doc p JOIN lens l ON p.doc_id = l.doc_id
+    GROUP BY p.source
+    """,
+)
+def text_dup_span_removal(spark, sf_dir):
+    """Exact-substring removal accounting (the second half of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    2022 — detection lives in text_duplicate_spans): duplicated
+    positional spans merge into maximal removal islands per document via
+    the gaps-and-islands window pattern (running max of prior span ends;
+    a span starting past prev_end+1 opens a new island), then per-source
+    totals — affected docs, islands, removed words, exact removal ppm.
+
+    Scale shape: the df-side shuffle is the same keyed-by-span-text join
+    the detection op pins (AQE-skew-handled, df-cappable); the island
+    merge adds ONE window over each doc's dup spans — partitioned by
+    doc_id, never global.  The output is the byte-budget answer a
+    curation run needs: how much text does span-trimming actually
+    delete, per source."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= SPAN_NGRAM)
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {SPAN_NGRAM}), "
+                f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
+            )
+        ).alias("st", "s"),
+    ).withColumn("en", F.col("st") + (SPAN_NGRAM - 1))
+    dupset = (
+        spans.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("s")
+    )
+    dup = spans.join(dupset, "s").select("doc_id", "source", "st", "en")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("st").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = dup.withColumn("prev_en", F.max("en").over(prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_en").isNull() | (F.col("st") > F.col("prev_en") + 1), 1
+        ).otherwise(0),
+    )
+    islands = (
+        marked.withColumn("island", F.sum("new_island").over(run))
+        .groupBy("doc_id", "source", "island")
+        .agg((F.max("en") - F.min("st") + 1).alias("island_words"))
+    )
+    per_doc = islands.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_words").alias("removed_words"),
+    )
+    lens = d.select("doc_id", F.size("w").alias("doc_words"))
+    return (
+        per_doc.join(lens, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_affected"),
+            F.sum("n_islands").cast("long").alias("n_islands"),
+            F.sum("removed_words").cast("long").alias("removed_words"),
+            F.sum("doc_words").cast("long").alias("affected_doc_words"),
+            F.floor(
+                F.lit(1000000.0) * F.sum("removed_words") / F.sum("doc_words")
+            )
+            .cast("long")
+            .alias("removal_ppm"),
+        )
+    )

@@ -68,6 +68,9 @@ EXTENDED = frozenset(
         "bm25_search",
         # Sequence-aware bigram refinement of the unigram LM signal.
         "text_bigram_logprob",
+        # Gaps-and-islands span-merge removal (the trim half of the kept
+        # text_duplicate_spans detection).
+        "text_dup_span_removal",
         # Batch sessionization is the lag→cumsum window composition
         # (streaming session window + win_lag keep the primary slots).
         "win_sessionize_events",
