@@ -657,3 +657,28 @@ def test_window_topk_uses_group_limit(spark, sf_dir):
 
     df = REGISTRY["win_topk_orders_per_segment"].fn(spark, sf_dir)
     assert "WindowGroupLimit" in plan_text(df)
+
+
+def test_variant_shredding_is_map_only(spark, sf_dir):
+    """parse_json + variant_get are in-row expressions: the only
+    exchanges are the aggregate's own two phases (exact count-distinct
+    plans as partial-on-(status,prio) → final-on-status — inherent to
+    distinct, not to the variant path)."""
+    df = REGISTRY["scalar_variant_shredding"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+
+
+def test_dup_span_removal_windows_are_per_doc(spark, sf_dir):
+    """The island-merge windows must partition by doc_id — a global
+    (no-partition) window here would serialize the corpus through one
+    task."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["text_dup_span_removal"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    # every Window operator in the plan carries a partition spec
+    import re
+
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", txt):
+        assert "doc_id" in spec
