@@ -119,6 +119,9 @@ NEW_OPS_R4 = [
     "cdc_join_view_ivm",
     "stream_static_enrich",
     "audit_column_profile",
+    "scalar_variant_shredding",
+    "udtf_polymorphic_parse",
+    "text_dup_span_removal",
 ]
 
 
