@@ -78,6 +78,10 @@ STRESS_R4S3 = [
     "ann_product_quantized",
     "pipeline_dsir_importance",
     "text_bigram_logprob",
+    # Span-merge removal: salted replica vocabularies keep every dup
+    # span intra-replica, so islands and removed words scale exactly
+    # ×REPL and removal_ppm is IDENTICAL at both scales.
+    "text_dup_span_removal",
 ]
 
 
@@ -485,6 +489,28 @@ def main() -> None:
                 bg_scaled[lg][c] == bg_base[lg][c]
                 for lg in bg_base
                 for c in ("avg_logprob", "worst_logprob", "best_logprob")
+            ),
+        }
+
+        # span removal: every dup span stays intra-replica (salted
+        # vocabularies), so island/word counts scale exactly ×REPL and
+        # the removal ppm is identical.
+        sr_base = by_source(
+            REGISTRY["text_dup_span_removal"].fn(spark, BASE).toPandas()
+        )
+        sr_scaled = by_source(
+            REGISTRY["text_dup_span_removal"].fn(spark, work).toPandas()
+        )
+        report["correctness"]["text_dup_span_removal"] = {
+            "counts_exact_linear": all(
+                sr_scaled[s][c] == repl * sr_base[s][c]
+                for s in sr_base
+                for c in ("n_docs_affected", "n_islands", "removed_words",
+                          "affected_doc_words")
+            ),
+            "removal_ppm_identical": all(
+                sr_scaled[s]["removal_ppm"] == sr_base[s]["removal_ppm"]
+                for s in sr_base
             ),
         }
     finally:
