@@ -986,3 +986,78 @@ def graph_khop_recursive_sql(spark, sf_dir):
         (df,) = load(spark, sf_dir, t)
         df.createOrReplaceTempView(t)
     return spark.sql(_KHOP_SQL)
+
+
+@query(
+    "source_orc_parity",
+    oracle="""
+    -- ORC source fidelity: the aggregate computed from an ORC
+    -- round-trip of events must equal the parquet truth — ORC stores
+    -- timestamps/doubles natively, so unlike the JSON/CSV bridges no
+    -- format string is even involved; a lossy bridge flips the boolean.
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           TRUE AS orc_agrees
+    FROM events GROUP BY event_type
+    """,
+)
+def source_orc_parity(spark, sf_dir):
+    """Scans/sources breadth, columnar edition: events round-trips
+    through ORC (Spark's second built-in columnar format) and the same
+    aggregate — microsecond max_ts included — must equal the parquet
+    truth, with the agreement boolean inside the hashed output.
+    Completes the source matrix: parquet (everywhere), JSON/CSV
+    (source_format_parity), ORC (here), plus the pgcdc binary source.
+
+    Scale note: ORC gets the same pushdown/pruning treatment as parquet
+    in Spark's DataSource V1 path; the choice between them at 100 TB is
+    ecosystem (Hive/Trino interop), not plan shape."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.queries import load
+
+    (events,) = load(spark, sf_dir, "events")
+    src = events.select("event_id", "ts", "user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="orc_parity_")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+                "total_cents"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+        )
+
+    try:
+        src.write.mode("overwrite").orc(f"{work}/events_orc")
+        from_orc = spark.read.orc(f"{work}/events_orc")
+        o, p = agg(from_orc), agg(src)
+        joined = o.select(
+            "event_type",
+            F.col("n_events").alias("o_n"),
+            F.col("total_cents").alias("o_c"),
+            F.col("max_ts").alias("o_t"),
+        ).join(p, "event_type")
+        out = joined.select(
+            "event_type",
+            "n_events",
+            "total_cents",
+            "max_ts",
+            (
+                (F.col("o_n") == F.col("n_events"))
+                & (F.col("o_c") == F.col("total_cents"))
+                & (F.col("o_t") == F.col("max_ts"))
+            ).alias("orc_agrees"),
+        )
+        rows = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, n_events LONG, total_cents LONG, "
+            "max_ts STRING, orc_agrees BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

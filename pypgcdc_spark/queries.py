@@ -100,6 +100,8 @@ EXTENDED = frozenset(
         # Multi-format source fidelity check; parquet scans are primary-
         # evidenced by every other query.
         "source_format_parity",
+        # ORC columnar round-trip (completes the built-in source matrix).
+        "source_orc_parity",
         # Entropy is the 12th text-quality signal; the family keeps its
         # primary slots via quality_score/repetition/pii/token_stats.
         "text_char_entropy",
