@@ -122,6 +122,7 @@ NEW_OPS_R4 = [
     "scalar_variant_shredding",
     "udtf_polymorphic_parse",
     "text_dup_span_removal",
+    "source_orc_parity",
 ]
 
 
@@ -141,10 +142,19 @@ def decode_throughput_vs_reference(
         frames.append(pg.encode_update(16385, [str(i), None, "2.00", "y" * 20, "b"]))
         frames.append(pg.encode_delete(16385, [str(i), None, None, None, None]))
 
-    t0 = time.perf_counter()
-    for f in frames:
-        pg.decode_message(f)
-    ours = len(frames) / (time.perf_counter() - t0)
+    def best_of(fn, trials: int = 3) -> float:
+        # Single-threaded decode is GC/frequency-noise-sensitive: take
+        # the best of interleaved trials (standard micro-bench practice)
+        # so the recorded ratio is stable run to run.
+        best = 0.0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for f in frames:
+                fn(f)
+            best = max(best, len(frames) / (time.perf_counter() - t0))
+        return best
+
+    ours = best_of(pg.decode_message)
 
     if not os.path.exists(ref_path):
         return {"ours_msg_per_sec": round(ours, 0), "reference": "absent"}
@@ -152,10 +162,7 @@ def decode_throughput_vs_reference(
     ref = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref)
     cls = {b"I": ref.Insert, b"U": ref.Update, b"D": ref.Delete}
-    t0 = time.perf_counter()
-    for f in frames:
-        cls[f[:1]](f)
-    refs = len(frames) / (time.perf_counter() - t0)
+    refs = best_of(lambda f: cls[f[:1]](f))
     return {
         "ours_msg_per_sec": round(ours, 0),
         "reference_msg_per_sec": round(refs, 0),
