@@ -2,9 +2,8 @@
 
 Capability twin of the reference decoder module
 (``/root/reference/src/pypgcdc/decoders.py:86-455``), written fresh from
-the public PostgreSQL "Logical Replication Message Formats" documentation
-(protocol version 1).  Differences from the reference are deliberate
-(SURVEY §7.4):
+the public PostgreSQL "Logical Replication Message Formats" documentation.
+Differences from the reference are deliberate (SURVEY §7.4):
 
 * ``Begin.tx_xid`` is read as int32 per spec (reference reads int64, Q1).
 * ``Origin``/``Type`` messages decode cleanly and are ignorable (the
@@ -12,6 +11,16 @@ the public PostgreSQL "Logical Replication Message Formats" documentation
 * TupleData's ``'u'`` (unchanged TOAST) is a distinct marker, not None (Q6).
 * An **encoder** exists so tests can synthesize protocol-true byte streams
   (the reference has no encoder; its golden bytes were hand-captured).
+
+Protocol **version 2** (PostgreSQL 14+, ``streaming 'on'``) is supported
+beyond the reference (which pins ``proto_version '1'``, reader.py:136-141):
+Stream Start ('S') / Stream Stop ('E') / Stream Commit ('c') /
+Stream Abort ('A') messages, plus the xid prefix that every transactional
+message carries *inside* a stream segment — pass ``streamed=True`` to the
+per-type decoders (or to :func:`decode_message`) for frames between an
+'S' and its matching 'E'.  The Logical Decoding Message ('M', emitted for
+``pg_logical_emit_message`` when the ``messages`` option is on) decodes in
+both plain and streamed layouts as well.
 
 This module is pure Python with zero Spark imports: it runs inside the
 Python DataSource partition reader on executors (SURVEY §4.2).
@@ -142,6 +151,9 @@ class Relation:
     relation_name: str
     replica_identity: str  # 'd' default | 'n' nothing | 'f' full | 'i' index
     columns: Tuple[RelationColumn, ...]
+    # v2: set when the message arrived inside a stream segment — the xid of
+    # the (sub)transaction that produced it.  None on the plain-tx path.
+    xid: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -149,12 +161,14 @@ class PgType:
     type_id: int
     namespace: str
     name: str
+    xid: Optional[int] = None
 
 
 @dataclass(frozen=True)
 class Insert:
     relation_id: int
     new_tuple: TupleData
+    xid: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -163,6 +177,7 @@ class Update:
     old_tuple_category: Optional[str]  # 'K' key | 'O' old row | None
     old_tuple: Optional[TupleData]
     new_tuple: TupleData
+    xid: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -170,12 +185,61 @@ class Delete:
     relation_id: int
     old_tuple_category: str  # 'K' | 'O'
     old_tuple: TupleData
+    xid: Optional[int] = None
 
 
 @dataclass(frozen=True)
 class Truncate:
     option_bits: int  # 1 = CASCADE, 2 = RESTART IDENTITY
     relation_ids: Tuple[int, ...]
+    xid: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class LogicalMessage:
+    """'M' — pg_logical_emit_message payload (``messages 'true'`` option)."""
+
+    transactional: bool
+    msg_lsn: int
+    prefix: str
+    content: bytes
+    xid: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class StreamStart:
+    """'S' (v2) — opens a segment of in-progress transaction ``tx_xid``."""
+
+    tx_xid: int
+    first_segment: bool  # 1 on the first segment of this xid, else 0
+
+
+@dataclass(frozen=True)
+class StreamStop:
+    """'E' (v2) — closes the current stream segment (no payload)."""
+
+
+@dataclass(frozen=True)
+class StreamCommit:
+    """'c' (v2) — commits a previously streamed transaction."""
+
+    tx_xid: int
+    flags: int
+    commit_lsn: int
+    end_lsn: int
+    commit_ts: datetime
+
+
+@dataclass(frozen=True)
+class StreamAbort:
+    """'A' (v2) — aborts a streamed (sub)transaction.
+
+    ``subtx_xid == tx_xid`` aborts the whole stream; otherwise only the
+    changes tagged with ``subtx_xid`` are rolled back.
+    """
+
+    tx_xid: int
+    subtx_xid: int
 
 
 PgoutputMessage = object  # union of the dataclasses above
@@ -207,6 +271,13 @@ def _expect(r: _Reader, expected: str) -> None:
         raise ValueError(f"expected message type {expected!r}, got {got!r}")
 
 
+def _maybe_xid(r: _Reader, streamed: bool) -> Optional[int]:
+    """v2: transactional messages inside a stream segment carry a leading
+    int32 xid right after the type byte (the *sub*transaction's xid when
+    the change came from a subtransaction)."""
+    return r.int32() if streamed else None
+
+
 def decode_begin(buf: bytes) -> Begin:
     r = _Reader(buf)
     _expect(r, "B")
@@ -232,9 +303,10 @@ def decode_origin(buf: bytes) -> Origin:
     return Origin(r.int64(), r.cstring())
 
 
-def decode_relation(buf: bytes) -> Relation:
+def decode_relation(buf: bytes, streamed: bool = False) -> Relation:
     r = _Reader(buf)
     _expect(r, "R")
+    xid = _maybe_xid(r, streamed)
     relation_id = r.int32()
     namespace = r.cstring()
     name = r.cstring()
@@ -251,28 +323,31 @@ def decode_relation(buf: bytes) -> Relation:
                 atttypmod=r.int32(),
             )
         )
-    return Relation(relation_id, namespace, name, replica_identity, tuple(cols))
+    return Relation(relation_id, namespace, name, replica_identity, tuple(cols), xid=xid)
 
 
-def decode_type(buf: bytes) -> PgType:
+def decode_type(buf: bytes, streamed: bool = False) -> PgType:
     r = _Reader(buf)
     _expect(r, "Y")
-    return PgType(r.int32(), r.cstring(), r.cstring())
+    xid = _maybe_xid(r, streamed)
+    return PgType(r.int32(), r.cstring(), r.cstring(), xid=xid)
 
 
-def decode_insert(buf: bytes) -> Insert:
+def decode_insert(buf: bytes, streamed: bool = False) -> Insert:
     r = _Reader(buf)
     _expect(r, "I")
+    xid = _maybe_xid(r, streamed)
     relation_id = r.int32()
     marker = r.byte()
     if marker != "N":
         raise ValueError(f"Insert: expected 'N' new-tuple marker, got {marker!r}")
-    return Insert(relation_id, _read_tuple_data(r))
+    return Insert(relation_id, _read_tuple_data(r), xid=xid)
 
 
-def decode_update(buf: bytes) -> Update:
+def decode_update(buf: bytes, streamed: bool = False) -> Update:
     r = _Reader(buf)
     _expect(r, "U")
+    xid = _maybe_xid(r, streamed)
     relation_id = r.int32()
     marker = r.byte()
     old_cat: Optional[str] = None
@@ -283,50 +358,109 @@ def decode_update(buf: bytes) -> Update:
         marker = r.byte()
     if marker != "N":
         raise ValueError(f"Update: expected 'N' new-tuple marker, got {marker!r}")
-    return Update(relation_id, old_cat, old_tuple, _read_tuple_data(r))
+    return Update(relation_id, old_cat, old_tuple, _read_tuple_data(r), xid=xid)
 
 
-def decode_delete(buf: bytes) -> Delete:
+def decode_delete(buf: bytes, streamed: bool = False) -> Delete:
     r = _Reader(buf)
     _expect(r, "D")
+    xid = _maybe_xid(r, streamed)
     relation_id = r.int32()
     marker = r.byte()
     if marker not in ("K", "O"):
         raise ValueError(f"Delete: expected 'K' or 'O' marker, got {marker!r}")
-    return Delete(relation_id, marker, _read_tuple_data(r))
+    return Delete(relation_id, marker, _read_tuple_data(r), xid=xid)
 
 
-def decode_truncate(buf: bytes) -> Truncate:
+def decode_truncate(buf: bytes, streamed: bool = False) -> Truncate:
     r = _Reader(buf)
     _expect(r, "T")
+    xid = _maybe_xid(r, streamed)
     n = r.int32()
     options = r.int8()
     rel_ids = tuple(r.int32() for _ in range(n))
-    return Truncate(options, rel_ids)
+    return Truncate(options, rel_ids, xid=xid)
 
 
-_DECODERS = {
-    "B": decode_begin,
-    "C": decode_commit,
-    "O": decode_origin,
+def decode_logical_message(buf: bytes, streamed: bool = False) -> LogicalMessage:
+    r = _Reader(buf)
+    _expect(r, "M")
+    xid = _maybe_xid(r, streamed)
+    flags = r.int8()  # 1 = transactional
+    msg_lsn = r.int64()
+    prefix = r.cstring()
+    length = r.int32()
+    content = r.buf[r.pos : r.pos + length]
+    return LogicalMessage(bool(flags & 1), msg_lsn, prefix, content, xid=xid)
+
+
+def decode_stream_start(buf: bytes) -> StreamStart:
+    r = _Reader(buf)
+    _expect(r, "S")
+    return StreamStart(r.int32(), bool(r.int8()))
+
+
+def decode_stream_stop(buf: bytes) -> StreamStop:
+    r = _Reader(buf)
+    _expect(r, "E")
+    return StreamStop()
+
+
+def decode_stream_commit(buf: bytes) -> StreamCommit:
+    r = _Reader(buf)
+    _expect(r, "c")
+    xid = r.int32()
+    flags = r.int8()
+    commit_lsn = r.int64()
+    end_lsn = r.int64()
+    ts = pg_ts_to_datetime(r.int64())
+    return StreamCommit(xid, flags, commit_lsn, end_lsn, ts)
+
+
+def decode_stream_abort(buf: bytes) -> StreamAbort:
+    r = _Reader(buf)
+    _expect(r, "A")
+    return StreamAbort(r.int32(), r.int32())
+
+
+# Decoders whose wire layout gains a leading xid inside a stream segment.
+_STREAMABLE = {
     "R": decode_relation,
     "Y": decode_type,
     "I": decode_insert,
     "U": decode_update,
     "D": decode_delete,
     "T": decode_truncate,
+    "M": decode_logical_message,
+}
+
+_DECODERS = {
+    "B": decode_begin,
+    "C": decode_commit,
+    "O": decode_origin,
+    "S": decode_stream_start,
+    "E": decode_stream_stop,
+    "c": decode_stream_commit,
+    "A": decode_stream_abort,
+    **_STREAMABLE,
 }
 
 
-def decode_message(buf: bytes):
+def decode_message(buf: bytes, streamed: bool = False):
     """Decode any pgoutput message by its leading type byte.
 
-    Unknown types raise ValueError with the offending byte — never an
-    AttributeError mid-pipeline (reference defect Q2).
+    ``streamed=True`` selects the v2 in-segment layout (leading xid) for
+    the transactional message types; the stream-control messages S/E/c/A
+    and Begin/Commit/Origin never carry the prefix.  Unknown types raise
+    ValueError with the offending byte — never an AttributeError
+    mid-pipeline (reference defect Q2).
     """
     if not buf:
         raise ValueError("empty pgoutput message")
     kind = chr(buf[0])
+    dec = _STREAMABLE.get(kind)
+    if dec is not None:
+        return dec(buf, streamed)
     dec = _DECODERS.get(kind)
     if dec is None:
         raise ValueError(f"unknown pgoutput message type {kind!r}")
@@ -365,15 +499,22 @@ def encode_origin(origin_commit_lsn: int, name: str) -> bytes:
     return b"O" + struct.pack(">q", origin_commit_lsn) + name.encode() + b"\x00"
 
 
+def _enc_xid(xid: Optional[int]) -> bytes:
+    """v2 in-segment prefix: int32 xid right after the type byte."""
+    return b"" if xid is None else struct.pack(">i", xid)
+
+
 def encode_relation(
     relation_id: int,
     namespace: str,
     name: str,
     columns: List[Tuple[bool, str, int, int]],  # (pkey, name, type_oid, atttypmod)
     replica_identity: str = "d",
+    xid: Optional[int] = None,
 ) -> bytes:
     out = [
         b"R",
+        _enc_xid(xid),
         struct.pack(">i", relation_id),
         namespace.encode() + b"\x00",
         name.encode() + b"\x00",
@@ -387,12 +528,22 @@ def encode_relation(
     return b"".join(out)
 
 
-def encode_type(type_id: int, namespace: str, name: str) -> bytes:
-    return b"Y" + struct.pack(">i", type_id) + namespace.encode() + b"\x00" + name.encode() + b"\x00"
+def encode_type(type_id: int, namespace: str, name: str, xid: Optional[int] = None) -> bytes:
+    return (
+        b"Y"
+        + _enc_xid(xid)
+        + struct.pack(">i", type_id)
+        + namespace.encode()
+        + b"\x00"
+        + name.encode()
+        + b"\x00"
+    )
 
 
-def encode_insert(relation_id: int, values: List[Optional[str]]) -> bytes:
-    return b"I" + struct.pack(">i", relation_id) + b"N" + _enc_tuple(values)
+def encode_insert(
+    relation_id: int, values: List[Optional[str]], xid: Optional[int] = None
+) -> bytes:
+    return b"I" + _enc_xid(xid) + struct.pack(">i", relation_id) + b"N" + _enc_tuple(values)
 
 
 def encode_update(
@@ -401,8 +552,9 @@ def encode_update(
     old_values: Optional[List[Optional[str]]] = None,
     old_category: str = "O",
     toast_unchanged: Optional[set] = None,
+    xid: Optional[int] = None,
 ) -> bytes:
-    out = [b"U", struct.pack(">i", relation_id)]
+    out = [b"U", _enc_xid(xid), struct.pack(">i", relation_id)]
     if old_values is not None:
         out.append(old_category.encode("ascii"))
         out.append(_enc_tuple(old_values))
@@ -412,14 +564,64 @@ def encode_update(
 
 
 def encode_delete(
-    relation_id: int, old_values: List[Optional[str]], old_category: str = "K"
+    relation_id: int,
+    old_values: List[Optional[str]],
+    old_category: str = "K",
+    xid: Optional[int] = None,
 ) -> bytes:
-    return b"D" + struct.pack(">i", relation_id) + old_category.encode("ascii") + _enc_tuple(old_values)
+    return (
+        b"D"
+        + _enc_xid(xid)
+        + struct.pack(">i", relation_id)
+        + old_category.encode("ascii")
+        + _enc_tuple(old_values)
+    )
 
 
-def encode_truncate(relation_ids: List[int], option_bits: int = 0) -> bytes:
+def encode_truncate(
+    relation_ids: List[int], option_bits: int = 0, xid: Optional[int] = None
+) -> bytes:
     return (
         b"T"
+        + _enc_xid(xid)
         + struct.pack(">ib", len(relation_ids), option_bits)
         + b"".join(struct.pack(">i", rid) for rid in relation_ids)
     )
+
+
+def encode_logical_message(
+    prefix: str,
+    content: bytes,
+    msg_lsn: int = 0,
+    transactional: bool = True,
+    xid: Optional[int] = None,
+) -> bytes:
+    return (
+        b"M"
+        + _enc_xid(xid)
+        + struct.pack(">bq", 1 if transactional else 0, msg_lsn)
+        + prefix.encode()
+        + b"\x00"
+        + struct.pack(">i", len(content))
+        + content
+    )
+
+
+def encode_stream_start(tx_xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">ib", tx_xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    tx_xid: int, commit_lsn: int, end_lsn: int, commit_ts: datetime, flags: int = 0
+) -> bytes:
+    return b"c" + struct.pack(
+        ">ibqqq", tx_xid, flags, commit_lsn, end_lsn, datetime_to_pg_ts(commit_ts)
+    )
+
+
+def encode_stream_abort(tx_xid: int, subtx_xid: Optional[int] = None) -> bytes:
+    return b"A" + struct.pack(">ii", tx_xid, subtx_xid if subtx_xid is not None else tx_xid)

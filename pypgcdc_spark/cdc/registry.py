@@ -80,9 +80,21 @@ class SchemaRegistry:
         )
         key = (db, rel.relation_id)
         chain = self._versions.setdefault(key, [])
+        # Idempotent by LSN: a partition reader replays R frames the driver
+        # scan already registered. If the version in force at `lsn` is this
+        # exact schema, the re-feed is a no-op — blindly appending would put
+        # an OLD schema at the chain tail and corrupt get_at_lsn (the chain
+        # must stay ordered by first_lsn).
+        in_force = None
+        for v in chain:
+            if v.first_lsn <= lsn:
+                in_force = v
+        if in_force is not None and in_force.schema == schema:
+            return in_force.schema
         if chain and chain[-1].schema == schema:
             return chain[-1].schema
         chain.append(SchemaVersion(version=len(chain) + 1, schema=schema, first_lsn=lsn))
+        chain.sort(key=lambda v: v.first_lsn)
         return schema
 
     def get(self, relation_id: int, db: Optional[str] = None) -> Optional[TableSchema]:

@@ -11,12 +11,32 @@ Deliberate fixes vs the reference (SURVEY §7.4):
 Q2 Origin/Type messages are counted and skipped (reference crashes);
 Q3 TRUNCATE emits a real ``op='T'`` row per relation (reference dead code);
 Q6 TOAST 'u' becomes the ``TOAST_UNCHANGED`` sentinel (reference: None).
+
+Beyond the reference (which pins proto_version '1', reader.py:136-141):
+**protocol v2 streamed in-progress transactions**.  Between Stream Start
+('S') and Stream Stop ('E') every transactional message carries an xid
+prefix and belongs to an *uncommitted* transaction whose segments may
+interleave with other transactions' segments and with whole plain
+transactions.  The transformer buffers streamed changes per top-level xid
+and emits them — in original change order, under the commit's tx context —
+only when the Stream Commit ('c') arrives; Stream Abort ('A') discards the
+whole buffer (top-level) or just the aborted subtransaction's changes.
+Schema lookups during the deferred drain go through
+``SchemaRegistry.get_at_lsn`` so a mid-stream ALTER TABLE (Relation
+re-send) resolves each buffered tuple against the schema version in force
+at its own LSN, not latest-wins (reference defect Q4 stayed fixed).
+
+Memory note (100 TB scale): the per-xid buffer holds exactly what the
+walsender spilled for one in-progress transaction segment span — bounded
+by ``logical_decoding_work_mem`` ratios upstream, and partition-local here
+(the source cuts partitions only where no stream is open, so one reader
+sees a whole streamed span).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 from pypgcdc_spark.cdc import pgoutput as pg
 from pypgcdc_spark.cdc.models import TOAST_UNCHANGED, ChangeEvent, TableSchema
@@ -49,8 +69,12 @@ class _TxContext:
 class TransformStats:
     ignored_origin: int = 0
     ignored_type: int = 0
+    ignored_logical_message: int = 0
     relations: int = 0
     events: int = 0
+    streamed_txs: int = 0  # stream spans committed ('c')
+    aborted_streams: int = 0  # whole-stream aborts ('A' top-level)
+    aborted_subtxs: int = 0  # subtransaction aborts ('A' subxid)
 
 
 @dataclass
@@ -58,10 +82,45 @@ class MessageTransformer:
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
     stats: TransformStats = field(default_factory=TransformStats)
     _tx: Optional[_TxContext] = None
+    # v2 stream reassembly state: the currently open segment's top-level
+    # xid (None outside S..E), per-xid buffered changes, and the first
+    # segment's Start-frame LSN (the streamed twin of begin_lsn).
+    _segment_xid: Optional[int] = None
+    _stream_bufs: Dict[int, List[Tuple[int, int, object]]] = field(default_factory=dict)
+    _stream_begin_lsn: Dict[int, int] = field(default_factory=dict)
 
     def feed(self, lsn: int, payload: bytes) -> Iterator[ChangeEvent]:
         """Transform one raw replication message; yields 0..n envelope rows."""
-        msg = pg.decode_message(payload)
+        in_segment = self._segment_xid is not None
+        msg = pg.decode_message(payload, streamed=in_segment)
+        if isinstance(msg, pg.StreamStart):
+            # Segments of one xid never nest; segments of different xids
+            # interleave only *between* S..E spans (walsender serializes).
+            if in_segment:
+                raise ValueError("StreamStart inside an open stream segment")
+            self._segment_xid = msg.tx_xid
+            if msg.tx_xid not in self._stream_bufs:
+                self._stream_bufs[msg.tx_xid] = []
+                self._stream_begin_lsn[msg.tx_xid] = lsn
+            return
+        if isinstance(msg, pg.StreamStop):
+            self._segment_xid = None
+            return
+        if isinstance(msg, pg.StreamCommit):
+            yield from self._drain_stream(msg)
+            return
+        if isinstance(msg, pg.StreamAbort):
+            buf = self._stream_bufs.get(msg.tx_xid)
+            if msg.subtx_xid == msg.tx_xid:
+                self._stream_bufs.pop(msg.tx_xid, None)
+                self._stream_begin_lsn.pop(msg.tx_xid, None)
+                self.stats.aborted_streams += 1
+            elif buf is not None:
+                self._stream_bufs[msg.tx_xid] = [
+                    e for e in buf if e[1] != msg.subtx_xid
+                ]
+                self.stats.aborted_subtxs += 1
+            return
         if isinstance(msg, pg.Begin):
             # begin_lsn = the Begin frame's own LSN; Begin.final_lsn is the
             # tx *end* LSN per spec and populates commit_lsn (ADVICE r1: the
@@ -79,18 +138,60 @@ class MessageTransformer:
         if isinstance(msg, pg.PgType):
             self.stats.ignored_type += 1
             return
+        if isinstance(msg, pg.LogicalMessage):
+            self.stats.ignored_logical_message += 1
+            return
         if isinstance(msg, pg.Relation):
+            # Register immediately even mid-stream: the frame LSN versions
+            # the entry, and all lookups are at-LSN, so an aborted stream's
+            # Relation is harmless (next tx re-sends its own R anyway).
             self.registry.register_relation(msg, lsn=lsn)
             self.stats.relations += 1
             return
+        # Transactional DML (Insert/Update/Delete/Truncate).
+        if in_segment:
+            # Tag with the message's own xid (the subtransaction's, when it
+            # came from one) so a subtx Stream Abort can surgically drop it.
+            self._stream_bufs[self._segment_xid].append(
+                (lsn, msg.xid if msg.xid is not None else self._segment_xid, msg)
+            )
+            return
+        yield from self._dml(msg, lsn)
+
+    def _drain_stream(self, commit: pg.StreamCommit) -> Iterator[ChangeEvent]:
+        """Emit a streamed transaction's buffered changes in change order
+        under the Stream Commit's tx context (interleaved reassembly)."""
+        buf = self._stream_bufs.pop(commit.tx_xid, [])
+        begin_lsn = self._stream_begin_lsn.pop(commit.tx_xid, None)
+        saved = self._tx
+        self._tx = _TxContext(
+            commit.tx_xid,
+            begin_lsn if begin_lsn is not None else commit.commit_lsn,
+            commit.commit_lsn,
+            commit.commit_ts,
+        )
+        try:
+            for msg_lsn, _msg_xid, msg in buf:
+                yield from self._dml(msg, msg_lsn)
+        finally:
+            self._tx = saved
+        self.stats.streamed_txs += 1
+
+    def _dml(self, msg, lsn: int) -> Iterator[ChangeEvent]:
+        """I/U/D/T message -> envelope rows, under the current tx context.
+
+        Shared by the immediate (plain-tx) path and the stream-commit
+        drain; schema resolution is at-LSN in both, so replays and
+        deferred drains see the version in force when the change happened.
+        """
         if isinstance(msg, pg.Truncate):
             for rid in msg.relation_ids:
-                schema = self.registry.get(rid)
+                schema = self.registry.get_at_lsn(rid, lsn)
                 yield self._event("T", lsn, schema)
                 self.stats.events += 1
             return
         if isinstance(msg, pg.Insert):
-            schema = self._schema(msg.relation_id)
+            schema = self._schema(msg.relation_id, lsn)
             after = _tuple_to_dict(msg.new_tuple, schema)
             ev = self._event("I", lsn, schema, after=after)
             ev.key = {k: after.get(k) for k in schema.get_key_columns()}
@@ -98,7 +199,7 @@ class MessageTransformer:
             yield ev
             return
         if isinstance(msg, pg.Update):
-            schema = self._schema(msg.relation_id)
+            schema = self._schema(msg.relation_id, lsn)
             after = _tuple_to_dict(msg.new_tuple, schema)
             before = (
                 _tuple_to_dict(msg.old_tuple, schema) if msg.old_tuple is not None else None
@@ -137,7 +238,7 @@ class MessageTransformer:
             yield ev
             return
         if isinstance(msg, pg.Delete):
-            schema = self._schema(msg.relation_id)
+            schema = self._schema(msg.relation_id, lsn)
             before = _tuple_to_dict(msg.old_tuple, schema)
             ev = self._event("D", lsn, schema, before=before)
             # Same pkey projection as Insert/Update — a Delete must land in
@@ -148,8 +249,8 @@ class MessageTransformer:
             return
         raise ValueError(f"unhandled pgoutput message {type(msg).__name__}")
 
-    def _schema(self, relation_id: int) -> TableSchema:
-        schema = self.registry.get(relation_id)
+    def _schema(self, relation_id: int, lsn: int) -> TableSchema:
+        schema = self.registry.get_at_lsn(relation_id, lsn)
         if schema is None:
             raise LookupError(
                 f"relation {relation_id} seen before its Relation message; "

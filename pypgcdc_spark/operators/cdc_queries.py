@@ -453,3 +453,107 @@ def cdc_time_travel(spark, sf_dir):
             | (F.col("c_v") != F.col("v"))
         ).alias("changed_since"),
     )
+
+
+@query(
+    "cdc_streamed_tx_replay",
+    oracle="""
+    -- pgoutput protocol v2 parity: a change log rendered as v2 streamed
+    -- in-progress transactions (interleaved segments, an aborted
+    -- subtransaction, a fully aborted stream) must materialize the SAME
+    -- keyed state as the plain v1 rendering — which equals this direct
+    -- last-writer-wins recompute over the event prefix.  Poison changes
+    -- live only in the aborted paths, at the highest LSNs: any abort leak
+    -- flips last_cents / streamed_agrees and the hash.
+    WITH prefix AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id LIMIT 600
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_cents,
+           TRUE AS streamed_agrees
+    FROM (
+      SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM prefix
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_streamed_tx_replay(spark, sf_dir):
+    """pgoutput protocol **v2** (PG14+ ``streaming 'on'``) end-to-end:
+    the first 600 events render into TWO protocol-true binary logs — plain
+    v1 Begin..Commit transactions, and v2 streamed transactions whose
+    segments interleave (plus an aborted subtransaction and a whole
+    aborted stream carrying poison rows at the highest LSNs) — both read
+    back through the ``pgcdc`` DataSource (decode + stream reassembly run
+    executor-side), reduced to keyed last-writer-wins state, and compared.
+
+    The reference pins ``proto_version '1'`` (reader.py:136-141); this is
+    the production ingest path it lacks.  Driver work is bounded: 600
+    collected rows to synthesize the logs, final states are #keys-sized.
+
+    Scale note: stream reassembly buffers one in-progress transaction's
+    changes partition-locally (what the walsender spilled past
+    ``logical_decoding_work_mem``); partition cuts never bisect an open
+    stream span (replay.TxBoundaryScanner), so a 1000-executor read sees
+    each span exactly once."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.testing import write_streamed_cdc_pair
+
+    (events,) = load(spark, sf_dir, "events")
+    prefix = (
+        events.orderBy("event_id")
+        .limit(600)
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    rows = [(r.user_id, r.event_type, r.value) for r in prefix]
+    work = tempfile.mkdtemp(prefix="pgv2_")
+    plain, streamed = f"{work}/plain.log", f"{work}/streamed.log"
+    try:
+        write_streamed_cdc_pair(plain, streamed, rows, chunk=50)
+        spark.dataSource.register(PgCdcDataSource)
+
+        def state(path):
+            df = spark.read.format("pgcdc").option("path", path).load()
+            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(F.col("lsn").desc())
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+                .select(
+                    F.col("key")["user_id"].cast("bigint").alias("user_id"),
+                    F.col("after")["last_event"].alias("last_event"),
+                    F.round(F.col("after")["value"].cast("double") * 100)
+                    .cast("bigint")
+                    .alias("last_cents"),
+                )
+            )
+
+        s = state(streamed)
+        p = state(plain).select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("last_event").alias("p_last_event"),
+            F.col("last_cents").alias("p_last_cents"),
+        )
+        out = s.join(p, s.user_id == p.p_user_id, "full_outer").select(
+            "user_id",
+            "last_event",
+            "last_cents",
+            (
+                F.col("p_user_id").isNotNull()
+                & F.col("user_id").isNotNull()
+                & (F.col("p_last_event") == F.col("last_event"))
+                & (F.col("p_last_cents") == F.col("last_cents"))
+            ).alias("streamed_agrees"),
+        )
+        rows_out = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows_out,
+            "user_id BIGINT, last_event STRING, last_cents BIGINT, streamed_agrees BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -146,35 +146,38 @@ class PgCdcStreamReader(DataSourceStreamReader):
 
     # -- driver-side scanning -------------------------------------------
     def _scan_forward(self) -> None:
-        """Advance over newly appended frames: collect tx boundaries and
-        fold Relation messages into the driver registry (schema inference,
+        """Advance over newly appended frames: collect tx-unit boundaries
+        (v1 commits AND v2 streamed spans, via TxBoundaryScanner) and fold
+        Relation messages into the driver registry (schema inference,
         reference T6 reader.py:243-302, here at frame-header cost)."""
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         if size <= self._scanned_pos:
             return
-        range_start = None
+        scanner = replay.TxBoundaryScanner()
         last_complete = self._scanned_pos
         for fr in replay.scan_frames(self.path, self._scanned_pos):
-            kind = fr.payload[:1]
-            if range_start is None:
-                range_start = fr.start_pos
-            if kind == b"R":
+            if fr.payload[:1] == b"R":
                 from pypgcdc_spark.cdc import pgoutput as pg
 
-                self._registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
-            elif kind == b"C":
-                self._pending.append((range_start, fr.end_pos))
+                # In-segment R frames carry the v2 xid prefix.
+                self._registry.register_relation(
+                    pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                    lsn=fr.lsn,
+                )
+            closed = scanner.feed(fr)
+            if closed is not None:
+                self._pending.append(closed)
                 self._last_lsn = fr.lsn
-                range_start = None
             last_complete = fr.end_pos
-        # Frames after the last commit stay unscanned so a torn/open tx is
-        # re-examined next tick: if the tail holds an open (uncommitted)
-        # range, rewind to its first frame — advancing to last_complete
-        # would skip the open tx's Begin/Insert frames once its Commit
-        # lands, silently losing them (ADVICE r1). Re-scanning is safe:
-        # register_relation is idempotent on unchanged schemas.
-        if range_start is not None:
-            self._scanned_pos = range_start
+        # Frames after the last closed unit stay unscanned so a torn/open
+        # tx — or a streamed span whose Stream Commit hasn't landed — is
+        # re-examined next tick: if the tail holds an open range, rewind to
+        # its first frame; advancing to last_complete would skip the open
+        # unit's frames once its commit lands, silently losing them
+        # (ADVICE r1). Re-scanning is safe: register_relation is
+        # idempotent at-LSN.
+        if scanner.range_start is not None:
+            self._scanned_pos = scanner.range_start
         elif self._pending:
             self._scanned_pos = self._pending[-1][1]
         else:
@@ -253,9 +256,14 @@ class PgCdcBatchReader(DataSourceReader):
         registry = SchemaRegistry(database=self.database)
         from pypgcdc_spark.cdc import pgoutput as pg
 
+        scanner = replay.TxBoundaryScanner()
         for fr in replay.scan_frames(self.path):
             if fr.payload[:1] == b"R":
-                registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+                registry.register_relation(
+                    pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                    lsn=fr.lsn,
+                )
+            scanner.feed(fr)
         size = os.path.getsize(self.path)
         parts = _plan_partitions(
             self.path,

@@ -82,21 +82,88 @@ def scan_frames(path: str, start_pos: int = 0, end_pos: Optional[int] = None) ->
             pos = new_pos
 
 
-def tx_boundaries(path: str, start_pos: int = 0) -> List[Tuple[int, int]]:
-    """Byte ranges of whole transactions (plus standalone R/O/Y prologue
-    folded into the following transaction's range).
+class TxBoundaryScanner:
+    """Incremental transaction-unit boundary detection (protocol v1 + v2).
 
-    A range ends just past a Commit frame.  Used by the driver to cut
-    micro-batch offsets — and intra-batch partition splits — that never
-    bisect a transaction, so each partition reader sees complete
-    Begin..Commit spans (tx context never crosses partitions).
+    Feeds frames in file order and reports where a *complete* unit ends —
+    a byte position at which a partition (or micro-batch offset) may be
+    cut without bisecting any transaction:
+
+    * v1: just past each Commit ('C') frame;
+    * v2: streamed transactions open at their first Stream Start ('S') and
+      close at Stream Commit ('c') or a top-level Stream Abort ('A').
+      While ANY stream is open, nothing closes — segments interleave with
+      other transactions, so the whole interleaved span collapses into one
+      unit (the partition reader's buffer-per-xid reassembly needs to see
+      every segment of a span; walsender serializes segments, it never
+      nests them).
+
+    Also tracks whether the *next* transactional frame uses the in-segment
+    wire layout (leading xid) via :attr:`in_segment` — callers decoding
+    R frames driver-side must pass ``streamed=self.in_segment``.
+    """
+
+    __slots__ = ("open_streams", "in_segment", "range_start")
+
+    def __init__(self):
+        self.open_streams: set = set()
+        self.in_segment = False
+        self.range_start: Optional[int] = None  # first frame of the open unit
+
+    def feed(self, fr: Frame) -> Optional[Tuple[int, int]]:
+        """Returns the closed (start_pos, end_pos) unit range, if ``fr``
+        completes one, else None."""
+        if self.range_start is None:
+            self.range_start = fr.start_pos
+        kind = fr.payload[:1]
+        if kind == b"S":
+            # StreamStart: int32 xid after the type byte.
+            xid = struct.unpack_from(">i", fr.payload, 1)[0]
+            self.open_streams.add(xid)
+            self.in_segment = True
+            return None
+        if kind == b"E":
+            self.in_segment = False
+            return None
+        if kind == b"c":
+            xid = struct.unpack_from(">i", fr.payload, 1)[0]
+            self.open_streams.discard(xid)
+            return self._maybe_close(fr)
+        if kind == b"A":
+            xid, subxid = struct.unpack_from(">ii", fr.payload, 1)
+            if subxid == xid:
+                self.open_streams.discard(xid)
+                return self._maybe_close(fr)
+            return None
+        if kind == b"C" and not self.in_segment:
+            # A plain commit closes the unit only when no streamed tx is
+            # still open (its remaining segments are yet to come).
+            return self._maybe_close(fr)
+        return None
+
+    def _maybe_close(self, fr: Frame) -> Optional[Tuple[int, int]]:
+        if self.open_streams:
+            return None
+        start = self.range_start
+        self.range_start = None
+        return (start, fr.end_pos)
+
+
+def tx_boundaries(path: str, start_pos: int = 0) -> List[Tuple[int, int]]:
+    """Byte ranges of whole transaction units (plus standalone R/O/Y
+    prologue folded into the following unit's range).
+
+    A range ends just past a Commit / Stream Commit / top-level Stream
+    Abort frame, never while a v2 streamed transaction is open.  Used by
+    the driver to cut micro-batch offsets — and intra-batch partition
+    splits — that never bisect a transaction, so each partition reader
+    sees complete spans (tx context and stream reassembly buffers never
+    cross partitions).
     """
     ranges: List[Tuple[int, int]] = []
-    range_start: Optional[int] = None
+    scanner = TxBoundaryScanner()
     for fr in scan_frames(path, start_pos):
-        if range_start is None:
-            range_start = fr.start_pos
-        if fr.payload[:1] == b"C":
-            ranges.append((range_start, fr.end_pos))
-            range_start = None
+        closed = scanner.feed(fr)
+        if closed is not None:
+            ranges.append(closed)
     return ranges

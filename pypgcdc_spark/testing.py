@@ -64,6 +64,24 @@ class WorkloadWriter:
     def close(self):
         self.writer.close()
 
+    # -- protocol v2 streamed transactions (PG14+ ``streaming 'on'``) ----
+    def stream_segment(self, xid: int, messages: Sequence[bytes], first: bool = False):
+        """One Stream Start..Stop segment of in-progress tx ``xid``.
+        ``messages`` must already carry the in-segment xid prefix
+        (pass ``xid=`` to the encoders)."""
+        self.writer.append(self._next(), pg.encode_stream_start(xid, first))
+        for m in messages:
+            self.writer.append(self._next(), m)
+        self.writer.append(self._next(), pg.encode_stream_stop())
+
+    def stream_commit(self, xid: int, ts: Optional[datetime] = None):
+        ts = ts or (_T0 + timedelta(seconds=xid))
+        end = self._next()
+        self.writer.append(end, pg.encode_stream_commit(xid, end, end, ts))
+
+    def stream_abort(self, xid: int, subxid: Optional[int] = None):
+        self.writer.append(self._next(), pg.encode_stream_abort(xid, subxid))
+
 
 def write_reference_workload(path: str) -> None:
     """The reference integration-test workload, four transactions."""
@@ -131,3 +149,106 @@ def write_upsert_workload(
         state["999"] = "txt_999"
     w.close()
     return sorted(state.items())
+
+
+# ---------------------------------------------------------------------------
+# Protocol v2: plain-vs-streamed twin logs
+# ---------------------------------------------------------------------------
+
+STREAMED_RELID = 17001
+STREAMED_COLS = [
+    (True, "user_id", 20, -1),
+    (False, "last_event", 25, -1),
+    (False, "value", 701, -1),
+]
+
+
+def write_streamed_cdc_pair(
+    plain_path: str,
+    streamed_path: str,
+    rows: Sequence[Tuple[int, str, float]],
+    chunk: int = 50,
+) -> None:
+    """Render one change workload twice: protocol v1 (plain Begin..Commit
+    transactions) and protocol v2 (streamed in-progress transactions).
+
+    ``rows`` is the change order: ``(user_id, event_type, value)``;
+    ``event_type == 'error'`` means DELETE, anything else a full-row
+    upsert.  Every change frame carries the SAME LSN in both logs
+    (``10_000 + 10*i``), so keyed last-writer-wins state must be
+    identical — the streamed rendering adds:
+
+    * two streamed txs (xids 900/901) whose segments interleave,
+    * plain transactions between segments (every third chunk),
+    * a poison subtransaction (xid 950) inside stream 900, aborted via
+      Stream Abort(900, 950) before the commit,
+    * a whole poison stream (xid 902), aborted via Stream Abort(902, 902).
+
+    The poison changes overwrite every key at LSNs above all real changes
+    — if an abort path leaks, last-writer-wins makes the corruption
+    visible in the final state (and in the driver's oracle hash).
+    """
+
+    def enc(row, xid=None):
+        uid, etype, val = row
+        if etype == "error":
+            return pg.encode_delete(STREAMED_RELID, [str(uid), None, None], xid=xid)
+        return pg.encode_update(STREAMED_RELID, [str(uid), etype, repr(float(val))], xid=xid)
+
+    def lsn_of(i: int) -> int:
+        return 10_000 + 10 * i
+
+    chunks = [list(enumerate(rows))[i : i + chunk] for i in range(0, len(rows), chunk)]
+    poison_keys = sorted({r[0] for r in rows})[:10]
+    n = len(rows)
+
+    # -- plain v1 rendering -------------------------------------------------
+    w = ReplayLogWriter(plain_path)
+    w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
+    for ci, ch in enumerate(chunks):
+        first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
+        ts = _T0 + timedelta(seconds=ci)
+        w.append(first - 5, pg.encode_begin(last + 5, ts, 500 + ci))
+        for gi, row in ch:
+            w.append(lsn_of(gi), enc(row))
+        w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+    w.close()
+
+    # -- streamed v2 rendering ---------------------------------------------
+    w = ReplayLogWriter(streamed_path)
+    w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
+    seen_first = set()
+    streamed_900 = [ci for ci in range(len(chunks)) if ci % 3 != 2 and ci % 2 == 0]
+    last_900 = streamed_900[-1] if streamed_900 else None
+    for ci, ch in enumerate(chunks):
+        first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
+        if ci % 3 == 2:
+            # A whole plain transaction between stream segments.
+            ts = _T0 + timedelta(seconds=ci)
+            w.append(first - 5, pg.encode_begin(last + 5, ts, 500 + ci))
+            for gi, row in ch:
+                w.append(lsn_of(gi), enc(row))
+            w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+            continue
+        xid = 900 if ci % 2 == 0 else 901
+        w.append(first - 5, pg.encode_stream_start(xid, xid not in seen_first))
+        seen_first.add(xid)
+        for gi, row in ch:
+            w.append(lsn_of(gi), enc(row, xid=xid))
+        if ci == last_900:
+            # Poison subtransaction rides in stream 900's last segment.
+            for j, uid in enumerate(poison_keys):
+                w.append(lsn_of(n + j), enc((uid, "poison_subtx", 9.99e6), xid=950))
+        w.append(last + 3, pg.encode_stream_stop())
+    # Whole poison stream: would clobber every key at the highest LSNs.
+    w.append(lsn_of(n + 20) - 5, pg.encode_stream_start(902, True))
+    for j, uid in enumerate(poison_keys):
+        w.append(lsn_of(n + 20 + j), enc((uid, "poison_stream", 8.88e6), xid=902))
+    w.append(lsn_of(n + 40), pg.encode_stream_stop())
+    w.append(lsn_of(n + 41), pg.encode_stream_abort(902, 902))
+    w.append(lsn_of(n + 42), pg.encode_stream_abort(900, 950))
+    tail = lsn_of(n + 43)
+    w.append(tail, pg.encode_stream_commit(900, tail, tail, _T0 + timedelta(seconds=900)))
+    tail = lsn_of(n + 44)
+    w.append(tail, pg.encode_stream_commit(901, tail, tail, _T0 + timedelta(seconds=901)))
+    w.close()

@@ -1,0 +1,333 @@
+"""pgoutput protocol v2: streamed in-progress transactions.
+
+The reference pins ``proto_version '1'`` (``reader.py:136-141``) so there
+is no reference behavior to match — these tests pin the PostgreSQL
+"Logical Streaming Replication Message Formats" documentation instead:
+Stream Start ('S') / Stop ('E') / Commit ('c') / Abort ('A'), the xid
+prefix on in-segment transactional messages, interleaved reassembly, and
+subtransaction aborts.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pypgcdc_spark.cdc import pgoutput as pg
+from pypgcdc_spark.cdc.transform import MessageTransformer
+from pypgcdc_spark.sources import replay
+from pypgcdc_spark.testing import write_streamed_cdc_pair
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+RELID = 10
+R_MSG = pg.encode_relation(
+    RELID, "public", "t", [(True, "id", 20, -1), (False, "v", 25, -1)]
+)
+
+
+# ---------------------------------------------------------------------------
+# Codec: golden bytes + roundtrips
+# ---------------------------------------------------------------------------
+
+
+def test_stream_control_golden_bytes():
+    # Byte-level pins straight from the message-format spec.
+    assert pg.encode_stream_start(1, True) == b"S\x00\x00\x00\x01\x01"
+    assert pg.encode_stream_start(258, False) == b"S\x00\x00\x01\x02\x00"
+    assert pg.encode_stream_stop() == b"E"
+    assert pg.encode_stream_abort(2, 3) == b"A\x00\x00\x00\x02\x00\x00\x00\x03"
+    sc = pg.encode_stream_commit(7, 0x10, 0x20, TS, flags=0)
+    # 'c' | int32 xid | int8 flags | int64 commit_lsn | int64 end_lsn | int64 ts
+    assert sc[:6] == b"c\x00\x00\x00\x07\x00"
+    assert len(sc) == 1 + 4 + 1 + 8 + 8 + 8
+
+
+def test_stream_control_roundtrip():
+    assert pg.decode_message(pg.encode_stream_start(42, True)) == pg.StreamStart(42, True)
+    assert pg.decode_message(pg.encode_stream_start(42, False)) == pg.StreamStart(42, False)
+    assert pg.decode_message(pg.encode_stream_stop()) == pg.StreamStop()
+    assert pg.decode_message(pg.encode_stream_commit(42, 999, 1000, TS)) == pg.StreamCommit(
+        42, 0, 999, 1000, TS
+    )
+    assert pg.decode_message(pg.encode_stream_abort(42, 43)) == pg.StreamAbort(42, 43)
+    # subxid defaults to the top-level xid (whole-stream abort)
+    assert pg.decode_message(pg.encode_stream_abort(42)) == pg.StreamAbort(42, 42)
+
+
+def test_in_segment_xid_prefix_roundtrip():
+    ins = pg.decode_message(pg.encode_insert(RELID, ["1", "a"], xid=42), streamed=True)
+    assert ins.xid == 42 and ins.new_tuple.columns[1].value == "a"
+    upd = pg.decode_message(
+        pg.encode_update(RELID, ["1", "b"], old_values=["1", "a"], xid=7), streamed=True
+    )
+    assert upd.xid == 7 and upd.old_tuple is not None
+    dele = pg.decode_message(pg.encode_delete(RELID, ["1", None], xid=9), streamed=True)
+    assert dele.xid == 9
+    tr = pg.decode_message(pg.encode_truncate([RELID], xid=11), streamed=True)
+    assert tr.xid == 11 and tr.relation_ids == (RELID,)
+    rel = pg.decode_message(pg.encode_relation(RELID, "public", "t", [], xid=13), streamed=True)
+    assert rel.xid == 13 and rel.relation_name == "t"
+    # The SAME bytes decoded without streamed=True would misparse — the
+    # xid prefix is positional, exactly like the real wire format.
+    plain = pg.decode_message(pg.encode_insert(RELID, ["1", "a"]))
+    assert plain.xid is None
+
+
+def test_logical_message_roundtrip():
+    m = pg.decode_message(pg.encode_logical_message("pfx", b"hello", 5, True, xid=9), streamed=True)
+    assert m == pg.LogicalMessage(True, 5, "pfx", b"hello", xid=9)
+    m2 = pg.decode_message(pg.encode_logical_message("pfx", b"", 0, False))
+    assert m2.transactional is False and m2.xid is None and m2.content == b""
+
+
+# ---------------------------------------------------------------------------
+# Transformer: interleaved reassembly
+# ---------------------------------------------------------------------------
+
+
+def _feed_all(x, frames):
+    out = []
+    for lsn, payload in frames:
+        out.extend(x.feed(lsn, payload))
+    return out
+
+
+def test_interleaved_streams_emit_on_commit_in_change_order():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            # segment A1
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "a"], xid=100)),
+            (12, pg.encode_stream_stop()),
+            # segment B1 interleaves
+            (20, pg.encode_stream_start(101, True)),
+            (21, pg.encode_insert(RELID, ["2", "b"], xid=101)),
+            (22, pg.encode_stream_stop()),
+            # a whole plain tx between segments emits immediately
+            (30, pg.encode_begin(33, TS, 55)),
+            (31, pg.encode_insert(RELID, ["3", "c"])),
+            (33, pg.encode_commit(33, 33, TS)),
+            # segment A2
+            (40, pg.encode_stream_start(100, False)),
+            (41, pg.encode_update(RELID, ["1", "a2"], xid=100)),
+            (42, pg.encode_stream_stop()),
+            # commits: A first, then B
+            (51, pg.encode_stream_commit(100, 51, 51, TS)),
+            (61, pg.encode_stream_commit(101, 61, 61, TS)),
+        ],
+    )
+    got = [(e.op, e.lsn, e.tx_id, (e.after or e.before)["id"]) for e in evs]
+    assert got == [
+        ("I", 31, 55, "3"),  # plain tx, immediate
+        ("I", 11, 100, "1"),  # stream 100 drained at its commit
+        ("U", 41, 100, "1"),
+        ("I", 21, 101, "2"),  # stream 101 after
+    ]
+    a = evs[1]
+    assert a.begin_lsn == 10  # first StreamStart frame of xid 100
+    assert a.commit_lsn == 51 and a.commit_ts == TS
+    assert x.stats.streamed_txs == 2 and x.stats.events == 4
+
+
+def test_subtransaction_abort_drops_only_subtx_changes():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "keep"], xid=100)),
+            (12, pg.encode_insert(RELID, ["9", "poison"], xid=150)),  # subtx
+            (13, pg.encode_insert(RELID, ["2", "keep2"], xid=100)),
+            (14, pg.encode_stream_stop()),
+            (20, pg.encode_stream_abort(100, 150)),
+            (21, pg.encode_stream_commit(100, 21, 21, TS)),
+        ],
+    )
+    assert [(e.after["id"], e.after["v"]) for e in evs] == [("1", "keep"), ("2", "keep2")]
+    assert x.stats.aborted_subtxs == 1
+
+
+def test_whole_stream_abort_drops_everything():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "a"], xid=100)),
+            (12, pg.encode_stream_stop()),
+            (20, pg.encode_stream_abort(100, 100)),
+        ],
+    )
+    assert evs == []
+    assert x.stats.aborted_streams == 1
+    # a later commit for the aborted xid emits nothing
+    assert list(x.feed(30, pg.encode_stream_commit(100, 30, 30, TS))) == []
+
+
+def test_mid_stream_relation_resend_uses_at_lsn_schema():
+    """ALTER TABLE inside a streamed tx: buffered tuples decoded before the
+    new Relation must zip against the OLD column list, later ones against
+    the NEW — get_at_lsn versioning, not latest-wins (reference Q4)."""
+    r_v2 = pg.encode_relation(
+        RELID,
+        "public",
+        "t",
+        [(True, "id", 20, -1), (False, "v", 25, -1), (False, "extra", 25, -1)],
+        xid=100,
+    )
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "old-shape"], xid=100)),
+            (12, r_v2),  # ALTER TABLE ADD COLUMN mid-stream
+            (13, pg.encode_insert(RELID, ["2", "new-shape", "x"], xid=100)),
+            (14, pg.encode_stream_stop()),
+            (20, pg.encode_stream_commit(100, 20, 20, TS)),
+        ],
+    )
+    assert evs[0].after == {"id": "1", "v": "old-shape"}
+    assert evs[1].after == {"id": "2", "v": "new-shape", "extra": "x"}
+
+
+def test_toast_unchanged_inside_stream():
+    from pypgcdc_spark.cdc.models import TOAST_UNCHANGED
+
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_update(RELID, ["1", "ignored"], toast_unchanged={1}, xid=100)),
+            (12, pg.encode_stream_stop()),
+            (20, pg.encode_stream_commit(100, 20, 20, TS)),
+        ],
+    )
+    assert evs[0].after["v"] == TOAST_UNCHANGED
+
+
+def test_nested_stream_start_rejected():
+    x = MessageTransformer()
+    list(x.feed(10, pg.encode_stream_start(100, True)))
+    with pytest.raises(ValueError, match="StreamStart inside"):
+        list(x.feed(11, pg.encode_stream_start(101, True)))
+
+
+# ---------------------------------------------------------------------------
+# Boundary scanner: partition cuts never bisect an open stream span
+# ---------------------------------------------------------------------------
+
+
+def _write_frames(path, frames):
+    with replay.ReplayLogWriter(path) as w:
+        for lsn, payload in frames:
+            w.append(lsn, payload)
+
+
+def test_boundaries_hold_while_stream_open(tmp_path):
+    p = str(tmp_path / "v2.log")
+    _write_frames(
+        p,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "a"], xid=100)),
+            (12, pg.encode_stream_stop()),
+            # plain tx while stream 100 still open: may NOT close a unit
+            (20, pg.encode_begin(23, TS, 55)),
+            (21, pg.encode_insert(RELID, ["3", "c"])),
+            (23, pg.encode_commit(23, 23, TS)),
+            (30, pg.encode_stream_start(100, False)),
+            (31, pg.encode_insert(RELID, ["2", "b"], xid=100)),
+            (32, pg.encode_stream_stop()),
+            (40, pg.encode_stream_commit(100, 40, 40, TS)),
+            # after the span closes, a plain tx closes its own unit again
+            (50, pg.encode_begin(53, TS, 56)),
+            (51, pg.encode_insert(RELID, ["4", "d"])),
+            (53, pg.encode_commit(53, 53, TS)),
+        ],
+    )
+    ranges = replay.tx_boundaries(p)
+    assert len(ranges) == 2  # [R..stream-commit] and [plain tx]
+    # contiguous, full coverage
+    import os
+
+    assert ranges[0][0] == 0 and ranges[-1][1] == os.path.getsize(p)
+    assert ranges[0][1] == ranges[1][0]
+
+
+def test_boundaries_top_level_abort_closes_unit(tmp_path):
+    p = str(tmp_path / "abort.log")
+    _write_frames(
+        p,
+        [
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "a"], xid=100)),
+            (12, pg.encode_stream_stop()),
+            (20, pg.encode_stream_abort(100, 100)),
+            (30, pg.encode_begin(33, TS, 55)),
+            (31, pg.encode_insert(RELID, ["3", "c"])),
+            (33, pg.encode_commit(33, 33, TS)),
+        ],
+    )
+    ranges = replay.tx_boundaries(p)
+    assert len(ranges) == 2
+    # subtx abort does NOT close
+    p2 = str(tmp_path / "subabort.log")
+    _write_frames(
+        p2,
+        [
+            (10, pg.encode_stream_start(100, True)),
+            (11, pg.encode_insert(RELID, ["1", "a"], xid=150)),
+            (12, pg.encode_stream_stop()),
+            (20, pg.encode_stream_abort(100, 150)),
+            (30, pg.encode_stream_commit(100, 30, 30, TS)),
+        ],
+    )
+    assert len(replay.tx_boundaries(p2)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Twin-log state equality (driver-side; the Spark-source twin lives in
+# test_round5_source.py and the cdc_streamed_tx_replay registry entry)
+# ---------------------------------------------------------------------------
+
+
+def _final_state(path):
+    x = MessageTransformer()
+    evs = []
+    for fr in replay.scan_frames(path):
+        evs.extend(x.feed(fr.lsn, fr.payload))
+    evs.sort(key=lambda e: e.lsn)
+    st = {}
+    for ev in evs:
+        k = ev.key["user_id"]
+        if ev.op == "D":
+            st.pop(k, None)
+        else:
+            st[k] = (ev.after["last_event"], ev.after["value"])
+    return st, x.stats
+
+
+def test_streamed_pair_states_match(tmp_path):
+    rows = []
+    for i in range(300):
+        uid = (i * 7) % 37
+        et = "error" if i % 11 == 3 else f"ev{i % 5}"
+        rows.append((uid, et, float(i) * 1.25))
+    plain, streamed = str(tmp_path / "p.log"), str(tmp_path / "s.log")
+    write_streamed_cdc_pair(plain, streamed, rows, chunk=40)
+    sp, _ = _final_state(plain)
+    ss, stats = _final_state(streamed)
+    assert sp == ss and len(sp) > 0
+    assert stats.streamed_txs == 2
+    assert stats.aborted_streams == 1 and stats.aborted_subtxs == 1
+    # no poison leaked
+    assert all("poison" not in v[0] for v in ss.values())

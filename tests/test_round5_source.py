@@ -1,0 +1,86 @@
+"""Round 5: protocol v2 streamed transactions through the Spark source.
+
+The pgcdc DataSource must produce identical envelope state from a v2
+streamed log and its plain v1 twin — batch AND incremental streaming
+(micro-batch offsets must never bisect an open stream span).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+from pypgcdc_spark.testing import write_streamed_cdc_pair
+
+
+def _rows(n=240, keys=29):
+    out = []
+    for i in range(n):
+        uid = (i * 11) % keys
+        et = "error" if i % 13 == 5 else f"ev{i % 4}"
+        out.append((uid, et, float(i) * 0.75))
+    return out
+
+
+def _state(df):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("key")["user_id"]).orderBy(F.col("lsn").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("key")["user_id"].alias("user_id"),
+            F.col("after")["last_event"].alias("last_event"),
+            F.col("after")["value"].alias("value"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pgv2")
+    plain, streamed = str(d / "plain.log"), str(d / "streamed.log")
+    write_streamed_cdc_pair(plain, streamed, _rows(), chunk=30)
+    return plain, streamed
+
+
+def test_batch_read_streamed_equals_plain(spark, pair):
+    plain, streamed = pair
+    spark.dataSource.register(PgCdcDataSource)
+    read = lambda p: spark.read.format("pgcdc").option("path", p).load()
+    sp = {tuple(r) for r in _state(read(plain)).collect()}
+    ss = {tuple(r) for r in _state(read(streamed)).collect()}
+    assert sp == ss and len(sp) > 0
+    # the streamed log's poison rows never surface as envelope rows
+    leaked = read(streamed).filter(
+        F.col("after")["last_event"].startswith("poison")
+    ).count()
+    assert leaked == 0
+
+
+def test_stream_read_streamed_log_incremental(spark, pair, tmp_path):
+    """availableNow streaming over the v2 log: offsets land only on closed
+    tx units, so the interleaved span arrives atomically in one batch."""
+    plain, streamed = pair
+    spark.dataSource.register(PgCdcDataSource)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pgcdc")
+        .option("path", streamed)
+        .option("maxTxPerBatch", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    want = spark.read.format("pgcdc").option("path", plain).load()
+    ss = {tuple(r) for r in _state(got).collect()}
+    sp = {tuple(r) for r in _state(want).collect()}
+    assert ss == sp
+    # every emitted row belongs to a committed tx (tx context always set)
+    assert got.filter(F.col("tx_id").isNull()).count() == 0
