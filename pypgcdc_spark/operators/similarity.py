@@ -252,19 +252,30 @@ def ann_ivf_flat(spark, sf_dir):
         .limit(N_CENTROIDS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
-    scored_vc = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
+    def centroid_scores(df):
+        return df.crossJoin(F.broadcast(cent)).select(
             "vec_id",
             "cent_id",
             _cosine(F.col("embedding"), F.col("ce")).alias("cos"),
         )
+
+    # Assignment: argmax via max_by with the (cos DESC, cent_id ASC)
+    # tiebreak encoded as a struct ordering.  groupBy gets a map-side
+    # partial aggregate, so the shuffle carries ~|corpus| rows — the
+    # window formulation this replaces shuffled |corpus|×nlist rows, and
+    # was computed a second time just to derive the probe lists (the r04
+    # ann_ivf_flat regression).
+    assign = (
+        centroid_scores(emb)
+        .groupBy("vec_id")
+        .agg(F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias("cent_id"))
     )
+    # Probe lists need only the query vectors: nqueries×nlist rows.
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    ranked_vc = scored_vc.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked_vc.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = (
-        ranked_vc.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        centroid_scores(emb.filter(F.col("vec_id") < N_QUERIES))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
     embs = emb.select("vec_id", "embedding")
