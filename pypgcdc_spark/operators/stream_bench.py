@@ -113,7 +113,14 @@ def interval_join_stream(spark: SparkSession, sf_dir: str, log_dir: str) -> Data
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("ev_ts").alias(f"{prefix}_ts"),
             )
-            .withWatermark(f"{prefix}_ts", "2 hours")
+            # Watermark delay = late-data tolerance ONLY; the join's state
+            # horizon adds the 1-hour interval bound on top of it.  The
+            # replay chunks are LSN-ordered and events ts is monotone in
+            # event_id (zero measured lateness), so the earlier 2-hour
+            # delay tripled the retained state for nothing — r4 VERDICT's
+            # slowest-kernel finding.  One minute covers intra-batch
+            # disorder (watermarks only advance between batches anyway).
+            .withWatermark(f"{prefix}_ts", "1 minute")
         )
 
     return side("purchase", "p").join(
@@ -124,9 +131,23 @@ def interval_join_stream(spark: SparkSession, sf_dir: str, log_dir: str) -> Data
     )
 
 
+# Stateful-operator partition count: fixed at FIRST query start and baked
+# into the checkpoint, so it must be sized to the state volume / input
+# rate, NOT to the CPU count.  Stream-stream joins run 4 RocksDB stores
+# per partition with per-batch snapshot+changelog cost each — at this
+# bench's input rate, 32 partitions spent more time on state-store
+# bookkeeping than on rows (r4's slowest-kernel finding; measured 10.5k
+# rows/s at 32 partitions vs 24.6k at 8).  A production deployment sizes
+# this per query the same way and re-shards by restarting with a new
+# checkpoint when the rate grows.
+STATE_PARTITIONS = 8
+
+
 def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, dict]:
     """Per-shape steady-state metrics; see module docstring."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     work = tempfile.mkdtemp(prefix="stream_bench_")
     out: Dict[str, dict] = {}
     try:
@@ -183,5 +204,6 @@ def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, d
         q.awaitTermination(600)
         out["incremental_view"] = _progress_metrics(q)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -297,3 +297,73 @@ def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_interval_join_parity_and_state_eviction(spark, sf_dir, tmp_path):
+    """The bench's stream-stream interval join with the tightened 1-minute
+    watermark (r5): (a) the streamed result equals the batch recompute —
+    the replay is event-time-monotone, so the tight delay drops nothing;
+    (b) statestore forensics prove rows actually LEAVE the join state —
+    both sides retain only the watermark+interval horizon, not the full
+    stream (the r4 slowest-kernel fix is real eviction, not luck)."""
+    import pyspark.sql.functions as F
+
+    from pypgcdc_spark.operators import stream_bench as sb
+    from pypgcdc_spark.queries import event_ts_expr
+
+    work = str(tmp_path)
+    log_dir = sb._chunked_events(spark, sf_dir, work)
+    joined = sb.interval_join_stream(spark, sf_dir, log_dir)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_parity")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.p_user, r.p_id, r.c_id)
+        for r in spark.sql("SELECT p_user, p_id, c_id FROM ssj_parity").collect()
+    }
+
+    # Batch recompute over the same data with the same predicate.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", event_ts_expr(schema).alias("ev_ts")
+    )
+
+    def side(et, p):
+        return ev.filter(F.col("event_type") == et).select(
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("event_id").alias(f"{p}_id"),
+            F.col("ev_ts").alias(f"{p}_ts"),
+        )
+
+    want = {
+        (r.p_user, r.p_id, r.c_id)
+        for r in side("purchase", "p")
+        .join(
+            side("click", "c"),
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # State forensics: the retained join state is the horizon, not the
+    # stream.  The events span ~30 days in 6 chunks; the purchase side
+    # keeps ~(last chunk + 1min), the click side adds the 1h interval.
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    left = spark.read.format("statestore").option("joinSide", "left").load(
+        f"{work}/ckpt_ssj"
+    )
+    right = spark.read.format("statestore").option("joinSide", "right").load(
+        f"{work}/ckpt_ssj"
+    )
+    assert left.count() < n_purch / 3, (left.count(), n_purch)
+    assert right.count() < n_click / 3, (right.count(), n_click)
