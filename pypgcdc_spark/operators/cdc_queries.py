@@ -557,3 +557,156 @@ def cdc_streamed_tx_replay(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "cdc_schema_evolution_typed",
+    oracle="""
+    -- Typed views across an in-stream schema change that is NOT just
+    -- add-column: relation v1 = (id bigint, score numeric(10,2),
+    -- note text); after 200 rows an ALTER re-sends the Relation as
+    -- v2 = (id bigint, score double precision) — the score TYPE changed
+    -- and note was DROPPED.  The engine types each envelope row through
+    -- the schema version in force at its LSN (registry.get_at_lsn), so
+    -- v1 rows decode score as exact Decimal and keep note, v2 rows decode
+    -- score as double and have no note — all integer-cents, no float
+    -- rounding in either engine.
+    WITH prefix AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
+      FROM events ORDER BY event_id LIMIT 400
+    )
+    SELECT event_id AS id,
+           CASE WHEN idx < 200 THEN 1 ELSE 2 END AS version,
+           CAST((event_id * 7) % 100000 AS BIGINT) AS score_cents,
+           CASE WHEN idx < 200 THEN event_type ELSE NULL END AS note
+    FROM prefix
+    """,
+)
+def cdc_schema_evolution_typed(spark, sf_dir):
+    """Schema evolution past latest-wins (SURVEY §7.3 leftover, r4 item 7):
+    a pgoutput log whose relation changes a column's TYPE and drops a
+    column mid-stream, read through the ``pgcdc`` source, then typed by
+    selecting each row's StructType from the version chain by LSN span —
+    ``SchemaRegistry.get_at_lsn``, not latest-wins (reference defect Q4
+    re-sent schemas silently replace; Q4's versioned fix is what makes
+    this query expressible at all).
+
+    Driver work is bounded: 400 collected rows synthesize the log; the
+    version spans are frame-header metadata.  At scale the span union is
+    a static filter per version — each branch's casts run columnar on the
+    partition-pruned envelope scan, no shuffle added."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.sources import replay
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+
+    (events,) = load(spark, sf_dir, "events")
+    prefix = (
+        events.orderBy("event_id").limit(400).select("event_id", "event_type").collect()
+    )
+    relid = 18001
+    v1_cols = [
+        (True, "id", 20, -1),
+        (False, "score", 1700, ((10 << 16) | 2) + 4),  # numeric(10,2)
+        (False, "note", 25, -1),
+    ]
+    v2_cols = [(True, "id", 20, -1), (False, "score", 701, -1)]  # double, note dropped
+    work = tempfile.mkdtemp(prefix="pgevo_")
+    log = f"{work}/evo.log"
+    try:
+        w = ReplayLogWriter(log)
+        w.append(100, pg.encode_relation(relid, "public", "metrics", v1_cols))
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def tx(rows_enc, first, last, xid):
+            w.append(first - 5, pg.encode_begin(last + 5, ts, xid))
+            for lsn, payload in rows_enc:
+                w.append(lsn, payload)
+            w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+
+        def lsn_of(i):
+            return 1000 + 10 * i
+
+        enc1, enc2 = [], []
+        for i, r in enumerate(prefix):
+            cents = (r.event_id * 7) % 100000
+            if i < 200:
+                enc1.append(
+                    (
+                        lsn_of(i),
+                        pg.encode_insert(
+                            relid,
+                            [str(r.event_id), f"{cents // 100}.{cents % 100:02d}", r.event_type],
+                        ),
+                    )
+                )
+            else:
+                enc2.append(
+                    (
+                        lsn_of(i),
+                        pg.encode_insert(relid, [str(r.event_id), repr(cents / 100.0)]),
+                    )
+                )
+        tx(enc1, enc1[0][0], enc1[-1][0], 71)
+        alter_lsn = enc1[-1][0] + 7  # between the spans
+        w.append(alter_lsn, pg.encode_relation(relid, "public", "metrics", v2_cols))
+        tx(enc2, enc2[0][0], enc2[-1][0], 72)
+        w.close()
+
+        # Version spans from frame-header metadata (public registry path).
+        reg = SchemaRegistry()
+        for fr in replay.scan_frames(log):
+            if fr.payload[:1] == b"R":
+                reg.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+        chain = reg._versions[(reg.database, relid)]
+        spans = [
+            (v.version, v.first_lsn, chain[k + 1].first_lsn if k + 1 < len(chain) else None, v.schema)
+            for k, v in enumerate(chain)
+        ]
+
+        spark.dataSource.register(PgCdcDataSource)
+        env = spark.read.format("pgcdc").option("path", log).load().filter(
+            F.col("op") == "I"
+        )
+        branches = []
+        for version, lo, hi, schema in spans:
+            span = env.filter(F.col("lsn") >= lo)
+            if hi is not None:
+                span = span.filter(F.col("lsn") < hi)
+            # Typed through THIS version's StructType: Decimal cents are
+            # exact; double cents round-trip exactly (integer-valued).
+            score_t = dict(
+                (f.name, f.dataType) for f in schema.to_struct_type().fields
+            )["score"]
+            score = F.col("after")["score"].cast(score_t)
+            cents = (
+                (score * 100).cast("long")
+                if isinstance(score_t, T.DecimalType)
+                else F.round(score * 100).cast("long")
+            )
+            branches.append(
+                span.select(
+                    F.col("after")["id"].cast("long").alias("id"),
+                    F.lit(version).cast("int").alias("version"),
+                    cents.alias("score_cents"),
+                    F.col("after")["note"].alias("note"),
+                )
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        rows = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows, "id LONG, version INT, score_cents LONG, note STRING"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
