@@ -163,7 +163,16 @@ def build_scaled(spark, out_dir: str, repl: int) -> None:
     eout = eparts[0]
     for p in eparts[1:]:
         eout = eout.unionByName(p)
-    eout.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    # Emit a single FILE named events.parquet (like the fixture layout):
+    # the streaming queries list the sf_dir with
+    # pathGlobFilter='events.parquet', which matches leaf files by name —
+    # a directory of part files would silently match nothing.
+    import glob as _glob
+
+    tmp_ev = f"{out_dir}/_events_build"
+    eout.coalesce(1).write.mode("overwrite").parquet(tmp_ev)
+    shutil.move(_glob.glob(f"{tmp_ev}/part-*.parquet")[0], f"{out_dir}/events.parquet")
+    shutil.rmtree(tmp_ev, ignore_errors=True)
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     reps = []
@@ -513,6 +522,64 @@ def main() -> None:
                 for s in sr_base
             ),
         }
+
+        # -- round-5 streaming/IVM tail (verdict r4 item 8): the join-IVM
+        # maintainer, the oracle-backed stream-stream join, and the
+        # stateful pattern detector at 10×.  Absolute check = the SAME
+        # DuckDB oracle the gate runs, evaluated over the SCALED tables —
+        # a full hash-match at 10×, the strongest invariant available.
+        import duckdb as _duck
+
+        con5 = _duck.connect()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        pats = {
+            t: (
+                f"{work}/{t}.parquet"
+                if os.path.isfile(f"{work}/{t}.parquet")
+                else f"{work}/{t}.parquet/*.parquet"
+            )
+            for t in ("orders", "lineitem", "events")
+        }
+        con5.sql(f"CREATE VIEW orders AS SELECT * FROM '{pats['orders']}'")
+        con5.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{pats['lineitem']}'")
+        # The scaled events file was rewritten by Spark under nanosAsLong,
+        # so ts is a BIGINT of nanoseconds — normalize to TIMESTAMP the
+        # same way event_ts_expr does (ns div 1000 → µs) so the static
+        # oracle SQL sees the type it was written against.
+        ts_type = str(
+            con5.sql(f"SELECT typeof(ts) FROM '{pats['events']}' LIMIT 1").fetchone()[0]
+        ).upper()
+        if "INT" in ts_type:
+            con5.sql(
+                "CREATE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{pats['events']}'"
+            )
+        else:
+            con5.sql(f"CREATE VIEW events AS SELECT * FROM '{pats['events']}'")
+        for name in ("cdc_join_view_ivm", "stream_stream_join", "stream_pattern_detect"):
+            qd = REGISTRY[name]
+            try:
+                qd.fn(spark, WARM).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            base_s = timed(qd.fn, spark, BASE)
+            scaled_s = timed(qd.fn, spark, work)
+            ratio = round(scaled_s / base_s, 2) if base_s else None
+            report["queries"][name] = {
+                "sf0.1_sec": base_s,
+                f"x{repl}_sec": scaled_s,
+                "time_ratio": ratio,
+                "rows_ratio": repl,
+                "superlinearity": round(ratio / repl, 2) if ratio else None,
+            }
+            spdf = qd.fn(spark, work).toPandas()
+            dpdf = con5.sql(qd.oracle).df()
+            _, sh, _ = frame_fingerprint(spdf)
+            _, dh, _ = frame_fingerprint(dpdf)
+            report["correctness"][name] = {
+                "hash_match_at_scale": bool(sh == dh),
+                "rows": len(spdf),
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
