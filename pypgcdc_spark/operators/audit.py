@@ -163,37 +163,32 @@ def audit_column_profile(spark, sf_dir):
     and min/max (stringified so one schema fits every type).  The
     profile itself sits inside the correctness gate.
 
-    Spark shape: ONE scan — the table unpivots in-row via stack() to
-    (column_name, value) pairs and a single groupBy computes every
-    column's stats together (count-distinct per group), instead of one
-    job per column.  At 100 TB that is the difference between profiling
-    in one pass and N passes; per-column agg state is O(distincts),
-    the same class as any count-distinct."""
+    Spark shape: ONE scan, genuinely — a single aggregate computes every
+    column's count/nulls/count-distinct/min/max together (Catalyst plans
+    the multi-distinct via one Expand, the same in-row unpivot stack()
+    would produce, but without a second typed min/max pass — the r4
+    ADVICE finding).  Min/max stay TYPED inside the aggregate (numeric
+    columns order numerically) and stringify only at output.  At 100 TB
+    this is the difference between profiling in one pass and N passes;
+    per-column agg state is O(distincts), the same class as any
+    count-distinct."""
     (orders,) = load(spark, sf_dir, "orders")
-    n = len(_PROFILE_COLS)
-    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS)
-    pairs = orders.select(
-        F.expr(f"stack({n}, {stack_expr}) AS (column_name, value)")
-    )
-    # Numeric columns must order numerically for min/max: recompute
-    # min/max from typed columns, joined to the string-pair stats.
-    typed_minmax = orders.agg(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.min(F.col(c)).cast("string").alias("min_value"),
-                F.max(F.col(c)).cast("string").alias("max_value"),
-            ).alias(c)
-            for c in _PROFILE_COLS
-        ]
-    ).select(F.explode(F.array(*_PROFILE_COLS)).alias("s")).select("s.*")
-    stats = pairs.groupBy("column_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_nulls"),
-        F.countDistinct("value").cast("long").alias("n_distinct"),
-    )
-    return stats.join(F.broadcast(typed_minmax), "column_name").select(
-        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    return (
+        orders.agg(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_nulls"),
+                    F.countDistinct(c).cast("long").alias("n_distinct"),
+                    F.min(F.col(c)).cast("string").alias("min_value"),
+                    F.max(F.col(c)).cast("string").alias("max_value"),
+                ).alias(c)
+                for c in _PROFILE_COLS
+            ]
+        )
+        .select(F.explode(F.array(*_PROFILE_COLS)).alias("s"))
+        .select("s.*")
     )
