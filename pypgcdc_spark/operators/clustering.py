@@ -133,14 +133,17 @@ def _final_assignment(vectors):
     """Seeds (K lowest vec_ids) → two Lloyd iterations → final assignment
     ``(vec_id, v, label, cid, d2)``.  Shared by embed_kmeans_domains and
     dedup_semantic_semdedup so both cluster identically."""
-    from pyspark.sql import Window
-
-    # limit-K first so the ranking window runs over K rows, not the corpus
+    # limit-K first, then rank the K seed rows WITHOUT a global window:
+    # fold them into one sorted array and posexplode — same cid numbering
+    # as row_number over vec_id, but no single-partition WindowExec (so
+    # the engine's window warnings stay meaningful; r4 VERDICT note).
+    # The single-row aggregate is K structs — bounded by construction.
     centroids = (
         vectors.orderBy("vec_id")
         .limit(K)
-        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .select("cid", F.col("v").alias("cvec"))
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("seeds"))
+        .select(F.posexplode("seeds").alias("cid", "s"))
+        .select("cid", F.col("s.v").alias("cvec"))
     )
     for _ in range(ITERS):
         assigned = _assign(vectors, centroids)
