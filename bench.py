@@ -125,6 +125,13 @@ NEW_OPS_R4 = [
     "source_orc_parity",
 ]
 
+# Round-5 additions: pgoutput v2 streamed-tx replay through the source,
+# LSN-span typed views across a type-change/drop schema evolution.
+NEW_OPS_R5 = [
+    "cdc_streamed_tx_replay",
+    "cdc_schema_evolution_typed",
+]
+
 
 def decode_throughput_vs_reference(
     n_rows: int = 2000,
@@ -201,7 +208,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4:
+        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5:
             try:
                 REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -220,7 +227,7 @@ def main():
 
     timings = {}
     failed = []
-    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4:
+    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -266,6 +273,7 @@ def main():
     total_new = round(sum(timings.get(n, 0.0) for n in NEW_OPS), 3)
     total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
     total_new_r4 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R4), 3)
+    total_new_r5 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R5), 3)
     full = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -273,6 +281,7 @@ def main():
         "value_new_ops": total_new,
         "value_new_ops_r3": total_new_r3,
         "value_new_ops_r4": total_new_r4,
+        "value_new_ops_r5": total_new_r5,
         "failed": failed,
         "queries": timings,
         "streaming_steady_state": streaming,

@@ -448,8 +448,14 @@ class WireReplicationTailer:
       exits on silence alone;
     * a dropped/desynced connection triggers reconnect + a fresh
       ``START_REPLICATION`` from the last confirmed-flushed LSN; frames
-      the server re-sends below the last logged LSN are skipped, so the
-      replay log stays duplicate-free (exactly-once hand-off);
+      the server re-sends are deduplicated by LSN membership per
+      transaction unit — NOT by a monotone high-water mark, because
+      protocol v2 streamed transactions legitimately deliver frames
+      whose WAL positions are BELOW later frames (a spilled tx's
+      changes interleave with other transactions' commits).  The seen
+      set is pruned as units are acked (START_REPLICATION from the
+      flushed LSN only replays transactions committing after it), so
+      memory is bounded by the un-acked window;
     * only SQLSTATE 42704 (undefined_object) on START_REPLICATION is
       treated as "slot missing → create it"; permission/publication
       errors surface as-is.
@@ -507,12 +513,20 @@ class WireReplicationTailer:
         import json
         from datetime import datetime, timezone
 
-        from pypgcdc_spark.sources.replay import ReplayLogWriter
+        from pypgcdc_spark.sources.replay import Frame, ReplayLogWriter, TxBoundaryScanner
 
         n = 0
         flushed = 0
         idle = 0
-        last_lsn = 0  # highest LSN written — dedupes reconnect re-sends
+        # Reconnect dedup state: per-unit LSN membership (v2-safe; see
+        # class docstring).  `seen` holds every appended frame LSN of
+        # not-yet-acked units; `unit_lsns` accumulates the open unit;
+        # `closed_units` maps a unit's closing LSN to its frame LSNs so
+        # an ack advance can prune.
+        scanner = TxBoundaryScanner()
+        seen: set = set()
+        unit_lsns: list = []
+        closed_units: list = []  # [(close_lsn, [frame lsns])]
         writer = ReplayLogWriter(self.log_path)
         ack_path = self.log_path + ".ack"
         try:
@@ -529,7 +543,7 @@ class WireReplicationTailer:
                             continue
                         idle = 0
                         if isinstance(msg, XLogData):
-                            if msg.wal_start > last_lsn:
+                            if msg.wal_start not in seen:
                                 writer.append(
                                     msg.wal_start,
                                     msg.payload,
@@ -538,7 +552,14 @@ class WireReplicationTailer:
                                     ),
                                 )
                                 writer.flush()
-                                last_lsn = msg.wal_start
+                                seen.add(msg.wal_start)
+                                unit_lsns.append(msg.wal_start)
+                                closed = scanner.feed(
+                                    Frame(msg.wal_start, 0, msg.payload, 0, 0)
+                                )
+                                if closed is not None:
+                                    closed_units.append((msg.wal_start, unit_lsns))
+                                    unit_lsns = []
                                 n += 1
                         elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
                             self.client.send_standby_status(flushed, flushed, flushed)
@@ -547,6 +568,15 @@ class WireReplicationTailer:
                                 lsn = json.load(f).get("lsn", 0)
                             if lsn and lsn > flushed:
                                 flushed = lsn
+                                # Units committed at/below the flush are
+                                # never replayed by a resume — prune.
+                                keep = []
+                                for close_lsn, lsns in closed_units:
+                                    if close_lsn <= flushed:
+                                        seen.difference_update(lsns)
+                                    else:
+                                        keep.append((close_lsn, lsns))
+                                closed_units = keep
                                 self.client.send_standby_status(
                                     flushed, flushed, flushed
                                 )
@@ -560,7 +590,7 @@ class WireReplicationTailer:
                     self.client.close()
                     self.client = ReplicationClient(*self._conn_args)
                     # Resume from what the server knows is flushed; frames
-                    # at/below last_lsn are skipped on replay.
+                    # already appended are skipped by the seen-set.
                     self.start(start_lsn=max(flushed, self.start_lsn))
         finally:
             writer.close()

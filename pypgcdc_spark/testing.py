@@ -231,7 +231,10 @@ def write_streamed_cdc_pair(
             w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
             continue
         xid = 900 if ci % 2 == 0 else 901
-        w.append(first - 5, pg.encode_stream_start(xid, xid not in seen_first))
+        # -4, not -5: a preceding plain chunk's Commit sits at its
+        # last+5 == this first-5; frame LSNs must stay unique (the wire
+        # tailer dedupes resends by LSN membership).
+        w.append(first - 4, pg.encode_stream_start(xid, xid not in seen_first))
         seen_first.add(xid)
         for gi, row in ch:
             w.append(lsn_of(gi), enc(row, xid=xid))
