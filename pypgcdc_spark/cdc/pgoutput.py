@@ -235,11 +235,15 @@ class StreamAbort:
     """'A' (v2) — aborts a streamed (sub)transaction.
 
     ``subtx_xid == tx_xid`` aborts the whole stream; otherwise only the
-    changes tagged with ``subtx_xid`` are rolled back.
+    changes tagged with ``subtx_xid`` are rolled back.  Protocol v4
+    (PG16+, parallel streaming) appends the abort LSN and timestamp;
+    both are None on the v2/v3 layout (inferred from the frame length).
     """
 
     tx_xid: int
     subtx_xid: int
+    abort_lsn: Optional[int] = None
+    abort_ts: Optional[datetime] = None
 
 
 PgoutputMessage = object  # union of the dataclasses above
@@ -420,7 +424,10 @@ def decode_stream_commit(buf: bytes) -> StreamCommit:
 def decode_stream_abort(buf: bytes) -> StreamAbort:
     r = _Reader(buf)
     _expect(r, "A")
-    return StreamAbort(r.int32(), r.int32())
+    xid, subxid = r.int32(), r.int32()
+    if len(buf) >= 1 + 4 + 4 + 8 + 8:  # v4 layout: + abort LSN + abort ts
+        return StreamAbort(xid, subxid, r.int64(), pg_ts_to_datetime(r.int64()))
+    return StreamAbort(xid, subxid)
 
 
 # Decoders whose wire layout gains a leading xid inside a stream segment.
@@ -623,5 +630,13 @@ def encode_stream_commit(
     )
 
 
-def encode_stream_abort(tx_xid: int, subtx_xid: Optional[int] = None) -> bytes:
-    return b"A" + struct.pack(">ii", tx_xid, subtx_xid if subtx_xid is not None else tx_xid)
+def encode_stream_abort(
+    tx_xid: int,
+    subtx_xid: Optional[int] = None,
+    abort_lsn: Optional[int] = None,
+    abort_ts: Optional[datetime] = None,
+) -> bytes:
+    out = b"A" + struct.pack(">ii", tx_xid, subtx_xid if subtx_xid is not None else tx_xid)
+    if abort_lsn is not None and abort_ts is not None:  # v4 layout
+        out += struct.pack(">qq", abort_lsn, datetime_to_pg_ts(abort_ts))
+    return out

@@ -331,3 +331,25 @@ def test_streamed_pair_states_match(tmp_path):
     assert stats.aborted_streams == 1 and stats.aborted_subtxs == 1
     # no poison leaked
     assert all("poison" not in v[0] for v in ss.values())
+
+
+def test_stream_abort_v4_layout_roundtrip():
+    """PG16 protocol v4 appends abort LSN + timestamp to Stream Abort;
+    the decoder infers the layout from the frame length, so v2 and v4
+    logs both parse (and the transformer's abort handling is layout-
+    agnostic — it only reads the xids)."""
+    v2 = pg.encode_stream_abort(5, 6)
+    a2 = pg.decode_message(v2)
+    assert (a2.tx_xid, a2.subtx_xid, a2.abort_lsn, a2.abort_ts) == (5, 6, None, None)
+    v4 = pg.encode_stream_abort(5, 6, abort_lsn=0xABC, abort_ts=TS)
+    assert len(v4) == len(v2) + 16
+    a4 = pg.decode_message(v4)
+    assert (a4.tx_xid, a4.subtx_xid, a4.abort_lsn, a4.abort_ts) == (5, 6, 0xABC, TS)
+    # v4 abort still drives the transformer identically
+    x = MessageTransformer()
+    list(x.feed(1, R_MSG))
+    list(x.feed(10, pg.encode_stream_start(5, True)))
+    list(x.feed(11, pg.encode_insert(RELID, ["1", "a"], xid=5)))
+    list(x.feed(12, pg.encode_stream_stop()))
+    list(x.feed(20, pg.encode_stream_abort(5, 5, abort_lsn=20, abort_ts=TS)))
+    assert x.stats.aborted_streams == 1
