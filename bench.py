@@ -129,6 +129,7 @@ NEW_OPS_R4 = [
 # LSN-span typed views across a type-change/drop schema evolution.
 NEW_OPS_R5 = [
     "cdc_streamed_tx_replay",
+    "cdc_two_phase_replay",
     "cdc_schema_evolution_typed",
 ]
 

@@ -246,6 +246,71 @@ class StreamAbort:
     abort_ts: Optional[datetime] = None
 
 
+@dataclass(frozen=True)
+class BeginPrepare:
+    """'b' — opens a two-phase transaction span (``two_phase`` option,
+    PG15+).  Messages until the matching Prepare use the PLAIN layout
+    (no xid prefix; the span is contiguous, unlike v2 stream segments)."""
+
+    prepare_lsn: int
+    end_lsn: int
+    prepare_ts: datetime
+    tx_xid: int
+    gid: str
+
+
+@dataclass(frozen=True)
+class Prepare:
+    """'P' — closes the BeginPrepare span; the transaction stays PENDING
+    until Commit Prepared / Rollback Prepared resolves it."""
+
+    flags: int
+    prepare_lsn: int
+    end_lsn: int
+    prepare_ts: datetime
+    tx_xid: int
+    gid: str
+
+
+@dataclass(frozen=True)
+class CommitPrepared:
+    """'K' — commits a previously prepared transaction (possibly much
+    later, with other transactions in between)."""
+
+    flags: int
+    commit_lsn: int
+    end_lsn: int
+    commit_ts: datetime
+    tx_xid: int
+    gid: str
+
+
+@dataclass(frozen=True)
+class RollbackPrepared:
+    """'r' — discards a previously prepared transaction."""
+
+    flags: int
+    prepare_end_lsn: int
+    rollback_end_lsn: int
+    prepare_ts: datetime
+    rollback_ts: datetime
+    tx_xid: int
+    gid: str
+
+
+@dataclass(frozen=True)
+class StreamPrepare:
+    """'p' — prepares a STREAMED transaction (v2 segments already
+    delivered); resolved later by Commit Prepared / Rollback Prepared."""
+
+    flags: int
+    prepare_lsn: int
+    end_lsn: int
+    prepare_ts: datetime
+    tx_xid: int
+    gid: str
+
+
 PgoutputMessage = object  # union of the dataclasses above
 
 
@@ -421,6 +486,52 @@ def decode_stream_commit(buf: bytes) -> StreamCommit:
     return StreamCommit(xid, flags, commit_lsn, end_lsn, ts)
 
 
+def decode_begin_prepare(buf: bytes) -> BeginPrepare:
+    r = _Reader(buf)
+    _expect(r, "b")
+    return BeginPrepare(
+        r.int64(), r.int64(), pg_ts_to_datetime(r.int64()), r.int32(), r.cstring()
+    )
+
+
+def decode_prepare(buf: bytes) -> Prepare:
+    r = _Reader(buf)
+    _expect(r, "P")
+    return Prepare(
+        r.int8(), r.int64(), r.int64(), pg_ts_to_datetime(r.int64()), r.int32(), r.cstring()
+    )
+
+
+def decode_commit_prepared(buf: bytes) -> CommitPrepared:
+    r = _Reader(buf)
+    _expect(r, "K")
+    return CommitPrepared(
+        r.int8(), r.int64(), r.int64(), pg_ts_to_datetime(r.int64()), r.int32(), r.cstring()
+    )
+
+
+def decode_rollback_prepared(buf: bytes) -> RollbackPrepared:
+    r = _Reader(buf)
+    _expect(r, "r")
+    return RollbackPrepared(
+        r.int8(),
+        r.int64(),
+        r.int64(),
+        pg_ts_to_datetime(r.int64()),
+        pg_ts_to_datetime(r.int64()),
+        r.int32(),
+        r.cstring(),
+    )
+
+
+def decode_stream_prepare(buf: bytes) -> StreamPrepare:
+    r = _Reader(buf)
+    _expect(r, "p")
+    return StreamPrepare(
+        r.int8(), r.int64(), r.int64(), pg_ts_to_datetime(r.int64()), r.int32(), r.cstring()
+    )
+
+
 def decode_stream_abort(buf: bytes) -> StreamAbort:
     r = _Reader(buf)
     _expect(r, "A")
@@ -449,6 +560,11 @@ _DECODERS = {
     "E": decode_stream_stop,
     "c": decode_stream_commit,
     "A": decode_stream_abort,
+    "b": decode_begin_prepare,
+    "P": decode_prepare,
+    "K": decode_commit_prepared,
+    "r": decode_rollback_prepared,
+    "p": decode_stream_prepare,
     **_STREAMABLE,
 }
 
@@ -628,6 +744,70 @@ def encode_stream_commit(
     return b"c" + struct.pack(
         ">ibqqq", tx_xid, flags, commit_lsn, end_lsn, datetime_to_pg_ts(commit_ts)
     )
+
+
+def encode_begin_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts: datetime, tx_xid: int, gid: str
+) -> bytes:
+    return (
+        b"b"
+        + struct.pack(">qqqi", prepare_lsn, end_lsn, datetime_to_pg_ts(prepare_ts), tx_xid)
+        + gid.encode()
+        + b"\x00"
+    )
+
+
+def _enc_prepare_like(
+    kind: bytes, lsn1: int, lsn2: int, ts: datetime, tx_xid: int, gid: str, flags: int = 0
+) -> bytes:
+    return (
+        kind
+        + struct.pack(">bqqqi", flags, lsn1, lsn2, datetime_to_pg_ts(ts), tx_xid)
+        + gid.encode()
+        + b"\x00"
+    )
+
+
+def encode_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts: datetime, tx_xid: int, gid: str
+) -> bytes:
+    return _enc_prepare_like(b"P", prepare_lsn, end_lsn, prepare_ts, tx_xid, gid)
+
+
+def encode_commit_prepared(
+    commit_lsn: int, end_lsn: int, commit_ts: datetime, tx_xid: int, gid: str
+) -> bytes:
+    return _enc_prepare_like(b"K", commit_lsn, end_lsn, commit_ts, tx_xid, gid)
+
+
+def encode_rollback_prepared(
+    prepare_end_lsn: int,
+    rollback_end_lsn: int,
+    prepare_ts: datetime,
+    rollback_ts: datetime,
+    tx_xid: int,
+    gid: str,
+) -> bytes:
+    return (
+        b"r"
+        + struct.pack(
+            ">bqqqqi",
+            0,
+            prepare_end_lsn,
+            rollback_end_lsn,
+            datetime_to_pg_ts(prepare_ts),
+            datetime_to_pg_ts(rollback_ts),
+            tx_xid,
+        )
+        + gid.encode()
+        + b"\x00"
+    )
+
+
+def encode_stream_prepare(
+    prepare_lsn: int, end_lsn: int, prepare_ts: datetime, tx_xid: int, gid: str
+) -> bytes:
+    return _enc_prepare_like(b"p", prepare_lsn, end_lsn, prepare_ts, tx_xid, gid)
 
 
 def encode_stream_abort(

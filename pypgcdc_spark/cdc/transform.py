@@ -26,11 +26,20 @@ Schema lookups during the deferred drain go through
 re-send) resolves each buffered tuple against the schema version in force
 at its own LSN, not latest-wins (reference defect Q4 stayed fixed).
 
+**Two-phase transactions** (``two_phase`` option, PG15+) ride the same
+buffers: a BeginPrepare..Prepare span ('b'..'P', plain layout) — or a
+streamed span closed by Stream Prepare ('p') — buffers under its xid and
+stays PENDING until Commit Prepared ('K') drains it under the commit's
+context or Rollback Prepared ('r') discards it, with arbitrary other
+transactions resolving in between.
+
 Memory note (100 TB scale): the per-xid buffer holds exactly what the
 walsender spilled for one in-progress transaction segment span — bounded
 by ``logical_decoding_work_mem`` ratios upstream, and partition-local here
 (the source cuts partitions only where no stream is open, so one reader
-sees a whole streamed span).
+sees a whole streamed span).  A prepared transaction's buffer lives until
+its 'K'/'r' — the same unbounded-wait hazard every two-phase consumer
+has; the boundary scanner keeps the whole pending window in one unit.
 """
 
 from __future__ import annotations
@@ -75,6 +84,9 @@ class TransformStats:
     streamed_txs: int = 0  # stream spans committed ('c')
     aborted_streams: int = 0  # whole-stream aborts ('A' top-level)
     aborted_subtxs: int = 0  # subtransaction aborts ('A' subxid)
+    prepared_txs: int = 0  # 'P' / 'p' (two-phase prepares)
+    committed_prepared: int = 0  # 'K'
+    rolled_back_prepared: int = 0  # 'r'
 
 
 @dataclass
@@ -85,7 +97,11 @@ class MessageTransformer:
     # v2 stream reassembly state: the currently open segment's top-level
     # xid (None outside S..E), per-xid buffered changes, and the first
     # segment's Start-frame LSN (the streamed twin of begin_lsn).
+    # Two-phase transactions share the same buffers: a BeginPrepare..
+    # Prepare span buffers under its xid and stays PENDING until Commit
+    # Prepared drains it (or Rollback Prepared discards it).
     _segment_xid: Optional[int] = None
+    _prepared_xid: Optional[int] = None  # inside a 'b'..'P' span
     _stream_bufs: Dict[int, List[Tuple[int, int, object]]] = field(default_factory=dict)
     _stream_begin_lsn: Dict[int, int] = field(default_factory=dict)
 
@@ -107,7 +123,31 @@ class MessageTransformer:
             self._segment_xid = None
             return
         if isinstance(msg, pg.StreamCommit):
-            yield from self._drain_stream(msg)
+            yield from self._drain_pending(msg.tx_xid, msg.commit_lsn, msg.commit_ts)
+            self.stats.streamed_txs += 1
+            return
+        if isinstance(msg, pg.BeginPrepare):
+            if in_segment or self._prepared_xid is not None:
+                raise ValueError("BeginPrepare inside an open span")
+            self._prepared_xid = msg.tx_xid
+            if msg.tx_xid not in self._stream_bufs:
+                self._stream_bufs[msg.tx_xid] = []
+                self._stream_begin_lsn[msg.tx_xid] = lsn
+            return
+        if isinstance(msg, (pg.Prepare, pg.StreamPrepare)):
+            # The span is closed (contiguous 'b'..'P', or all v2 segments
+            # for a StreamPrepare); the buffer stays pending until K / r.
+            self._prepared_xid = None
+            self.stats.prepared_txs += 1
+            return
+        if isinstance(msg, pg.CommitPrepared):
+            yield from self._drain_pending(msg.tx_xid, msg.commit_lsn, msg.commit_ts)
+            self.stats.committed_prepared += 1
+            return
+        if isinstance(msg, pg.RollbackPrepared):
+            self._stream_bufs.pop(msg.tx_xid, None)
+            self._stream_begin_lsn.pop(msg.tx_xid, None)
+            self.stats.rolled_back_prepared += 1
             return
         if isinstance(msg, pg.StreamAbort):
             buf = self._stream_bufs.get(msg.tx_xid)
@@ -156,26 +196,33 @@ class MessageTransformer:
                 (lsn, msg.xid if msg.xid is not None else self._segment_xid, msg)
             )
             return
+        if self._prepared_xid is not None:
+            # Inside a 'b'..'P' span: plain layout, buffered until K / r.
+            self._stream_bufs[self._prepared_xid].append(
+                (lsn, self._prepared_xid, msg)
+            )
+            return
         yield from self._dml(msg, lsn)
 
-    def _drain_stream(self, commit: pg.StreamCommit) -> Iterator[ChangeEvent]:
-        """Emit a streamed transaction's buffered changes in change order
-        under the Stream Commit's tx context (interleaved reassembly)."""
-        buf = self._stream_bufs.pop(commit.tx_xid, [])
-        begin_lsn = self._stream_begin_lsn.pop(commit.tx_xid, None)
+    def _drain_pending(
+        self, tx_xid: int, commit_lsn: int, commit_ts
+    ) -> Iterator[ChangeEvent]:
+        """Emit a pending (streamed or prepared) transaction's buffered
+        changes in change order under the resolving commit's tx context."""
+        buf = self._stream_bufs.pop(tx_xid, [])
+        begin_lsn = self._stream_begin_lsn.pop(tx_xid, None)
         saved = self._tx
         self._tx = _TxContext(
-            commit.tx_xid,
-            begin_lsn if begin_lsn is not None else commit.commit_lsn,
-            commit.commit_lsn,
-            commit.commit_ts,
+            tx_xid,
+            begin_lsn if begin_lsn is not None else commit_lsn,
+            commit_lsn,
+            commit_ts,
         )
         try:
             for msg_lsn, _msg_xid, msg in buf:
                 yield from self._dml(msg, msg_lsn)
         finally:
             self._tx = saved
-        self.stats.streamed_txs += 1
 
     def _dml(self, msg, lsn: int) -> Iterator[ChangeEvent]:
         """I/U/D/T message -> envelope rows, under the current tx context.

@@ -710,3 +710,103 @@ def cdc_schema_evolution_typed(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "cdc_two_phase_replay",
+    oracle="""
+    -- Two-phase commit parity (pgoutput 'two_phase', PG15+): the change
+    -- log rendered as prepared transactions — BeginPrepare..Prepare
+    -- spans and Stream Prepare streamed spans, Commit Prepared deferred
+    -- and resolved out of prepare order, plus a poison prepared tx
+    -- resolved by Rollback Prepared at the highest LSNs — must
+    -- materialize the SAME keyed state as the plain v1 rendering, which
+    -- equals this direct last-writer-wins recompute.  A leak of the
+    -- rolled-back tx or a dropped pending buffer flips the hash.
+    WITH prefix AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id LIMIT 500
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_cents,
+           TRUE AS two_phase_agrees
+    FROM (
+      SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM prefix
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_two_phase_replay(spark, sf_dir):
+    """pgoutput ``two_phase`` end-to-end: the first 500 events render
+    into a plain v1 log and a two-phase log (prepared spans with
+    deferred, out-of-order Commit Prepared resolutions; a streamed span
+    closed by Stream Prepare; a poison prepared tx rolled back at the
+    top LSNs), both read through the ``pgcdc`` DataSource and reduced to
+    keyed last-writer-wins state.  The reference speaks neither
+    (proto_version '1', reader.py:136-141).
+
+    Scale note: a prepared transaction's buffer is pending until its
+    'K'/'r' — the boundary scanner keeps the whole pending window in one
+    partition unit, the same wholeness guarantee (and the same trade)
+    as v2 stream spans."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.testing import write_two_phase_cdc_pair
+
+    (events,) = load(spark, sf_dir, "events")
+    prefix = (
+        events.orderBy("event_id")
+        .limit(500)
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    rows = [(r.user_id, r.event_type, r.value) for r in prefix]
+    work = tempfile.mkdtemp(prefix="pg2pc_")
+    plain, twophase = f"{work}/plain.log", f"{work}/twophase.log"
+    try:
+        write_two_phase_cdc_pair(plain, twophase, rows, chunk=50)
+        spark.dataSource.register(PgCdcDataSource)
+
+        def state(path):
+            df = spark.read.format("pgcdc").option("path", path).load()
+            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(F.col("lsn").desc())
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+                .select(
+                    F.col("key")["user_id"].cast("bigint").alias("user_id"),
+                    F.col("after")["last_event"].alias("last_event"),
+                    F.round(F.col("after")["value"].cast("double") * 100)
+                    .cast("bigint")
+                    .alias("last_cents"),
+                )
+            )
+
+        s = state(twophase)
+        p = state(plain).select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("last_event").alias("p_last_event"),
+            F.col("last_cents").alias("p_last_cents"),
+        )
+        out = s.join(p, s.user_id == p.p_user_id, "full_outer").select(
+            "user_id",
+            "last_event",
+            "last_cents",
+            (
+                F.col("p_user_id").isNotNull()
+                & F.col("user_id").isNotNull()
+                & (F.col("p_last_event") == F.col("last_event"))
+                & (F.col("p_last_cents") == F.col("last_cents"))
+            ).alias("two_phase_agrees"),
+        )
+        rows_out = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows_out,
+            "user_id BIGINT, last_event STRING, last_cents BIGINT, two_phase_agrees BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

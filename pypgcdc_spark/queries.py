@@ -55,9 +55,11 @@ EXTENDED = frozenset(
         "cdc_oplog_stats",
         "cdc_before_after_diff",
         "cdc_tx_grouping",
-        # Protocol v2 streamed-tx replay + LSN-span typed views (round 5):
-        # source-path variants of the already-primary apply family.
+        # Protocol v2 streamed-tx replay, two-phase replay + LSN-span typed
+        # views (round 5): source-path variants of the already-primary
+        # apply family.
         "cdc_streamed_tx_replay",
+        "cdc_two_phase_replay",
         "cdc_schema_evolution_typed",
         # SCD2 history is the lead/row_number consumption pattern over the
         # same log; apply_current_state + incremental_view keep the driver

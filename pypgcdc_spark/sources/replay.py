@@ -96,7 +96,12 @@ class TxBoundaryScanner:
       other transactions, so the whole interleaved span collapses into one
       unit (the partition reader's buffer-per-xid reassembly needs to see
       every segment of a span; walsender serializes segments, it never
-      nests them).
+      nests them);
+    * two-phase ('two_phase' option): a prepared transaction opens at
+      Begin Prepare ('b') — or stays open past Stream Prepare ('p') for
+      the streamed flavor — and closes only at Commit Prepared ('K') or
+      Rollback Prepared ('r'): the pending buffer and its resolution must
+      land in one partition.
 
     Also tracks whether the *next* transactional frame uses the in-segment
     wire layout (leading xid) via :attr:`in_segment` — callers decoding
@@ -135,6 +140,23 @@ class TxBoundaryScanner:
                 self.open_streams.discard(xid)
                 return self._maybe_close(fr)
             return None
+        if kind == b"b":
+            # BeginPrepare: int64 prepare_lsn | int64 end_lsn | int64 ts |
+            # int32 xid — the prepared tx stays open until 'K'/'r'.
+            xid = struct.unpack_from(">i", fr.payload, 25)[0]
+            self.open_streams.add(xid)
+            return None
+        if kind == b"K":
+            # CommitPrepared: int8 flags | 3×int64 | int32 xid.
+            xid = struct.unpack_from(">i", fr.payload, 26)[0]
+            self.open_streams.discard(xid)
+            return self._maybe_close(fr)
+        if kind == b"r":
+            # RollbackPrepared: int8 flags | 4×int64 | int32 xid.
+            xid = struct.unpack_from(">i", fr.payload, 34)[0]
+            self.open_streams.discard(xid)
+            return self._maybe_close(fr)
+        # 'P' (Prepare) and 'p' (StreamPrepare) leave the tx open.
         if kind == b"C" and not self.in_segment:
             # A plain commit closes the unit only when no streamed tx is
             # still open (its remaining segments are yet to come).

@@ -255,3 +255,95 @@ def write_streamed_cdc_pair(
     tail = lsn_of(n + 44)
     w.append(tail, pg.encode_stream_commit(901, tail, tail, _T0 + timedelta(seconds=901)))
     w.close()
+
+
+def write_two_phase_cdc_pair(
+    plain_path: str,
+    twophase_path: str,
+    rows: Sequence[Tuple[int, str, float]],
+    chunk: int = 50,
+) -> None:
+    """Render one change workload twice: plain v1 Begin..Commit
+    transactions vs the ``two_phase`` protocol flavor.  Same
+    ``(user_id, event_type, value)`` change semantics and identical
+    per-change LSNs as :func:`write_streamed_cdc_pair`; the two-phase
+    rendering:
+
+    * every chunk becomes a prepared transaction ('b'..DML..'P') whose
+      Commit Prepared ('K') is DEFERRED — resolutions land after later
+      chunks have prepared (and one pair resolves out of prepare order),
+    * every third chunk is a v2 streamed tx closed by Stream Prepare
+      ('p') instead of Stream Commit,
+    * a poison prepared transaction (xid 940, highest LSNs, overwriting
+      every key) is resolved by Rollback Prepared ('r') — a leak flips
+      last-writer-wins state.
+    """
+
+    def enc(row, xid=None):
+        uid, etype, val = row
+        if etype == "error":
+            return pg.encode_delete(STREAMED_RELID, [str(uid), None, None], xid=xid)
+        return pg.encode_update(STREAMED_RELID, [str(uid), etype, repr(float(val))], xid=xid)
+
+    def lsn_of(i: int) -> int:
+        return 10_000 + 10 * i
+
+    chunks = [list(enumerate(rows))[i : i + chunk] for i in range(0, len(rows), chunk)]
+    poison_keys = sorted({r[0] for r in rows})[:10]
+    n = len(rows)
+
+    # -- plain v1 rendering -------------------------------------------------
+    w = ReplayLogWriter(plain_path)
+    w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
+    for ci, ch in enumerate(chunks):
+        first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
+        ts = _T0 + timedelta(seconds=ci)
+        w.append(first - 5, pg.encode_begin(last + 5, ts, 700 + ci))
+        for gi, row in ch:
+            w.append(lsn_of(gi), enc(row))
+        w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+    w.close()
+
+    # -- two-phase rendering ------------------------------------------------
+    w = ReplayLogWriter(twophase_path)
+    w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
+    pending = []  # xids prepared but not yet resolved
+    for ci, ch in enumerate(chunks):
+        first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
+        ts = _T0 + timedelta(seconds=ci)
+        xid = 700 + ci
+        gid = f"gid-{xid}"
+        if ci % 3 == 1:
+            # Streamed flavor closed by Stream Prepare.
+            w.append(first - 4, pg.encode_stream_start(xid, True))
+            for gi, row in ch:
+                w.append(lsn_of(gi), enc(row, xid=xid))
+            w.append(last + 2, pg.encode_stream_stop())
+            w.append(last + 3, pg.encode_stream_prepare(first - 4, last + 3, ts, xid, gid))
+        else:
+            w.append(first - 5, pg.encode_begin_prepare(first - 5, last + 4, ts, xid, gid))
+            for gi, row in ch:
+                w.append(lsn_of(gi), enc(row))
+            w.append(last + 4, pg.encode_prepare(first - 5, last + 4, ts, xid, gid))
+        pending.append((xid, gid, ts))
+        if len(pending) >= 2:
+            # Resolve the two oldest OUT of prepare order: K(newer) first.
+            for k, (pxid, pgid, pts) in enumerate(reversed(pending[:2])):
+                res = lsn_of(ch[-1][0]) + 6 + k
+                w.append(res, pg.encode_commit_prepared(res, res, pts, pxid, pgid))
+            pending = pending[2:]
+    for k, (pxid, pgid, pts) in enumerate(pending):
+        res = lsn_of(n) + 2 + k
+        w.append(res, pg.encode_commit_prepared(res, res, pts, pxid, pgid))
+    # Poison prepared tx at the highest LSNs, rolled back.
+    ts = _T0 + timedelta(seconds=940)
+    first = lsn_of(n + 20)
+    w.append(first - 5, pg.encode_begin_prepare(first - 5, first + 200, ts, 940, "gid-poison"))
+    for j, uid in enumerate(poison_keys):
+        w.append(lsn_of(n + 20 + j), enc((uid, "poison_2pc", 7.77e6)))
+    w.append(lsn_of(n + 31), pg.encode_prepare(first - 5, lsn_of(n + 31), ts, 940, "gid-poison"))
+    w.append(
+        lsn_of(n + 32),
+        pg.encode_rollback_prepared(lsn_of(n + 31), lsn_of(n + 32), ts, ts, 940, "gid-poison"),
+    )
+    w.close()

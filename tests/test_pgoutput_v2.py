@@ -353,3 +353,135 @@ def test_stream_abort_v4_layout_roundtrip():
     list(x.feed(12, pg.encode_stream_stop()))
     list(x.feed(20, pg.encode_stream_abort(5, 5, abort_lsn=20, abort_ts=TS)))
     assert x.stats.aborted_streams == 1
+
+
+# ---------------------------------------------------------------------------
+# Two-phase commit ('two_phase' option, PG15+)
+# ---------------------------------------------------------------------------
+
+
+def test_two_phase_codec_roundtrip():
+    assert pg.decode_message(pg.encode_begin_prepare(10, 20, TS, 77, "g")) == pg.BeginPrepare(
+        10, 20, TS, 77, "g"
+    )
+    assert pg.decode_message(pg.encode_prepare(10, 20, TS, 77, "g")) == pg.Prepare(
+        0, 10, 20, TS, 77, "g"
+    )
+    assert pg.decode_message(pg.encode_commit_prepared(30, 40, TS, 77, "g")) == pg.CommitPrepared(
+        0, 30, 40, TS, 77, "g"
+    )
+    assert pg.decode_message(
+        pg.encode_rollback_prepared(10, 50, TS, TS, 77, "g")
+    ) == pg.RollbackPrepared(0, 10, 50, TS, TS, 77, "g")
+    assert pg.decode_message(pg.encode_stream_prepare(10, 20, TS, 77, "g")) == pg.StreamPrepare(
+        0, 10, 20, TS, 77, "g"
+    )
+    # Golden layout pin: 'b' has NO flags byte; the others do.
+    assert pg.encode_begin_prepare(1, 2, TS, 3, "g")[1:9] == b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    assert pg.encode_prepare(1, 2, TS, 3, "g")[1:2] == b"\x00"
+
+
+def test_prepared_tx_buffers_until_commit_prepared():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_begin_prepare(10, 14, TS, 77, "g1")),
+            (11, pg.encode_insert(RELID, ["1", "a"])),
+            (14, pg.encode_prepare(10, 14, TS, 77, "g1")),
+            # another tx commits while g1 is pending
+            (20, pg.encode_begin(23, TS, 55)),
+            (21, pg.encode_insert(RELID, ["2", "b"])),
+            (23, pg.encode_commit(23, 23, TS)),
+            (30, pg.encode_commit_prepared(30, 31, TS, 77, "g1")),
+        ],
+    )
+    assert [(e.op, e.lsn, e.tx_id) for e in evs] == [("I", 21, 55), ("I", 11, 77)]
+    assert evs[1].begin_lsn == 10 and evs[1].commit_lsn == 30
+    assert x.stats.prepared_txs == 1 and x.stats.committed_prepared == 1
+
+
+def test_rollback_prepared_discards():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_begin_prepare(10, 14, TS, 78, "g2")),
+            (11, pg.encode_insert(RELID, ["9", "poison"])),
+            (14, pg.encode_prepare(10, 14, TS, 78, "g2")),
+            (20, pg.encode_rollback_prepared(14, 20, TS, TS, 78, "g2")),
+        ],
+    )
+    assert evs == [] and x.stats.rolled_back_prepared == 1
+
+
+def test_stream_prepare_then_commit_prepared():
+    x = MessageTransformer()
+    evs = _feed_all(
+        x,
+        [
+            (1, R_MSG),
+            (10, pg.encode_stream_start(79, True)),
+            (11, pg.encode_insert(RELID, ["3", "c"], xid=79)),
+            (12, pg.encode_stream_stop()),
+            (13, pg.encode_stream_prepare(10, 13, TS, 79, "g3")),
+            (20, pg.encode_commit_prepared(20, 21, TS, 79, "g3")),
+        ],
+    )
+    assert len(evs) == 1 and evs[0].after["id"] == "3"
+    assert evs[0].begin_lsn == 10 and evs[0].commit_lsn == 20
+
+
+def test_boundaries_prepared_tx_holds_unit_open(tmp_path):
+    p = str(tmp_path / "2pc.log")
+    _write_frames(
+        p,
+        [
+            (1, R_MSG),
+            (10, pg.encode_begin_prepare(10, 14, TS, 77, "g1")),
+            (11, pg.encode_insert(RELID, ["1", "a"])),
+            (14, pg.encode_prepare(10, 14, TS, 77, "g1")),
+            # plain tx while g1 pending: may NOT close a unit
+            (20, pg.encode_begin(23, TS, 55)),
+            (21, pg.encode_insert(RELID, ["2", "b"])),
+            (23, pg.encode_commit(23, 23, TS)),
+            (30, pg.encode_commit_prepared(30, 31, TS, 77, "g1")),
+            # after resolution, plain txs close their own units again
+            (40, pg.encode_begin(43, TS, 56)),
+            (41, pg.encode_insert(RELID, ["4", "d"])),
+            (43, pg.encode_commit(43, 43, TS)),
+        ],
+    )
+    ranges = replay.tx_boundaries(p)
+    assert len(ranges) == 2
+    # rollback also closes
+    p2 = str(tmp_path / "2pc_rb.log")
+    _write_frames(
+        p2,
+        [
+            (10, pg.encode_begin_prepare(10, 14, TS, 78, "g2")),
+            (11, pg.encode_insert(RELID, ["9", "x"])),
+            (14, pg.encode_prepare(10, 14, TS, 78, "g2")),
+            (20, pg.encode_rollback_prepared(14, 20, TS, TS, 78, "g2")),
+        ],
+    )
+    assert len(replay.tx_boundaries(p2)) == 1
+
+
+def test_two_phase_pair_states_match(tmp_path):
+    from pypgcdc_spark.testing import write_two_phase_cdc_pair
+
+    rows = []
+    for i in range(300):
+        uid = (i * 7) % 37
+        et = "error" if i % 11 == 3 else f"ev{i % 5}"
+        rows.append((uid, et, float(i) * 1.25))
+    plain, twophase = str(tmp_path / "p.log"), str(tmp_path / "t.log")
+    write_two_phase_cdc_pair(plain, twophase, rows, chunk=40)
+    sp, _ = _final_state(plain)
+    st, stats = _final_state(twophase)
+    assert sp == st and len(sp) > 0
+    assert stats.rolled_back_prepared == 1 and stats.committed_prepared >= 2
+    assert all("poison" not in v[0] for v in st.values())
