@@ -345,13 +345,30 @@ class ReplicationClient:
     # -- replication stream ------------------------------------------------
 
     def start_replication(
-        self, slot: str, publication: str, start_lsn: int = 0, proto_version: int = 1
+        self,
+        slot: str,
+        publication: str,
+        start_lsn: int = 0,
+        proto_version: int = 1,
+        streaming: bool = False,
+        two_phase: bool = False,
     ) -> None:
+        """``streaming=True`` requests v2 in-progress transaction streams
+        (requires proto_version ≥ 2; PG14+); ``two_phase=True`` requests
+        prepared-transaction decoding (proto_version ≥ 3; PG15+).  The
+        codec and transformer handle both (cdc/pgoutput.py,
+        cdc/transform.py) — the reference pins proto_version '1' and can
+        request neither (reader.py:136-141)."""
         lsn = f"{start_lsn >> 32:X}/{start_lsn & 0xFFFFFFFF:X}"
-        sql = (
-            f"START_REPLICATION SLOT {slot} LOGICAL {lsn} "
-            f"(proto_version '{proto_version}', publication_names '{publication}')"
-        )
+        opts = [
+            f"proto_version '{proto_version}'",
+            f"publication_names '{publication}'",
+        ]
+        if streaming:
+            opts.append("streaming 'on'")
+        if two_phase:
+            opts.append("two_phase 'on'")
+        sql = f"START_REPLICATION SLOT {slot} LOGICAL {lsn} ({', '.join(opts)})"
         write_message(self.sock, b"Q", sql.encode() + b"\x00")
         t, b = read_message(self.sock)
         if t == b"E":
@@ -472,6 +489,9 @@ class WireReplicationTailer:
         log_path: str,
         password: str = "",
         start_lsn: int = 0,
+        proto_version: int = 1,
+        streaming: bool = False,
+        two_phase: bool = False,
     ):
         self._conn_args = (host, port, user, database, password)
         self.client = ReplicationClient(*self._conn_args)
@@ -479,14 +499,24 @@ class WireReplicationTailer:
         self.slot_name = slot_name
         self.log_path = log_path
         self.start_lsn = start_lsn
+        self.proto_version = proto_version
+        self.streaming = streaming
+        self.two_phase = two_phase
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
 
     def start(self, start_lsn: Optional[int] = None) -> None:
         lsn = self.start_lsn if start_lsn is None else start_lsn
         self.client.connect()
+        kw = dict(
+            proto_version=self.proto_version,
+            streaming=self.streaming,
+            two_phase=self.two_phase,
+        )
         try:
-            self.client.start_replication(self.slot_name, self.publication_name, lsn)
+            self.client.start_replication(
+                self.slot_name, self.publication_name, lsn, **kw
+            )
         except ProtocolError as e:
             if e.sqlstate != SQLSTATE_UNDEFINED_OBJECT:
                 raise  # permission/publication/... — not fixable by a slot
@@ -494,7 +524,9 @@ class WireReplicationTailer:
             # initial-sync point, reference S2/S3) and retry.
             info = self.client.create_replication_slot(self.slot_name)
             self.snapshot_name = info["snapshot_name"]
-            self.client.start_replication(self.slot_name, self.publication_name, lsn)
+            self.client.start_replication(
+                self.slot_name, self.publication_name, lsn, **kw
+            )
 
     def run(
         self,

@@ -328,8 +328,10 @@ def write_two_phase_cdc_pair(
         pending.append((xid, gid, ts))
         if len(pending) >= 2:
             # Resolve the two oldest OUT of prepare order: K(newer) first.
+            # +7/+8: the next chunk's StreamStart sits at its first-4 ==
+            # this last+6; frame LSNs must stay globally unique.
             for k, (pxid, pgid, pts) in enumerate(reversed(pending[:2])):
-                res = lsn_of(ch[-1][0]) + 6 + k
+                res = lsn_of(ch[-1][0]) + 7 + k
                 w.append(res, pg.encode_commit_prepared(res, res, pts, pxid, pgid))
             pending = pending[2:]
     for k, (pxid, pgid, pts) in enumerate(pending):

@@ -93,6 +93,7 @@ class FakeWalsender(threading.Thread):
         self.keepalive_timeout_kills = 0
         self.created_slots = []
         self.start_requests = []  # LSNs clients asked to stream from
+        self.start_options = []  # option lists from START_REPLICATION
         self.connections = 0
         self._dropped = False
         self.feedback = []  # flushed LSNs from Standby Status Updates
@@ -288,6 +289,7 @@ class FakeWalsender(threading.Thread):
                 hi, lo = sql.split()[4].split("/")
                 start_lsn = (int(hi, 16) << 32) | int(lo, 16)
                 self.start_requests.append(start_lsn)
+                self.start_options.append(sql[sql.index("(") :] if "(" in sql else "")
                 write_message(conn, b"W", struct.pack(">bh", 0, 0))
                 return self._stream(conn, start_lsn)
             else:
@@ -728,6 +730,82 @@ def test_streamed_v2_frames_over_the_wire(tmp_path):
     srv.start()
     log = str(tmp_path / "wire_v2.log")
     tailer = WireReplicationTailer("127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log)
+    tailer.start()
+    n = tailer.run()
+    tailer.stop()
+    srv.join(10)
+    assert srv.error is None and n == len(frames)
+    assert [(fr.lsn, fr.payload) for fr in scan_frames(log)] == frames
+
+    def state(path):
+        x = MessageTransformer(registry=SchemaRegistry())
+        evs = []
+        for fr in scan_frames(path):
+            evs.extend(x.feed(fr.lsn, fr.payload))
+        evs.sort(key=lambda e: e.lsn)
+        st = {}
+        for ev in evs:
+            k = ev.key["user_id"]
+            if ev.op == "D":
+                st.pop(k, None)
+            else:
+                st[k] = (ev.after["last_event"], ev.after["value"])
+        return st
+
+    assert state(log) == state(src_plain) and len(state(log)) > 0
+
+
+def test_start_replication_negotiates_v2_and_two_phase(tmp_path):
+    """The tailer can REQUEST what the codec can decode: proto_version 2+
+    with streaming/two_phase options in START_REPLICATION (the reference
+    pins proto_version '1' and can request neither)."""
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv.start()
+    tailer = WireReplicationTailer(
+        "127.0.0.1",
+        srv.port,
+        USER,
+        DB,
+        "pub1",
+        "slot1",
+        str(tmp_path / "neg.log"),
+        proto_version=3,
+        streaming=True,
+        two_phase=True,
+    )
+    tailer.start()
+    n = tailer.run()
+    tailer.stop()
+    srv.join(10)
+    assert srv.error is None and n == len(frames)
+    opts = srv.start_options[0]
+    assert "proto_version '3'" in opts
+    assert "streaming 'on'" in opts and "two_phase 'on'" in opts
+
+
+def test_two_phase_frames_over_the_wire(tmp_path):
+    """Two-phase log over the socket: prepared spans with deferred
+    out-of-order resolutions and a rolled-back poison tx ship through
+    the tailer (unit-tracked dedup holds units open to 'K'/'r') and
+    reassemble to the plain rendering's state."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+    from pypgcdc_spark.testing import write_two_phase_cdc_pair
+
+    src_plain = str(tmp_path / "plain.log")
+    src_2pc = str(tmp_path / "twophase.log")
+    rows = [((i * 5) % 13, "error" if i % 7 == 3 else f"ev{i % 3}", i * 1.5) for i in range(120)]
+    write_two_phase_cdc_pair(src_plain, src_2pc, rows, chunk=20)
+    frames = [(fr.lsn, fr.payload) for fr in scan_frames(src_2pc)]
+
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv.start()
+    log = str(tmp_path / "wire_2pc.log")
+    tailer = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log,
+        proto_version=3, streaming=True, two_phase=True,
+    )
     tailer.start()
     n = tailer.run()
     tailer.stop()
