@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pypgcdc_spark.operators.relational import dec, money
-from pypgcdc_spark.queries import event_ts_expr, load, query
+from pypgcdc_spark.queries import event_ts_expr, load, query, state_partitions
 
 
 @query(
@@ -229,14 +229,15 @@ def stream_dedup_watermark(spark, sf_dir):
         ["event_id"]
     )
     name = "sd_" + uuid.uuid4().hex[:12]
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     sink = spark.table(name)
     return sink.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -278,15 +279,19 @@ def stream_stateful_running_stats(spark, sf_dir):
         .parquet(sf_dir)
     )
     name = "ss_" + uuid.uuid4().hex[:12]
-    q = (
-        running_value_stats(stream.select("user_id", "value"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
+    # workers per partition — dropping to 8 starves them (measured
+    # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
+    with state_partitions(spark, 16):
+        q = (
+            running_value_stats(stream.select("user_id", "value"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     sink = spark.table(name)
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -397,14 +402,15 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts")),
     )
     name = "ssj_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -463,14 +469,15 @@ def stream_simhash_dedup(spark, sf_dir):
         ["simhash"]
     )
     name = "ssd_" + uuid.uuid4().hex[:12]
-    q = (
-        survivors.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            survivors.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select("simhash").distinct()
 
 
@@ -521,17 +528,21 @@ def stream_pattern_detect(spark, sf_dir):
         .parquet(log_dir)
     )
     name = "cep_" + uuid.uuid4().hex[:12]
-    q = (
-        pattern_matcher(
-            stream.select("user_id", "event_id", "event_type", "value")
+    # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
+    # workers per partition — dropping to 8 starves them (measured
+    # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
+    with state_partitions(spark, 16):
+        q = (
+            pattern_matcher(
+                stream.select("user_id", "event_id", "event_type", "value")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
     sink = spark.table(name)
     # n_matches is monotone per user; the final state is the max row.
     # Users whose final state has zero matches are absent from the oracle.
@@ -597,15 +608,19 @@ def stream_heavy_hitters(spark, sf_dir):
         .parquet(log_dir)
     )
     name = "hh_" + uuid.uuid4().hex[:12]
-    q = (
-        running_value_stats(stream.select("user_id", "value"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
+    # workers per partition — dropping to 8 starves them (measured
+    # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
+    with state_partitions(spark, 16):
+        q = (
+            running_value_stats(stream.select("user_id", "value"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     sink = spark.table(name)
     # n_events is monotone per user; the final state is the max row.
     final = sink.groupBy("user_id").agg(
@@ -705,14 +720,15 @@ def stream_static_enrich(spark, sf_dir):
         F.sum("cents").alias("total_cents"),
     )
     name = "sse_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     sink = spark.table(name)
     # Running totals are monotone per brand: final = max-n_lines row.
     return sink.groupBy("p_brand").agg(

@@ -298,6 +298,28 @@ EXTENDED = frozenset(
 )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def state_partitions(spark: SparkSession, n: int = 8):
+    """Size stateful-streaming parallelism to state volume, not CPU count.
+
+    A stateful operator's partition count = spark.sql.shuffle.partitions
+    at FIRST query start (baked into the checkpoint), and each partition
+    pays per-batch state-store bookkeeping (stream-stream joins run 4
+    RocksDB stores per partition).  At the gate/bench input rates, 32
+    partitions spend more time on store upkeep than on rows — measured
+    2.3× on the interval join (SCALE.md round-5).  Streaming queries wrap
+    their start/drain in this context; batch plans are untouched."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def query(name: str, oracle: Optional[str] = None, doc: str = ""):
     """Register an operator's query callable (and its oracle)."""
 
