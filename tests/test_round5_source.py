@@ -59,8 +59,10 @@ def test_batch_read_streamed_equals_plain(spark, pair):
 
 
 def test_stream_read_streamed_log_incremental(spark, pair, tmp_path):
-    """availableNow streaming over the v2 log: offsets land only on closed
-    tx units, so the interleaved span arrives atomically in one batch."""
+    """Micro-batched streaming over the v2 log (processAllAvailable — the
+    Python DataSource path does not drain multi-batch under
+    Trigger.AvailableNow): offsets land only on closed tx units, so the
+    interleaved span arrives atomically in one batch."""
     plain, streamed = pair
     spark.dataSource.register(PgCdcDataSource)
     out_dir = str(tmp_path / "out")
@@ -73,10 +75,10 @@ def test_stream_read_streamed_log_incremental(spark, pair, tmp_path):
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()
+    q.stop()
     got = spark.read.parquet(out_dir)
     want = spark.read.format("pgcdc").option("path", plain).load()
     ss = {tuple(r) for r in _state(got).collect()}
@@ -84,3 +86,37 @@ def test_stream_read_streamed_log_incremental(spark, pair, tmp_path):
     assert ss == sp
     # every emitted row belongs to a committed tx (tx context always set)
     assert got.filter(F.col("tx_id").isNull()).count() == 0
+
+
+def test_stream_read_two_phase_log_incremental(spark, tmp_path):
+    """Micro-batched streaming over a two-phase log (maxTxPerBatch=2, so
+    the five pending-window units genuinely span multiple micro-batches):
+    offsets only land where no prepared transaction is pending, so each
+    pending window arrives atomically and the final state equals the
+    plain rendering's."""
+    from pypgcdc_spark.testing import write_two_phase_cdc_pair
+
+    plain, twophase = str(tmp_path / "p.log"), str(tmp_path / "t.log")
+    write_two_phase_cdc_pair(plain, twophase, _rows(), chunk=30)
+    spark.dataSource.register(PgCdcDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pgcdc")
+        .option("path", twophase)
+        .option("maxTxPerBatch", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    want = spark.read.format("pgcdc").option("path", plain).load()
+    assert {tuple(r) for r in _state(got).collect()} == {
+        tuple(r) for r in _state(want).collect()
+    }
+    assert got.filter(F.col("tx_id").isNull()).count() == 0
+    # nothing from the rolled-back poison tx surfaced
+    assert got.filter(F.col("after")["last_event"].startswith("poison")).count() == 0
