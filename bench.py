@@ -131,6 +131,7 @@ NEW_OPS_R5 = [
     "cdc_streamed_tx_replay",
     "cdc_two_phase_replay",
     "cdc_schema_evolution_typed",
+    "pipeline_cdc_corpus_refresh",
 ]
 
 

@@ -810,3 +810,137 @@ def cdc_two_phase_replay(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "pipeline_cdc_corpus_refresh",
+    oracle="""
+    -- The integration story end-to-end: a CDC feed (protocol v2
+    -- streamed revisions + deletions + an aborted poison stream) keeps
+    -- a training corpus fresh.  The engine materializes keyed LWW state
+    -- from the binary log and computes corpus statistics per source;
+    -- this oracle applies the same revision/deletion rules directly.
+    WITH prefix AS (
+      SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id LIMIT 400
+    ),
+    final AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3 THEN 'REV :: ' || text ELSE text END AS text
+      FROM prefix WHERE doc_id % 11 <> 5
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(array_length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN text LIKE 'REV :: %' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_revised,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM final GROUP BY source
+    """,
+)
+def pipeline_cdc_corpus_refresh(spark, sf_dir):
+    """CDC → corpus pipeline composition: the documents prefix becomes a
+    pgoutput **v2 streamed** change feed — initial inserts, a streamed
+    revision transaction (every 7th doc gets 'REV :: ' prepended), a
+    deletion transaction (every 11th doc), and a poison stream that
+    would blank every document, aborted — materialized through the
+    ``pgcdc`` source into current corpus state, then reduced to
+    per-source corpus statistics (docs, whitespace tokens, revised
+    count, chars).  This is the refresh loop a production training-data
+    pipeline runs continuously; every stage upstream of the stats is the
+    same engine code the dedicated CDC/dedup/text operators gate.
+
+    Driver work bounded: 400 collected docs synthesize the log; decode,
+    LWW and aggregation run through the source executor-side."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+
+    (docs,) = load(spark, sf_dir, "documents")
+    prefix = (
+        docs.orderBy("doc_id").limit(400).select("doc_id", "text", "lang", "source").collect()
+    )
+    relid = 19001
+    cols = [
+        (True, "doc_id", 20, -1),
+        (False, "text", 25, -1),
+        (False, "lang", 25, -1),
+        (False, "source", 25, -1),
+    ]
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    work = tempfile.mkdtemp(prefix="pgcorpus_")
+    log = f"{work}/corpus.log"
+    try:
+        w = ReplayLogWriter(log)
+        w.append(100, pg.encode_relation(relid, "public", "corpus_docs", cols))
+        # initial load: one plain transaction of inserts
+        first, last = 1000, 1000 + 10 * (len(prefix) - 1)
+        w.append(first - 5, pg.encode_begin(last + 5, ts, 81))
+        for i, r in enumerate(prefix):
+            w.append(
+                first + 10 * i,
+                pg.encode_insert(relid, [str(r.doc_id), r.text, r.lang, r.source]),
+            )
+        w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+        # streamed revision tx (v2): every 7th doc re-written
+        rev = [r for r in prefix if r.doc_id % 7 == 3]
+        w.append(19_995, pg.encode_stream_start(910, True))
+        for j, r in enumerate(rev):
+            w.append(
+                20_000 + 10 * j,
+                pg.encode_update(
+                    relid, [str(r.doc_id), "REV :: " + r.text, r.lang, r.source], xid=910
+                ),
+            )
+        w.append(20_000 + 10 * len(rev), pg.encode_stream_stop())
+        # plain deletion tx (while stream 910 is still open — interleaved)
+        dele = [r for r in prefix if r.doc_id % 11 == 5]
+        dfirst, dlast = 30_000, 30_000 + 10 * (len(dele) - 1)
+        w.append(dfirst - 5, pg.encode_begin(dlast + 5, ts, 82))
+        for k, r in enumerate(dele):
+            w.append(
+                dfirst + 10 * k,
+                pg.encode_delete(relid, [str(r.doc_id), None, None, None]),
+            )
+        w.append(dlast + 5, pg.encode_commit(dlast + 5, dlast + 5, ts))
+        # poison stream: would blank EVERY doc at top LSNs — aborted
+        w.append(39_995, pg.encode_stream_start(911, True))
+        for m, r in enumerate(prefix):
+            w.append(
+                40_000 + 10 * m,
+                pg.encode_update(relid, [str(r.doc_id), "POISON", r.lang, r.source], xid=911),
+            )
+        w.append(44_500, pg.encode_stream_stop())
+        w.append(44_510, pg.encode_stream_abort(911, 911))
+        w.append(44_520, pg.encode_stream_commit(910, 44_520, 44_520, ts))
+        w.close()
+
+        spark.dataSource.register(PgCdcDataSource)
+        env = spark.read.format("pgcdc").option("path", log).load()
+        wnd = Window.partitionBy(F.col("key")["doc_id"]).orderBy(F.col("lsn").desc())
+        state = (
+            env.withColumn("rn", F.row_number().over(wnd))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select(
+                F.col("after")["source"].alias("source"),
+                F.col("after")["text"].alias("text"),
+            )
+        )
+        out = state.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("text").startswith("REV :: "), 1).otherwise(0))
+            .cast("long")
+            .alias("n_revised"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        rows_out = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows_out,
+            "source STRING, n_docs LONG, total_tokens LONG, n_revised LONG, total_chars LONG",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

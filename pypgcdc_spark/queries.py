@@ -61,6 +61,7 @@ EXTENDED = frozenset(
         "cdc_streamed_tx_replay",
         "cdc_two_phase_replay",
         "cdc_schema_evolution_typed",
+        "pipeline_cdc_corpus_refresh",
         # SCD2 history is the lead/row_number consumption pattern over the
         # same log; apply_current_state + incremental_view keep the driver
         # slots so the 50-entry window stays comparable round-over-round.
