@@ -26,6 +26,11 @@ Offset model (reference K2/K3, ``reader.py:139,161-163``):
   analog of ``send_feedback(flush_lsn)``; a live backend forwards it to
   the walsender so Postgres can recycle WAL.
 
+Trigger caveat (Spark 4.1 Python DataSource): ``Trigger.AvailableNow``
+processes ONE ``latestOffset`` cut and stops, so combined with
+``maxTxPerBatch`` it under-drains; use ``processAllAvailable()`` (as
+``PgCdcEngine.materialize(..., drain=True)`` does) for full drains.
+
 Scale notes: the driver only scans frame *headers* to find boundaries;
 payload decode happens executor-side, parallel across transactions
 (``numPartitions`` splits each batch at tx boundaries — already more

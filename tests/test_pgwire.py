@@ -534,10 +534,10 @@ def test_midstream_relation_resend_versions_schema(tmp_path):
     # The registry holds both versions, LSN-addressable.
     chain = xform.registry._versions[(xform.registry.database, relid)]
     assert [v.version for v in chain] == [1, 2]
-    assert xform.registry.get_at_lsn(relid, chain[0].first_lsn).column_names() == [
-        "id",
-        "name",
-    ] if hasattr(chain[0].schema, "column_names") else True
+    v1 = xform.registry.get_at_lsn(relid, chain[0].first_lsn)
+    assert [c.name for c in v1.column_definitions] == ["id", "name"]
+    v2 = xform.registry.get_at_lsn(relid, chain[1].first_lsn)
+    assert [c.name for c in v2.column_definitions] == ["id", "name", "email"]
 
 
 def test_toast_unchanged_tuples_over_the_wire(tmp_path):
