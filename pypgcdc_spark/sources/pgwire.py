@@ -29,7 +29,7 @@ import os
 import socket
 import struct
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 # Postgres epoch (2000-01-01 UTC) in unix microseconds.
 PG_EPOCH_US = 946_684_800_000_000
@@ -320,6 +320,55 @@ class ReplicationClient:
             else:
                 raise ProtocolError(f"unexpected message {t!r} in simple query")
 
+    def copy_out(self, sql: str) -> List[Tuple[Optional[str], ...]]:
+        """``COPY ... TO STDOUT`` (text format): the consistent initial-
+        sync path — run under the exported snapshot of a freshly created
+        replication slot, it reads each published table exactly at the
+        slot's consistent point, so the subsequent stream applies cleanly
+        on top (reference S3; psycopg2 does this with copy_expert).
+
+        Returns decoded rows; ``\\N`` unescapes to None, and the COPY
+        text escapes (backslash, tab, newline) are reversed.
+        """
+        write_message(self.sock, b"Q", sql.encode() + b"\x00")
+        t, b = read_message(self.sock)
+        if t == b"E":
+            err = _err_fields(b)
+            while True:
+                t2, _ = read_message(self.sock)
+                if t2 == b"Z":
+                    break
+            raise ProtocolError(f"COPY failed: {err}", fields=err)
+        if t != b"H":  # CopyOutResponse
+            raise ProtocolError(f"expected CopyOutResponse, got {t!r}")
+        buf = bytearray()
+        while True:
+            t, b = read_message(self.sock)
+            if t == b"d":
+                buf.extend(b)
+            elif t == b"c":  # CopyDone
+                break
+            elif t == b"E":
+                err = _err_fields(b)
+                while True:
+                    t2, _ = read_message(self.sock)
+                    if t2 == b"Z":
+                        break
+                raise ProtocolError(f"COPY stream error: {err}", fields=err)
+            else:
+                raise ProtocolError(f"unexpected message {t!r} during COPY")
+        # Drain CommandComplete + ReadyForQuery.
+        while True:
+            t, _ = read_message(self.sock)
+            if t == b"Z":
+                break
+        rows: List[Tuple[Optional[str], ...]] = []
+        for line in buf.decode("utf-8").split("\n"):
+            if not line:
+                continue
+            rows.append(tuple(_copy_unescape(v) for v in line.split("\t")))
+        return rows
+
     def identify_system(self) -> Dict[str, Optional[str]]:
         rows = self.simple_query("IDENTIFY_SYSTEM")
         sysid, timeline, xlogpos, dbname = rows[0]
@@ -435,6 +484,40 @@ class ReplicationClient:
                 pass
             self.sock.close()
             self.sock = None
+
+
+_COPY_ESCAPES = {"\\\\": "\\", "\\t": "\t", "\\n": "\n", "\\r": "\r", "\\b": "\b", "\\f": "\f", "\\v": "\v"}
+
+
+def _copy_unescape(v: str) -> Optional[str]:
+    """COPY text-format field → value (``\\N`` is NULL)."""
+    if v == "\\N":
+        return None
+    if "\\" not in v:
+        return v
+    out = []
+    i = 0
+    while i < len(v):
+        two = v[i : i + 2]
+        if two in _COPY_ESCAPES:
+            out.append(_COPY_ESCAPES[two])
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
+
+def _copy_escape(v: Optional[str]) -> str:
+    """Value → COPY text-format field (test-server synthesis)."""
+    if v is None:
+        return "\\N"
+    return (
+        v.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 def _err_fields(body: bytes) -> Dict[str, str]:
@@ -626,6 +709,25 @@ class WireReplicationTailer:
                     self.start(start_lsn=max(flushed, self.start_lsn))
         finally:
             writer.close()
+
+    def initial_sync(self, table: str, columns: Sequence[str]) -> List[Tuple[Optional[str], ...]]:
+        """Consistent initial table sync (reference S3): a SECOND
+        connection imports the replication slot's exported snapshot
+        (``SET TRANSACTION SNAPSHOT``) and ``COPY``s the table — every
+        row exactly at the slot's consistent point, so the stream that
+        follows applies cleanly on top with no gap and no overlap."""
+        c = ReplicationClient(*self._conn_args)
+        c.connect()
+        try:
+            c.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+            if self.snapshot_name:
+                c.simple_query(f"SET TRANSACTION SNAPSHOT '{self.snapshot_name}'")
+            cols = ", ".join(columns)
+            rows = c.copy_out(f"COPY (SELECT {cols} FROM {table}) TO STDOUT")
+            c.simple_query("COMMIT")
+            return rows
+        finally:
+            c.close()
 
     def stop(self) -> None:
         self.client.close()

@@ -18,6 +18,7 @@ import pytest
 from pypgcdc_spark.cdc import pgoutput as pg  # noqa: F401 (workload synth)
 from pypgcdc_spark.sources.pgwire import (
     AUTH_MD5,
+    _copy_escape,
     AUTH_OK,
     AUTH_SASL,
     AUTH_SASL_CONTINUE,
@@ -98,6 +99,11 @@ class FakeWalsender(threading.Thread):
         self._dropped = False
         self.feedback = []  # flushed LSNs from Standby Status Updates
         self.keepalive_replies = 0
+        self._done = threading.Event()  # a clean CopyDone ends the accept loop
+        # COPY initial-sync knobs: table name -> list of row tuples; the
+        # snapshot names clients imported via SET TRANSACTION SNAPSHOT.
+        self.copy_tables = {}
+        self.imported_snapshots = []
         self.srv = socket.socket()
         self.srv.bind(("127.0.0.1", 0))
         self.srv.listen(max_conns)
@@ -105,18 +111,33 @@ class FakeWalsender(threading.Thread):
         self.error = None
 
     def run(self):
+        # One thread per connection: a snapshot-import COPY connection
+        # can run WHILE the replication connection streams, like real PG.
+        threads = []
         try:
             for _ in range(self.max_conns):
                 self.srv.settimeout(10)
                 conn, _ = self.srv.accept()
                 self.connections += 1
                 conn.settimeout(10)
-                if self._handle(conn):
+                t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
+                t.start()
+                threads.append(t)
+                if self._done.wait(timeout=0.01):
                     break
+            for t in threads:
+                t.join(30)
         except Exception as e:  # surfaced by tests via self.error
             self.error = e
         finally:
             self.srv.close()
+
+    def _serve(self, conn):
+        try:
+            if self._handle(conn):
+                self._done.set()
+        except Exception as e:
+            self.error = e
 
     # -- protocol pieces ---------------------------------------------------
 
@@ -268,6 +289,29 @@ class FakeWalsender(threading.Thread):
                     ["slot_name", "consistent_point", "snapshot_name", "output_plugin"],
                     [(slot, "0/1000", "00000003-00000002-1", "pgoutput")],
                 )
+            elif sql.startswith("BEGIN") or sql == "COMMIT":
+                write_message(conn, b"C", sql.split()[0].encode() + b"\x00")
+                write_message(conn, b"Z", b"T" if sql.startswith("BEGIN") else b"I")
+            elif sql.startswith("SET TRANSACTION SNAPSHOT"):
+                self.imported_snapshots.append(sql.split("'")[1])
+                write_message(conn, b"C", b"SET\x00")
+                write_message(conn, b"Z", b"T")
+            elif sql.startswith("COPY"):
+                import re as _re
+
+                table = _re.search(r"FROM\s+(\w+)", sql).group(1)
+                rows = self.copy_tables.get(table, [])
+                ncols = len(rows[0]) if rows else 0
+                # CopyOutResponse: int8 overall format, int16 ncols, formats
+                write_message(
+                    conn, b"H", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols
+                )
+                for row in rows:
+                    line = "\t".join(_copy_escape(v) for v in row) + "\n"
+                    write_message(conn, b"d", line.encode())
+                write_message(conn, b"c")
+                write_message(conn, b"C", b"COPY\x00")
+                write_message(conn, b"Z", b"I")
             elif sql.startswith("START_REPLICATION"):
                 if self.start_error_sqlstate is not None:
                     code = self.start_error_sqlstate.encode()
@@ -829,3 +873,60 @@ def test_two_phase_frames_over_the_wire(tmp_path):
         return st
 
     assert state(log) == state(src_plain) and len(state(log)) > 0
+
+
+def test_initial_sync_snapshot_plus_stream(tmp_path):
+    """Consistent initial sync (reference S3) over the wire: create the
+    slot (snapshot exported), COPY the table on a SECOND connection that
+    imports that snapshot — while the replication connection streams —
+    then apply the stream on top of the seed.  COPY text escapes (tab,
+    newline, backslash, \\N NULL) must round-trip."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=False, max_conns=2)
+    srv.copy_tables["integration"] = [
+        ("1", '{"a": 1}', "5.00", None, "seed\trow"),
+        ("2", None, "6.00", None, "line\nbreak \\ slash"),
+    ]
+    srv.start()
+    log = str(tmp_path / "sync.log")
+    tailer = WireReplicationTailer("127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log)
+    tailer.start()  # slot missing -> created, snapshot name captured
+    assert tailer.snapshot_name == "00000003-00000002-1"
+    seed = tailer.initial_sync(
+        "integration", ["id", "json_data", "amount", "updated_at", "text_data"]
+    )
+    assert seed == [
+        ("1", '{"a": 1}', "5.00", None, "seed\trow"),
+        ("2", None, "6.00", None, "line\nbreak \\ slash"),
+    ]
+    # the sync connection imported the slot's exported snapshot
+    assert srv.imported_snapshots == [tailer.snapshot_name]
+    n = tailer.run()
+    tailer.stop()
+    srv.join(10)
+    assert srv.error is None and n == len(frames)
+
+    # Seed + stream = final state: the reference workload inserts then
+    # updates then deletes id 10, so only the seed rows survive.
+    state = {r[0]: r for r in seed}
+    x = MessageTransformer(registry=SchemaRegistry())
+    for fr in scan_frames(log):
+        for ev in x.feed(fr.lsn, fr.payload):
+            if ev.table != "integration":
+                continue
+            k = ev.key["id"]
+            if ev.op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (
+                    ev.after["id"],
+                    ev.after["json_data"],
+                    ev.after["amount"],
+                    ev.after["updated_at"],
+                    ev.after["text_data"],
+                )
+    assert sorted(state) == ["1", "2"]
+    assert state["1"][4] == "seed\trow"
