@@ -77,12 +77,17 @@ class PgCdcEngine:
         found in the log; returns the view names."""
         from pypgcdc_spark.cdc import pgoutput as pg
         from pypgcdc_spark.cdc.registry import SchemaRegistry
-        from pypgcdc_spark.sources.replay import scan_frames
+        from pypgcdc_spark.sources.replay import TxBoundaryScanner, scan_frames
 
         registry = SchemaRegistry()
+        scanner = TxBoundaryScanner()  # v2 in-segment R frames carry an xid
         for fr in scan_frames(log_path):
             if fr.payload[:1] == b"R":
-                registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+                registry.register_relation(
+                    pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                    lsn=fr.lsn,
+                )
+            scanner.feed(fr)
         env = self.snapshot(log_path)
         env.createOrReplaceTempView(f"{prefix}cdc_envelope")
         names = [f"{prefix}cdc_envelope"]
@@ -93,6 +98,27 @@ class PgCdcEngine:
         return names
 
     # -- sinks -------------------------------------------------------------
+    def bootstrap(self, seed_rows, schema: TableSchema, target_path: str) -> DataFrame:
+        """Seed the current-state table from a consistent snapshot — the
+        text-format tuples :meth:`WireReplicationTailer.initial_sync`
+        returns (COPY under the slot's exported snapshot).  Rows are typed
+        through the registered StructType and written to ``target_path``,
+        so a subsequent ``materialize(stream, schema, target_path, ...)``
+        merges the change stream exactly on top: the exported snapshot
+        guarantees no gap and no overlap (reference S2/S3)."""
+        from pyspark.sql import types as T
+
+        struct = schema.to_struct_type()
+        str_schema = T.StructType(
+            [T.StructField(f.name, T.StringType()) for f in struct.fields]
+        )
+        raw = self.spark.createDataFrame([tuple(r) for r in seed_rows], str_schema)
+        typed = raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
+        )
+        typed.write.mode("overwrite").parquet(target_path)
+        return self.spark.read.parquet(target_path)
+
     def materialize(
         self,
         env_stream: DataFrame,

@@ -202,3 +202,50 @@ def test_typed_state_json_as_variant(engine, spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 7), (2, 9)}
+
+
+def test_bootstrap_seed_plus_materialize(engine, spark, tmp_path):
+    """Reference S2/S3 end-to-end in the engine API: a consistent
+    snapshot (the text-tuple shape initial_sync returns) seeds the typed
+    current-state table; the change stream then merges exactly on top —
+    untouched seed rows survive, streamed upserts/deletes win by LSN."""
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.sources.replay import scan_frames
+
+    log = tmp_path / "b.log"
+    expected = write_upsert_workload(str(log), n_keys=20, n_updates=60)
+
+    reg = SchemaRegistry()
+    for fr in scan_frames(str(log)):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+    schema = reg.get(16385)
+
+    # Snapshot rows: two keys the stream never touches (9xx range) plus
+    # one key (0) the stream definitely overwrites.
+    seed = [
+        ("900", '{"seed": 1}', "1.00", "2023-12-31 00:00:00+00", "seed_900"),
+        ("901", None, "2.50", None, "seed_901"),
+        ("0", None, "0.00", None, "seed_stale_overwritten"),
+    ]
+    target = str(tmp_path / "bootstrapped")
+    engine.bootstrap(seed, schema, target)
+    before = spark.read.parquet(target)
+    assert before.count() == 3
+    # typed: amount is Decimal(10,2), id is int
+    assert dict(before.dtypes)["amount"] == "decimal(10,2)"
+
+    engine.materialize(
+        engine.stream(str(log), max_tx_per_batch=20),
+        schema,
+        target,
+        checkpoint=str(tmp_path / "ckpt_b"),
+    )
+    got = sorted(
+        (str(r.id), r.text_data) for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(expected + [("900", "seed_900"), ("901", "seed_901")])
+    # key 0 must hold the STREAM's final value (lsn beats the lsn=-1 seed),
+    # unless the stream deleted it.
+    assert got == want
