@@ -95,6 +95,21 @@ class PgCdcEngine:
             view = f"{prefix}{schema.table}_current"
             typed_state(env, schema).createOrReplaceTempView(view)
             names.append(view)
+        # Schema-evolution history: one typed view per version SPAN for
+        # relations that changed shape mid-log (each row typed by the
+        # version in force at its LSN — get_at_lsn, not latest-wins).
+        from pypgcdc_spark.cdc.apply import typed_history_span
+
+        for (_db, _rid), chain in registry._versions.items():
+            if len(chain) < 2:
+                continue
+            for k, v in enumerate(chain):
+                hi = chain[k + 1].first_lsn if k + 1 < len(chain) else None
+                view = f"{prefix}{v.schema.table}_history_v{v.version}"
+                typed_history_span(env, v.schema, v.first_lsn, hi).createOrReplaceTempView(
+                    view
+                )
+                names.append(view)
         return names
 
     # -- sinks -------------------------------------------------------------

@@ -171,6 +171,30 @@ def typed_state(
     return df.select(*[out_col(f) for f in struct.fields])
 
 
+def typed_history_span(
+    env: DataFrame, schema: TableSchema, lo_lsn: int, hi_lsn: Optional[int] = None
+) -> DataFrame:
+    """Envelope rows of one LSN span typed through ONE schema version —
+    the history view behind LSN-span schema evolution (a row is typed by
+    the version in force when it happened, not latest-wins; the
+    cdc_schema_evolution_typed gate row pins the semantics).  No LWW
+    collapse: every change in the span surfaces with its op/lsn/tx
+    context plus the version's typed columns."""
+    df = env.filter(
+        (F.col("table") == schema.table) & (F.col("lsn") >= F.lit(lo_lsn))
+    )
+    if hi_lsn is not None:
+        df = df.filter(F.col("lsn") < F.lit(hi_lsn))
+    struct = schema.to_struct_type()
+    return df.select(
+        "op",
+        "lsn",
+        "tx_id",
+        "commit_ts",
+        *[F.col("after")[f.name].cast(f.dataType).alias(f.name) for f in struct.fields],
+    )
+
+
 class DeleteAwareMerger:
     """foreachBatch-compatible merger keeping parquet current-state tables.
 

@@ -249,3 +249,42 @@ def test_bootstrap_seed_plus_materialize(engine, spark, tmp_path):
     # key 0 must hold the STREAM's final value (lsn beats the lsn=-1 seed),
     # unless the stream deleted it.
     assert got == want
+
+
+def test_register_cdc_views_history_versions(engine, spark, tmp_path):
+    """A log whose relation changes type + drops a column mid-stream gets
+    per-version typed history views (rows typed by the version in force
+    at their LSN) alongside the current-state view."""
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+
+    relid, ts = 21001, datetime(2024, 1, 1, tzinfo=timezone.utc)
+    v1 = [(True, "id", 20, -1), (False, "score", 1700, ((10 << 16) | 2) + 4), (False, "note", 25, -1)]
+    v2 = [(True, "id", 20, -1), (False, "score", 701, -1)]
+    log = str(tmp_path / "evo.log")
+    w = ReplayLogWriter(log)
+    w.append(100, pg.encode_relation(relid, "public", "scores", v1))
+    w.append(995, pg.encode_begin(1025, ts, 41))
+    w.append(1000, pg.encode_insert(relid, ["1", "12.34", "alpha"]))
+    w.append(1010, pg.encode_insert(relid, ["2", "56.78", "beta"]))
+    w.append(1025, pg.encode_commit(1025, 1025, ts))
+    w.append(2000, pg.encode_relation(relid, "public", "scores", v2))  # ALTER
+    w.append(2995, pg.encode_begin(3015, ts, 42))
+    w.append(3000, pg.encode_insert(relid, ["3", "90.5"]))
+    w.append(3015, pg.encode_commit(3015, 3015, ts))
+    w.close()
+
+    names = engine.register_cdc_views(log, prefix="evo_")
+    assert "evo_scores_current" in names
+    assert "evo_scores_history_v1" in names and "evo_scores_history_v2" in names
+    h1 = spark.table("evo_scores_history_v1")
+    h2 = spark.table("evo_scores_history_v2")
+    assert dict(h1.dtypes)["score"] == "decimal(10,2)" and "note" in h1.columns
+    assert dict(h2.dtypes)["score"] == "double" and "note" not in h2.columns
+    assert {r.id for r in h1.collect()} == {1, 2}
+    assert [(r.id, r.score) for r in h2.collect()] == [(3, 90.5)]
+    # current state types through the LATEST version
+    cur = spark.table("evo_scores_current")
+    assert dict(cur.dtypes)["score"] == "double"
