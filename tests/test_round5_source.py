@@ -120,3 +120,39 @@ def test_stream_read_two_phase_log_incremental(spark, tmp_path):
     assert got.filter(F.col("tx_id").isNull()).count() == 0
     # nothing from the rolled-back poison tx surfaced
     assert got.filter(F.col("after")["last_event"].startswith("poison")).count() == 0
+
+
+def test_materialize_from_streamed_log_matches_plain(spark, pair, tmp_path):
+    """The full engine path (stream -> DeleteAwareMerger current-state
+    table) over a v2 streamed log equals the same path over the plain
+    rendering — protocol flavor is invisible above the source."""
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.sources.replay import TxBoundaryScanner, scan_frames
+
+    plain, streamed = pair
+    engine = PgCdcEngine(spark)
+    reg = SchemaRegistry()
+    scanner = TxBoundaryScanner()
+    for fr in scan_frames(streamed):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(
+                pg.decode_relation(fr.payload, streamed=scanner.in_segment), lsn=fr.lsn
+            )
+        scanner.feed(fr)
+    schema = reg.get(17001)
+    outs = {}
+    for tag, log in (("plain", plain), ("streamed", streamed)):
+        target = str(tmp_path / f"state_{tag}")
+        engine.materialize(
+            engine.stream(log, max_tx_per_batch=2),
+            schema,
+            target,
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+        )
+        outs[tag] = {
+            (r.user_id, r.last_event, r.value)
+            for r in spark.read.parquet(target).collect()
+        }
+    assert outs["plain"] == outs["streamed"] and len(outs["plain"]) > 0
