@@ -132,6 +132,7 @@ NEW_OPS_R5 = [
     "cdc_two_phase_replay",
     "cdc_schema_evolution_typed",
     "pipeline_cdc_corpus_refresh",
+    "text_hashed_linear_classifier",
 ]
 
 

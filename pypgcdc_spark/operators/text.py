@@ -840,3 +840,64 @@ def text_dup_span_removal(spark, sf_dir):
             .alias("removal_ppm"),
         )
     )
+
+
+@query(
+    "text_hashed_linear_classifier",
+    oracle="""
+    -- fastText/CCNet-style model-based quality filter, hashed-feature
+    -- linear flavor: every word hashes into one of 1024 feature buckets;
+    -- each bucket carries a fixed signed integer weight derived from the
+    -- shared md5 convention; a document's score is the sum of its words'
+    -- bucket weights and keep = score > 0.  Integer weights end-to-end,
+    -- so both engines agree bit-for-bit (no sigmoid/float in the gate).
+    WITH words AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT % 1024) AS b
+      FROM words
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             SUM((('0x' || substr(md5('wt:' || b::VARCHAR), 1, 8))::BIGINT % 2001)
+                 - 1000) AS score
+      FROM feats GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(score) AS BIGINT) AS total_score
+    FROM scored GROUP BY source
+    """,
+)
+def text_hashed_linear_classifier(spark, sf_dir):
+    """Model-based quality filtering, the missing member of the filter
+    family (Gopher rules / LM perplexity already covered): a hashed-
+    feature LINEAR classifier — the fastText/CCNet production shape —
+    scoring every document as Σ weight[hash(word) % 1024] with fixed
+    signed integer weights, keep = score > 0.  In production the weight
+    vector comes from training; here it derives from the engine's shared
+    md5 convention so the DuckDB oracle scores identically — the plan
+    shape (explode → in-row hash → two-level aggregate) is exactly the
+    production one, with the 1024-float weight array a broadcast lookup.
+
+    Scale note: one corpus scan, per-word work is in-row md5 + modulo
+    (whole-stage codegen), the first aggregate collapses to one row per
+    doc with map-side partials — the same cost class as token counting;
+    no shuffle beyond the two aggregates."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower("text"), " ")).alias("w")
+    md5int = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    feats = docs.select("doc_id", "source", w).select(
+        "doc_id", "source", (md5int(F.col("w")) % 1024).alias("b")
+    )
+    weight = (md5int(F.concat(F.lit("wt:"), F.col("b").cast("string"))) % 2001) - 1000
+    scored = feats.groupBy("doc_id", "source").agg(F.sum(weight).alias("score"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum("score").cast("long").alias("total_score"),
+    )

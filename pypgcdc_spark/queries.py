@@ -62,6 +62,9 @@ EXTENDED = frozenset(
         "cdc_two_phase_replay",
         "cdc_schema_evolution_typed",
         "pipeline_cdc_corpus_refresh",
+        # Model-based (hashed linear) quality filter; the text-quality
+        # family keeps its rule-based primaries.
+        "text_hashed_linear_classifier",
         # SCD2 history is the lead/row_number consumption pattern over the
         # same log; apply_current_state + incremental_view keep the driver
         # slots so the 50-entry window stays comparable round-over-round.
