@@ -143,6 +143,12 @@ class PgCdcStreamReader(DataSourceStreamReader):
         self._registry = SchemaRegistry(database=self.database)
         self._last_lsn = 0
         self._pending: List[Tuple[int, int]] = []  # whole-tx ranges not yet offered
+        # Persistent boundary scanner: open stream/prepared spans live in
+        # its state, so each tick feeds only NEW frames — the earlier
+        # rewind-to-open-unit-start design re-scanned the whole open span
+        # per tick, quadratic under a long-running streamed or prepared
+        # transaction.
+        self._scanner = replay.TxBoundaryScanner()
         # Highest offset already handed to Spark (checkpoint floor). After a
         # restart the scan state rebuilds from 0, so without this floor
         # latestOffset could emit a cut BELOW the checkpointed start offset
@@ -158,35 +164,31 @@ class PgCdcStreamReader(DataSourceStreamReader):
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         if size <= self._scanned_pos:
             return
-        scanner = replay.TxBoundaryScanner()
-        last_complete = self._scanned_pos
         for fr in replay.scan_frames(self.path, self._scanned_pos):
             if fr.payload[:1] == b"R":
                 from pypgcdc_spark.cdc import pgoutput as pg
 
                 # In-segment R frames carry the v2 xid prefix.
                 self._registry.register_relation(
-                    pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                    pg.decode_relation(fr.payload, streamed=self._scanner.in_segment),
                     lsn=fr.lsn,
                 )
-            closed = scanner.feed(fr)
+            closed = self._scanner.feed(fr)
             if closed is not None:
                 self._pending.append(closed)
                 self._last_lsn = fr.lsn
-            last_complete = fr.end_pos
-        # Frames after the last closed unit stay unscanned so a torn/open
-        # tx — or a streamed span whose Stream Commit hasn't landed — is
-        # re-examined next tick: if the tail holds an open range, rewind to
-        # its first frame; advancing to last_complete would skip the open
-        # unit's frames once its commit lands, silently losing them
-        # (ADVICE r1). Re-scanning is safe: register_relation is
-        # idempotent at-LSN.
-        if scanner.range_start is not None:
-            self._scanned_pos = scanner.range_start
-        elif self._pending:
-            self._scanned_pos = self._pending[-1][1]
-        else:
-            self._scanned_pos = last_complete
+            # A torn tail write stops scan_frames at the last complete
+            # frame; the persistent scanner keeps any open span's state,
+            # so advancing past it never loses frames.
+            self._scanned_pos = fr.end_pos
+
+    def _safe_cut(self) -> int:
+        """Highest byte position an offset may land on right now: the
+        start of the currently open unit (nothing may bisect an open
+        stream span / pending two-phase window), else everything scanned."""
+        if self._scanner.range_start is not None:
+            return self._scanner.range_start
+        return self._scanned_pos
 
     def _offset(self, pos: int) -> dict:
         return {"pos": pos, "lsn": self._last_lsn, "registry": self._registry.dumps()}
@@ -201,7 +203,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
         if self._offset_floor:
             self._pending = [r for r in self._pending if r[1] > self._offset_floor]
         if not self._pending:
-            cut = max(self._scanned_pos, self._offset_floor)
+            cut = max(self._safe_cut(), self._offset_floor)
         elif self.max_tx and len(self._pending) > self.max_tx:
             cut = self._pending[self.max_tx - 1][1]
             self._pending = self._pending[self.max_tx :]

@@ -156,3 +156,46 @@ def test_materialize_from_streamed_log_matches_plain(spark, pair, tmp_path):
             for r in spark.read.parquet(target).collect()
         }
     assert outs["plain"] == outs["streamed"] and len(outs["plain"]) > 0
+
+
+def test_latest_offset_never_bisects_open_span(tmp_path):
+    """Driver-side unit: with a stream span open at the tail, the offset
+    cut stays at the span's first frame across ticks (no bisected span),
+    the scan stays incremental (no rewind), and once the Stream Commit
+    lands the whole span is offered."""
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.pgcdc import PgCdcStreamReader
+    from pypgcdc_spark.sources.replay import ReplayLogWriter, scan_frames
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    R = pg.encode_relation(10, "public", "t", [(True, "k", 20, -1), (False, "v", 25, -1)])
+    p = str(tmp_path / "open.log")
+    w = ReplayLogWriter(p)
+    w.append(1, R)
+    # a closed plain tx, then an OPEN stream segment
+    w.append(10, pg.encode_begin(13, ts, 41))
+    w.append(11, pg.encode_insert(10, ["1", "a"]))
+    w.append(13, pg.encode_commit(13, 13, ts))
+    w.append(20, pg.encode_stream_start(100, True))
+    w.append(21, pg.encode_insert(10, ["2", "b"], xid=100))
+    w.append(22, pg.encode_stream_stop())
+    w.flush()
+
+    r = PgCdcStreamReader({"path": p})
+    o1 = r.latestOffset()
+    frames = list(scan_frames(p))
+    span_start = next(f.start_pos for f in frames if f.payload[:1] == b"S")
+    assert o1["pos"] == span_start  # the closed tx is offered, span held
+    scanned_after_first = r._scanned_pos
+    # second tick with nothing new: no rewind (incremental scan state)
+    o2 = r.latestOffset()
+    assert o2["pos"] == o1["pos"] and r._scanned_pos == scanned_after_first
+    # commit lands -> the whole span is offered in one cut
+    w.append(30, pg.encode_stream_commit(100, 30, 30, ts))
+    w.close()
+    o3 = r.latestOffset()
+    import os
+
+    assert o3["pos"] == os.path.getsize(p)
