@@ -161,9 +161,10 @@ def _render(txs, rng_choices):
 
     # Deterministic "random" interleave of blocks using rng_choices.
     order = list(range(len(blocks)))
-    for step, c in enumerate(rng_choices):
-        a, b = c % max(1, len(order)), (c // 7) % max(1, len(order))
-        order[a], order[b] = order[b], order[a]
+    if order:
+        for c in rng_choices:
+            a, b = c % len(order), (c // 7) % len(order)
+            order[a], order[b] = order[b], order[a]
     for idx in order:
         frames.extend(blocks[idx])
     # Resolutions go last (after every segment/span block), in tx order —
@@ -212,6 +213,11 @@ def test_boundary_units_tile_the_log(txs, rng_choices, tmp_path_factory):
         for lsn, payload in frames:
             w.append(lsn, payload)
     ranges = replay.tx_boundaries(p)
+    if len(frames) == 1:
+        # Only the R prologue (every generated tx was an aborted plain tx
+        # that never reached the wire): no unit ever closes — correct.
+        assert ranges == []
+        return
     # contiguous tiling from 0 to EOF (the trailing resolutions always
     # close the last unit)
     assert ranges, "at least one unit"
