@@ -226,11 +226,22 @@ def test_boundary_units_tile_the_log(txs, rng_choices, tmp_path_factory):
         assert e1 == a2
     assert ranges[-1][1] == os.path.getsize(p)
     # a partition reader per unit sees complete spans: replaying each
-    # unit with a FRESH transformer raises nothing and leaves no buffer
-    from pypgcdc_spark.cdc.transform import MessageTransformer
+    # unit with a FRESH transformer (seeded with the driver-scanned
+    # registry, exactly as the source's partitions carry it in the
+    # offset) raises nothing and leaves no pending buffer
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
 
+    reg = SchemaRegistry()
+    scanner = replay.TxBoundaryScanner()
+    for fr in replay.scan_frames(p):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(
+                pg.decode_relation(fr.payload, streamed=scanner.in_segment), lsn=fr.lsn
+            )
+        scanner.feed(fr)
+    reg_json = reg.dumps()
     for a, e in ranges:
-        x = MessageTransformer()
+        x = MessageTransformer(registry=SchemaRegistry.loads(reg_json))
         for fr in replay.scan_frames(p, a, e):
             list(x.feed(fr.lsn, fr.payload))
         assert not x._stream_bufs, "pending buffer crossed a unit boundary"
