@@ -133,6 +133,7 @@ NEW_OPS_R5 = [
     "cdc_schema_evolution_typed",
     "pipeline_cdc_corpus_refresh",
     "text_hashed_linear_classifier",
+    "asof_join_tolerance",
 ]
 
 

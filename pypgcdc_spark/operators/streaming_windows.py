@@ -735,3 +735,58 @@ def stream_static_enrich(spark, sf_dir):
         F.max("n_lines").cast("long").alias("n_lines"),
         F.max_by("total_cents", "n_lines").cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    -- As-of with a staleness tolerance (pandas merge_asof(tolerance=...)
+    -- semantics): each purchase takes the most recent prior-or-equal
+    -- click by that user ONLY if it happened within the last 10 minutes;
+    -- staler matches null out.  DuckDB: native ASOF join + tolerance
+    -- filter; Spark composes the same from the ordered carry-forward
+    -- window.
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CASE WHEN c.ts IS NULL OR p.ts - c.ts > INTERVAL '10 minutes'
+                THEN NULL
+                ELSE strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join — the ``merge_asof(tolerance=...)``
+    variant of the primary as-of composition: the same single-shuffle
+    union + ordered ``last(ignorenulls)`` carry-forward, with matches
+    older than the tolerance nulled in-row afterwards (no second join,
+    no range explosion).  The tolerance is the practical form of the
+    operator: attribution windows, sensor alignment, staleness caps."""
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_click"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ev_ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click") == 1, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    within = F.col("last_click_ts") >= F.col("ev_ts") - F.expr("INTERVAL 10 MINUTES")
+    return carried.filter(F.col("is_click") == 0).select(
+        "user_id",
+        "purchase_id",
+        F.when(
+            F.col("last_click_ts").isNotNull() & within,
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("last_click_ts"),
+    )

@@ -137,6 +137,8 @@ EXTENDED = frozenset(
         # Join variants mechanically covered by kept joins.
         "join_self_lineitem_pairs",  # self-join = equi-join (range/full kept)
         "join_range_price_bands",  # range/interval category carried by asof_join
+        # merge_asof(tolerance=...) variant of the kept as-of composition.
+        "asof_join_tolerance",
         "join_anti_customers_without_orders",  # semi kept; anti is its dual
         # MLlib interop: minhash kept as the representative.
         "ml_brp_lsh_neighbor_pairs",
