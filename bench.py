@@ -134,6 +134,7 @@ NEW_OPS_R5 = [
     "pipeline_cdc_corpus_refresh",
     "text_hashed_linear_classifier",
     "asof_join_tolerance",
+    "session_window_dynamic_gap",
 ]
 
 

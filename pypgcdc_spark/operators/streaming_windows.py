@@ -790,3 +790,77 @@ def asof_join_tolerance(spark, sf_dir):
             F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"),
         ).alias("last_click_ts"),
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    -- Dynamic-gap sessionization (session_window with a gap EXPRESSION):
+    -- a purchase keeps the session alive for 60 minutes, anything else
+    -- for 30 — so the inactivity tolerance depends on the last activity.
+    -- Batch oracle: an event opens a new session iff its ts is at/past
+    -- the running MAX of previous events' (ts + gap) — exactly Spark's
+    -- merge-on-overlap rule for per-event windows [ts, ts + gap).
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL '60 minutes' ELSE INTERVAL '30 minutes'
+             END AS gap
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN MAX(ts + gap) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_type
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR ts >= MAX(ts + gap) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_type
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """Session windows whose inactivity gap is an EXPRESSION of the row
+    (Spark 3.2+ ``session_window(ts, gap_col)``): purchases hold the
+    session open for 60 minutes, everything else 30 — the
+    engagement-dependent timeout real sessionization uses.  The batch
+    gaps-and-islands oracle reproduces Spark's merge-on-overlap rule
+    (running max of per-event window ends) independently, so the two
+    formulations cross-check.
+
+    Scale note: same single shuffle on user_id as the fixed-gap session
+    window; the gap expression is evaluated in-row before the state
+    merge, adding nothing to the exchange."""
+    (events,) = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )

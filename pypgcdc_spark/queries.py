@@ -84,6 +84,8 @@ EXTENDED = frozenset(
         # Batch sessionization is the lag→cumsum window composition
         # (streaming session window + win_lag keep the primary slots).
         "win_sessionize_events",
+        # Dynamic-gap variant of the kept fixed-gap session window.
+        "session_window_dynamic_gap",
         # Exact-percentile audit twin of the kept approx sketch query.
         "agg_percentiles_exact",
         # Fixed-iteration PageRank: the iterative join+agg shape is
