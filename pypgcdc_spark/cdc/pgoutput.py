@@ -459,6 +459,13 @@ def decode_logical_message(buf: bytes, streamed: bool = False) -> LogicalMessage
     msg_lsn = r.int64()
     prefix = r.cstring()
     length = r.int32()
+    if length < 0 or r.pos + length > len(r.buf):
+        # Fail loudly on truncation, matching every other decoder's
+        # short-frame contract — a silently shortened payload is worse.
+        raise ValueError(
+            f"truncated logical message: declared {length} bytes, "
+            f"{len(r.buf) - r.pos} remain"
+        )
     content = r.buf[r.pos : r.pos + length]
     return LogicalMessage(bool(flags & 1), msg_lsn, prefix, content, xid=xid)
 

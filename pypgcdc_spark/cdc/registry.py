@@ -95,6 +95,12 @@ class SchemaRegistry:
             return chain[-1].schema
         chain.append(SchemaVersion(version=len(chain) + 1, schema=schema, first_lsn=lsn))
         chain.sort(key=lambda v: v.first_lsn)
+        # Renumber after the sort: an out-of-LSN-order registration (a
+        # replayed R frame introducing a different schema at an older
+        # LSN) must leave version numbers aligned with chain position,
+        # or history-view suffixes drift from LSN-span order.
+        for i, v in enumerate(chain):
+            v.version = i + 1
         return schema
 
     def get(self, relation_id: int, db: Optional[str] = None) -> Optional[TableSchema]:

@@ -461,13 +461,26 @@ def cdc_time_travel(spark, sf_dir):
     -- pgoutput protocol v2 parity: a change log rendered as v2 streamed
     -- in-progress transactions (interleaved segments, an aborted
     -- subtransaction, a fully aborted stream) must materialize the SAME
-    -- keyed state as the plain v1 rendering — which equals this direct
-    -- last-writer-wins recompute over the event prefix.  Poison changes
-    -- live only in the aborted paths, at the highest LSNs: any abort leak
-    -- flips last_cents / streamed_agrees and the hash.
+    -- keyed state as the v1 rendering of the same WAL — which equals
+    -- this direct COMMIT-ORDER last-writer-wins recompute: chunks of 50
+    -- changes; every third chunk commits immediately (commit rank = its
+    -- chunk index), the rest belong to two long-running streamed txs
+    -- (alternating) that commit only after everything else — stream 900
+    -- first, then 901.  Poison changes live only in the aborted paths,
+    -- at the highest LSNs: any abort leak flips last_cents /
+    -- streamed_agrees and the hash.
     WITH prefix AS (
-      SELECT event_id, user_id, event_type, value
+      SELECT event_id, user_id, event_type, value,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS INT) // 50 AS ci
       FROM events ORDER BY event_id LIMIT 600
+    ), nch AS (
+      SELECT MAX(ci) + 1 AS nch FROM prefix
+    ), tagged AS (
+      SELECT p.*,
+             CASE WHEN ci % 3 = 2 THEN ci
+                  WHEN ci % 2 = 0 THEN nch
+                  ELSE nch + 1 END AS commit_rank
+      FROM prefix p, nch
     )
     SELECT user_id,
            event_type AS last_event,
@@ -475,8 +488,9 @@ def cdc_time_travel(spark, sf_dir):
            TRUE AS streamed_agrees
     FROM (
       SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-      FROM prefix
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY commit_rank DESC, event_id DESC) AS rn
+      FROM tagged
     ) WHERE rn = 1 AND op <> 'D'
     """,
 )
@@ -520,7 +534,14 @@ def cdc_streamed_tx_replay(spark, sf_dir):
 
         def state(path):
             df = spark.read.format("pgcdc").option("path", path).load()
-            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(F.col("lsn").desc())
+            # LWW ordered by (commit_lsn, lsn), NOT lsn alone: a v2 feed
+            # delivers a streamed tx's changes at WAL positions far below
+            # its commit — resolution must follow transaction COMMIT
+            # order (the envelope carries commit_lsn for exactly this),
+            # with the change LSN as the intra-transaction tiebreak.
+            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(
+                F.col("commit_lsn").desc(), F.col("lsn").desc()
+            )
             return (
                 df.withColumn("rn", F.row_number().over(w))
                 .filter((F.col("rn") == 1) & (F.col("op") != "D"))
@@ -720,12 +741,24 @@ def cdc_schema_evolution_typed(spark, sf_dir):
     -- spans and Stream Prepare streamed spans, Commit Prepared deferred
     -- and resolved out of prepare order, plus a poison prepared tx
     -- resolved by Rollback Prepared at the highest LSNs — must
-    -- materialize the SAME keyed state as the plain v1 rendering, which
-    -- equals this direct last-writer-wins recompute.  A leak of the
+    -- materialize the SAME keyed state as the v1 rendering of the same
+    -- WAL, which equals this direct COMMIT-ORDER last-writer-wins
+    -- recompute: chunks of 50 changes prepare in order, and after every
+    -- second prepare the two oldest pending resolve SWAPPED (the newer
+    -- commits first); a leftover chunk resolves last.  A leak of the
     -- rolled-back tx or a dropped pending buffer flips the hash.
     WITH prefix AS (
-      SELECT event_id, user_id, event_type, value
+      SELECT event_id, user_id, event_type, value,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS INT) // 50 AS ci
       FROM events ORDER BY event_id LIMIT 500
+    ), nch AS (
+      SELECT MAX(ci) + 1 AS nch FROM prefix
+    ), tagged AS (
+      SELECT p.*,
+             CASE WHEN ci % 2 = 0 AND ci + 1 < nch THEN ci + 1
+                  WHEN ci % 2 = 1 THEN ci - 1
+                  ELSE ci END AS commit_rank
+      FROM prefix p, nch
     )
     SELECT user_id,
            event_type AS last_event,
@@ -733,8 +766,9 @@ def cdc_schema_evolution_typed(spark, sf_dir):
            TRUE AS two_phase_agrees
     FROM (
       SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-      FROM prefix
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY commit_rank DESC, event_id DESC) AS rn
+      FROM tagged
     ) WHERE rn = 1 AND op <> 'D'
     """,
 )
@@ -773,7 +807,12 @@ def cdc_two_phase_replay(spark, sf_dir):
 
         def state(path):
             df = spark.read.format("pgcdc").option("path", path).load()
-            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(F.col("lsn").desc())
+            # Commit-order LWW: a prepared tx's changes carry prepare-time
+            # WAL positions but take effect at Commit Prepared — order by
+            # (commit_lsn, lsn), never lsn alone (see cdc_streamed_tx_replay).
+            w = Window.partitionBy(F.col("key")["user_id"]).orderBy(
+                F.col("commit_lsn").desc(), F.col("lsn").desc()
+            )
             return (
                 df.withColumn("rn", F.row_number().over(w))
                 .filter((F.col("rn") == 1) & (F.col("op") != "D"))
@@ -818,15 +857,19 @@ def cdc_two_phase_replay(spark, sf_dir):
     -- The integration story end-to-end: a CDC feed (protocol v2
     -- streamed revisions + deletions + an aborted poison stream) keeps
     -- a training corpus fresh.  The engine materializes keyed LWW state
-    -- from the binary log and computes corpus statistics per source;
-    -- this oracle applies the same revision/deletion rules directly.
+    -- from the binary log IN COMMIT ORDER and computes corpus statistics
+    -- per source; this oracle applies the same rules directly.  Commit
+    -- order: inserts, then the deletion tx, then the streamed revision
+    -- tx (its changes sit at LOWER WAL positions than the deletes, but
+    -- it commits last) — so a doc both revised and deleted survives,
+    -- revised.
     WITH prefix AS (
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id LIMIT 400
     ),
     final AS (
       SELECT doc_id, source,
              CASE WHEN doc_id % 7 = 3 THEN 'REV :: ' || text ELSE text END AS text
-      FROM prefix WHERE doc_id % 11 <> 5
+      FROM prefix WHERE doc_id % 11 <> 5 OR doc_id % 7 = 3
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -841,9 +884,10 @@ def pipeline_cdc_corpus_refresh(spark, sf_dir):
     """CDC → corpus pipeline composition: the documents prefix becomes a
     pgoutput **v2 streamed** change feed — initial inserts, a streamed
     revision transaction (every 7th doc gets 'REV :: ' prepended), a
-    deletion transaction (every 11th doc), and a poison stream that
-    would blank every document, aborted — materialized through the
-    ``pgcdc`` source into current corpus state, then reduced to
+    deletion transaction (every 11th doc) that COMMITS before the
+    still-open revision stream does, and a poison stream that would
+    blank every document, aborted — materialized through the ``pgcdc``
+    source into commit-ordered current state, then reduced to
     per-source corpus statistics (docs, whitespace tokens, revised
     count, chars).  This is the refresh loop a production training-data
     pipeline runs continuously; every stage upstream of the stats is the
@@ -920,7 +964,13 @@ def pipeline_cdc_corpus_refresh(spark, sf_dir):
 
         spark.dataSource.register(PgCdcDataSource)
         env = spark.read.format("pgcdc").option("path", log).load()
-        wnd = Window.partitionBy(F.col("key")["doc_id"]).orderBy(F.col("lsn").desc())
+        # Resolution follows transaction COMMIT order, change-LSN as the
+        # intra-tx tiebreak: the streamed revision's changes carry WAL
+        # positions below the deletion tx's, but it commits after it —
+        # ordering by lsn alone would wrongly let the delete win.
+        wnd = Window.partitionBy(F.col("key")["doc_id"]).orderBy(
+            F.col("commit_lsn").desc(), F.col("lsn").desc()
+        )
         state = (
             env.withColumn("rn", F.row_number().over(wnd))
             .filter((F.col("rn") == 1) & (F.col("op") != "D"))

@@ -547,15 +547,18 @@ class WireReplicationTailer:
       the walsender's ``wal_sender_timeout`` from firing; the loop never
       exits on silence alone;
     * a dropped/desynced connection triggers reconnect + a fresh
-      ``START_REPLICATION`` from the last confirmed-flushed LSN; frames
-      the server re-sends are deduplicated by LSN membership per
-      transaction unit — NOT by a monotone high-water mark, because
-      protocol v2 streamed transactions legitimately deliver frames
-      whose WAL positions are BELOW later frames (a spilled tx's
-      changes interleave with other transactions' commits).  The seen
-      set is pruned as units are acked (START_REPLICATION from the
-      flushed LSN only replays transactions committing after it), so
-      memory is bounded by the un-acked window;
+      ``START_REPLICATION`` from the last confirmed-flushed LSN; the
+      log is appended one whole transaction UNIT at a time, so resent
+      data is deduplicated by close-LSN membership (commit LSNs are
+      unique per transaction) — NOT per-frame LSN membership, because
+      real walsenders emit multiple frames sharing one WAL position
+      (Relation/Type/Message reuse the following change's location,
+      Begin can share the first change's), and NOT a monotone
+      high-water mark, because protocol v2 streamed transactions
+      deliver frames whose WAL positions are BELOW later frames.  The
+      close-LSN set is pruned as units are acked (START_REPLICATION
+      from the flushed LSN only replays transactions committing after
+      it), so memory is bounded by the un-acked window;
     * only SQLSTATE 42704 (undefined_object) on START_REPLICATION is
       treated as "slot missing → create it"; permission/publication
       errors surface as-is.
@@ -633,17 +636,32 @@ class WireReplicationTailer:
         n = 0
         flushed = 0
         idle = 0
-        # Reconnect dedup state: per-unit LSN membership (v2-safe; see
-        # class docstring).  `seen` holds every appended frame LSN of
-        # not-yet-acked units; `unit_lsns` accumulates the open unit;
-        # `closed_units` maps a unit's closing LSN to its frame LSNs so
-        # an ack advance can prune.
+        # Unit-granularity append (replaces the per-frame LSN seen-set):
+        # frames of the open transaction unit buffer in memory and reach
+        # the log only when the unit CLOSES (Commit / Stream Commit /
+        # resolved prepare).  Real walsenders emit multiple XLogData
+        # frames sharing one WAL position — Relation/Type/Message frames
+        # reuse the following change's write location, Begin can share
+        # the first change's — so deduping resends by frame-LSN
+        # membership would silently DROP distinct same-LSN frames.  With
+        # whole units as the append granularity, resent data after a
+        # reconnect is skipped by CLOSE-LSN membership instead: commit
+        # LSNs are unique per transaction, equal-LSN data frames inside
+        # a unit survive, and the log never contains a torn unit.
         scanner = TxBoundaryScanner()
-        seen: set = set()
-        unit_lsns: list = []
-        closed_units: list = []  # [(close_lsn, [frame lsns])]
+        unit_buf: list = []  # [(lsn, payload, send_ts)] of the open unit
+        appended: dict = {}  # close_lsn -> frame count (un-acked window)
         writer = ReplayLogWriter(self.log_path)
         ack_path = self.log_path + ".ack"
+
+        def _flush_unit() -> None:
+            nonlocal n, unit_buf
+            for lsn_, payload_, ts_ in unit_buf:
+                writer.append(lsn_, payload_, ts_)
+            writer.flush()
+            n += len(unit_buf)
+            unit_buf = []
+
         try:
             while True:
                 try:
@@ -651,6 +669,7 @@ class WireReplicationTailer:
                         if isinstance(msg, IdleTimeout):
                             idle += 1
                             if max_idle is not None and idle >= max_idle:
+                                _flush_unit()  # partial tail -> log
                                 return n
                             # Proactive keepalive so wal_sender_timeout
                             # doesn't kill an idle session.
@@ -658,24 +677,26 @@ class WireReplicationTailer:
                             continue
                         idle = 0
                         if isinstance(msg, XLogData):
-                            if msg.wal_start not in seen:
-                                writer.append(
+                            unit_buf.append(
+                                (
                                     msg.wal_start,
                                     msg.payload,
                                     datetime.fromtimestamp(
                                         msg.send_time_us / 1e6, tz=timezone.utc
                                     ),
                                 )
-                                writer.flush()
-                                seen.add(msg.wal_start)
-                                unit_lsns.append(msg.wal_start)
-                                closed = scanner.feed(
-                                    Frame(msg.wal_start, 0, msg.payload, 0, 0)
-                                )
-                                if closed is not None:
-                                    closed_units.append((msg.wal_start, unit_lsns))
-                                    unit_lsns = []
-                                n += 1
+                            )
+                            closed = scanner.feed(
+                                Frame(msg.wal_start, 0, msg.payload, 0, 0)
+                            )
+                            if closed is not None:
+                                if msg.wal_start in appended:
+                                    # A resent unit that's already fully
+                                    # in the log — drop the whole buffer.
+                                    unit_buf = []
+                                else:
+                                    appended[msg.wal_start] = len(unit_buf)
+                                    _flush_unit()
                         elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
                             self.client.send_standby_status(flushed, flushed, flushed)
                         if os.path.exists(ack_path):
@@ -685,27 +706,29 @@ class WireReplicationTailer:
                                 flushed = lsn
                                 # Units committed at/below the flush are
                                 # never replayed by a resume — prune.
-                                keep = []
-                                for close_lsn, lsns in closed_units:
-                                    if close_lsn <= flushed:
-                                        seen.difference_update(lsns)
-                                    else:
-                                        keep.append((close_lsn, lsns))
-                                closed_units = keep
+                                appended = {
+                                    c: k for c, k in appended.items() if c > flushed
+                                }
                                 self.client.send_standby_status(
                                     flushed, flushed, flushed
                                 )
-                        if max_messages and n >= max_messages:
+                        if max_messages and n + len(unit_buf) >= max_messages:
+                            _flush_unit()
                             return n
-                    return n  # clean CopyDone
+                    _flush_unit()  # clean CopyDone; partial tail -> log
+                    return n
                 except (ProtocolError, OSError):
                     if self.reconnects >= max_reconnects:
                         raise
                     self.reconnects += 1
                     self.client.close()
                     self.client = ReplicationClient(*self._conn_args)
-                    # Resume from what the server knows is flushed; frames
-                    # already appended are skipped by the seen-set.
+                    # The partial unit is re-sent in full from the resume
+                    # point — discard the buffer and re-scan boundaries.
+                    unit_buf = []
+                    scanner = TxBoundaryScanner()
+                    # Resume from what the server knows is flushed; resent
+                    # closed units are skipped by close-LSN membership.
                     self.start(start_lsn=max(flushed, self.start_lsn))
         finally:
             writer.close()

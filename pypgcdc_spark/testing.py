@@ -175,8 +175,13 @@ def write_streamed_cdc_pair(
     ``rows`` is the change order: ``(user_id, event_type, value)``;
     ``event_type == 'error'`` means DELETE, anything else a full-row
     upsert.  Every change frame carries the SAME LSN in both logs
-    (``10_000 + 10*i``), so keyed last-writer-wins state must be
-    identical — the streamed rendering adds:
+    (``10_000 + 10*i``), and every transaction the SAME commit LSN —
+    the v1 rendering delivers each streamed transaction as one whole
+    Begin..Commit at its COMMIT position (exactly what a real walsender
+    decoding the same WAL under ``proto_version '1'`` emits: changes
+    early in WAL, the transaction delivered where it commits), so keyed
+    last-writer-wins state ordered by ``(commit_lsn, lsn)`` must be
+    identical.  The streamed rendering adds:
 
     * two streamed txs (xids 900/901) whose segments interleave,
     * plain transactions between segments (every third chunk),
@@ -203,15 +208,34 @@ def write_streamed_cdc_pair(
     n = len(rows)
 
     # -- plain v1 rendering -------------------------------------------------
+    # Transactions appear at their COMMIT positions, change LSNs
+    # preserved: every-third chunks commit immediately (in chunk order);
+    # the chunks a real server would have streamed (xids 900/901) are
+    # ONE transaction each, delivered last — at the stream-commit LSNs
+    # the v2 rendering uses — because that's when they commit.
     w = ReplayLogWriter(plain_path)
     w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
     for ci, ch in enumerate(chunks):
+        if ci % 3 != 2:
+            continue  # streamed on the wire; delivered at commit, below
         first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
         ts = _T0 + timedelta(seconds=ci)
         w.append(first - 5, pg.encode_begin(last + 5, ts, 500 + ci))
         for gi, row in ch:
             w.append(lsn_of(gi), enc(row))
         w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+    for xid, commit_at in ((900, lsn_of(n + 43)), (901, lsn_of(n + 44))):
+        members = [
+            (gi, row)
+            for ci, ch in enumerate(chunks)
+            if ci % 3 != 2 and ci % 2 == (0 if xid == 900 else 1)
+            for gi, row in ch
+        ]
+        ts = _T0 + timedelta(seconds=xid)
+        w.append(commit_at - 2, pg.encode_begin(commit_at, ts, xid))
+        for gi, row in members:
+            w.append(lsn_of(gi), enc(row))
+        w.append(commit_at, pg.encode_commit(commit_at, commit_at, ts))
     w.close()
 
     # -- streamed v2 rendering ---------------------------------------------
@@ -232,8 +256,9 @@ def write_streamed_cdc_pair(
             continue
         xid = 900 if ci % 2 == 0 else 901
         # -4, not -5: a preceding plain chunk's Commit sits at its
-        # last+5 == this first-5; frame LSNs must stay unique (the wire
-        # tailer dedupes resends by LSN membership).
+        # last+5 == this first-5; CLOSING frame LSNs must stay unique
+        # (the wire tailer dedupes resent units by close-LSN membership;
+        # data-frame LSNs may legitimately collide, as on a real wire).
         w.append(first - 4, pg.encode_stream_start(xid, xid not in seen_first))
         seen_first.add(xid)
         for gi, row in ch:
@@ -266,8 +291,13 @@ def write_two_phase_cdc_pair(
     """Render one change workload twice: plain v1 Begin..Commit
     transactions vs the ``two_phase`` protocol flavor.  Same
     ``(user_id, event_type, value)`` change semantics and identical
-    per-change LSNs as :func:`write_streamed_cdc_pair`; the two-phase
-    rendering:
+    per-change LSNs as :func:`write_streamed_cdc_pair`.  The v1
+    rendering delivers each chunk's transaction at its Commit Prepared
+    RESOLUTION position (change LSNs preserved) — what a real walsender
+    decoding the same WAL without ``two_phase`` emits, since a prepared
+    transaction only reaches a v1 subscriber once it commits — so keyed
+    last-writer-wins state ordered by ``(commit_lsn, lsn)`` must be
+    identical.  The two-phase rendering:
 
     * every chunk becomes a prepared transaction ('b'..DML..'P') whose
       Commit Prepared ('K') is DEFERRED — resolutions land after later
@@ -292,16 +322,32 @@ def write_two_phase_cdc_pair(
     poison_keys = sorted({r[0] for r in rows})[:10]
     n = len(rows)
 
+    # Resolution schedule shared by both renderings: after every second
+    # prepare the two oldest pending txs resolve OUT of prepare order
+    # (K for the newer first); a leftover chunk resolves at the end.
+    # [(xid, ts, chunk, resolution/commit LSN)] in resolution order.
+    schedule = []
+    pend = []
+    for ci, ch in enumerate(chunks):
+        pend.append((700 + ci, _T0 + timedelta(seconds=ci), ch))
+        if len(pend) >= 2:
+            for k, (pxid, pts, pch) in enumerate(reversed(pend[:2])):
+                schedule.append((pxid, pts, pch, lsn_of(ch[-1][0]) + 7 + k))
+            pend = pend[2:]
+    for k, (pxid, pts, pch) in enumerate(pend):
+        schedule.append((pxid, pts, pch, lsn_of(n) + 2 + k))
+
     # -- plain v1 rendering -------------------------------------------------
+    # Each chunk's transaction delivered whole at its RESOLUTION
+    # position (change LSNs preserved): a v1 subscriber sees a prepared
+    # transaction only when it commits.
     w = ReplayLogWriter(plain_path)
     w.append(100, pg.encode_relation(STREAMED_RELID, "public", "events_state", STREAMED_COLS))
-    for ci, ch in enumerate(chunks):
-        first, last = lsn_of(ch[0][0]), lsn_of(ch[-1][0])
-        ts = _T0 + timedelta(seconds=ci)
-        w.append(first - 5, pg.encode_begin(last + 5, ts, 700 + ci))
-        for gi, row in ch:
+    for pxid, pts, pch, res in schedule:
+        w.append(res - 5, pg.encode_begin(res, pts, pxid))
+        for gi, row in pch:
             w.append(lsn_of(gi), enc(row))
-        w.append(last + 5, pg.encode_commit(last + 5, last + 5, ts))
+        w.append(res, pg.encode_commit(res, res, pts))
     w.close()
 
     # -- two-phase rendering ------------------------------------------------

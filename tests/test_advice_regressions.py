@@ -236,3 +236,36 @@ def test_pkey_changing_update_splits_into_delete_insert(spark, tmp_path):
     rows = current_state(env).collect()
     assert sorted(r.key["id"] for r in rows) == ["9"]
     assert rows[0].after["json_data"] == '{"data": 100}'
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_registry_renumbers_versions_after_out_of_order_registration():
+    """A replayed R frame introducing a genuinely DIFFERENT schema at an
+    OLDER LSN must leave version numbers aligned with chain position
+    (sorted by first_lsn), so history-view suffixes track LSN-span order."""
+    reg = SchemaRegistry()
+    v2_rel = pg.decode_relation(
+        pg.encode_relation(901, "public", "t", [(True, "id", 23, -1), (False, "a", 25, -1)])
+    )
+    v1_rel = pg.decode_relation(
+        pg.encode_relation(901, "public", "t", [(True, "id", 23, -1)])
+    )
+    reg.register_relation(v2_rel, lsn=500)  # newer span registers first
+    reg.register_relation(v1_rel, lsn=100)  # replayed older span arrives late
+    chain = reg._versions[(reg.database, 901)]
+    assert [(v.version, v.first_lsn) for v in chain] == [(1, 100), (2, 500)]
+    assert len(reg.get_at_lsn(901, 150).column_definitions) == 1
+    assert len(reg.get_at_lsn(901, 600).column_definitions) == 2
+
+
+def test_truncated_logical_message_raises():
+    """An 'M' frame whose declared content length exceeds the remaining
+    buffer must raise (fail-fast contract), never return shortened content."""
+    whole = pg.encode_logical_message("px", b"hello world", msg_lsn=42)
+    assert pg.decode_message(whole).content == b"hello world"
+    with pytest.raises(ValueError, match="truncated logical message"):
+        pg.decode_message(whole[:-4])

@@ -639,6 +639,48 @@ def test_reconnect_resumes_from_lsn_without_duplicates(tmp_path):
     assert [e.op for e in events] == ["I", "U", "D", "I"]
 
 
+def test_reconnect_keeps_distinct_frames_sharing_one_lsn(tmp_path):
+    """Real walsenders emit multiple XLogData frames at one WAL position:
+    Relation/Type/Message frames reuse the following change's write
+    location, and Begin can share the first change's LSN.  The tailer must
+    NOT treat a second same-LSN frame as a resend duplicate — dedup is by
+    whole-unit close LSN, so equal-LSN data frames inside a unit survive,
+    across a mid-stream reconnect."""
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    relid = 19001
+    cols = [(True, "id", 23, -1), (False, "name", 25, -1)]
+    frames = [
+        # tx1: Begin, Relation and Insert all at LSN 110 (as on a real wire).
+        (110, pg.encode_begin(120, ts, 700)),
+        (110, pg.encode_relation(relid, "public", "people", cols)),
+        (110, pg.encode_insert(relid, ["1", "alice"])),
+        (120, pg.encode_commit(120, 120, ts)),
+        # tx2: Begin shares the first change's LSN again.
+        (210, pg.encode_begin(230, ts, 701)),
+        (210, pg.encode_insert(relid, ["2", "bob"])),
+        (220, pg.encode_update(relid, ["2", "bobby"])),
+        (230, pg.encode_commit(230, 230, ts)),
+    ]
+    srv = FakeWalsender(
+        auth="trust",
+        frames=frames,
+        slot_exists=True,
+        drop_after=5,  # dies mid-tx2: tx1 is in the log, tx2 partially buffered
+        drop_partial=True,
+        max_conns=2,
+    )
+    srv.start()
+    n, got, events, tailer, _ = _tail_and_decode(tmp_path, srv, max_reconnects=1)
+    assert tailer.reconnects == 1
+    assert n == len(frames)
+    assert got == frames  # every same-LSN frame survived, no dups, no gaps
+    assert [e.op for e in events] == ["I", "I", "U"]
+
+
 def test_start_replication_error_sqlstate_not_masked(tmp_path):
     """A non-42704 START_REPLICATION failure (insufficient_privilege) must
     surface as-is — NOT trigger the create-slot fallback that would bury
