@@ -19,6 +19,28 @@ from pypgcdc_spark.cdc.models import TableSchema
 from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
 
 
+def _copy_unescape_col(c):
+    """COPY text-format field → value, executor-side with built-in
+    functions (JVM, whole-stage codegen): the exact twin of
+    ``sources.pgwire._copy_unescape``.  ``\\\\`` is rewritten to a NUL
+    sentinel first (Postgres text values can never contain NUL), so an
+    escaped backslash followed by ``t`` correctly yields two literal
+    characters, not a TAB; the raw ``\\N`` marker (checked before any
+    unescaping) is NULL."""
+    x = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
+    for esc, ch in (
+        ("\\t", "\t"),
+        ("\\n", "\n"),
+        ("\\r", "\r"),
+        ("\\b", "\b"),
+        ("\\f", "\f"),
+        ("\\v", "\v"),
+    ):
+        x = F.replace(x, F.lit(esc), F.lit(ch))
+    x = F.replace(x, F.lit("\x00"), F.lit("\\"))
+    return F.when(c == F.lit("\\N"), F.lit(None).cast("string")).otherwise(x)
+
+
 class PgCdcEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -113,21 +135,40 @@ class PgCdcEngine:
         return names
 
     # -- sinks -------------------------------------------------------------
-    def bootstrap(self, seed_rows, schema: TableSchema, target_path: str) -> DataFrame:
-        """Seed the current-state table from a consistent snapshot — the
-        text-format tuples :meth:`WireReplicationTailer.initial_sync`
-        returns (COPY under the slot's exported snapshot).  Rows are typed
-        through the registered StructType and written to ``target_path``,
-        so a subsequent ``materialize(stream, schema, target_path, ...)``
+    def bootstrap(self, seed, schema: TableSchema, target_path: str) -> DataFrame:
+        """Seed the current-state table from a consistent snapshot, so a
+        subsequent ``materialize(stream, schema, target_path, ...)``
         merges the change stream exactly on top: the exported snapshot
-        guarantees no gap and no overlap (reference S2/S3)."""
+        guarantees no gap and no overlap (reference S2/S3).
+
+        ``seed`` is either a COPY spool — a directory path (or
+        :class:`~pypgcdc_spark.sources.pgwire.CopySpool`) produced by
+        ``WireReplicationTailer.initial_sync_to_spool`` — or, for small
+        tables/tests, a driver list of text-format tuples from
+        ``initial_sync``.
+
+        The spool path is the 100 TB one: chunk files become input
+        splits of a distributed ``spark.read.text``; COPY text parsing
+        (tab split, escape reversal, ``\\N`` → NULL) and typing through
+        the registered StructType run entirely executor-side with
+        built-in functions — the driver never materializes a row."""
         from pyspark.sql import types as T
 
         struct = schema.to_struct_type()
-        str_schema = T.StructType(
-            [T.StructField(f.name, T.StringType()) for f in struct.fields]
-        )
-        raw = self.spark.createDataFrame([tuple(r) for r in seed_rows], str_schema)
+        spool_dir = getattr(seed, "spool_dir", seed)
+        if isinstance(spool_dir, str):
+            fields = F.split(F.col("value"), "\t")
+            raw = self.spark.read.text(spool_dir).select(
+                *[
+                    _copy_unescape_col(fields.getItem(i)).alias(f.name)
+                    for i, f in enumerate(struct.fields)
+                ]
+            )
+        else:
+            str_schema = T.StructType(
+                [T.StructField(f.name, T.StringType()) for f in struct.fields]
+            )
+            raw = self.spark.createDataFrame([tuple(r) for r in seed], str_schema)
         typed = raw.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
         )

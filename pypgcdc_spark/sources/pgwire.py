@@ -26,6 +26,7 @@ import base64
 import hashlib
 import hmac
 import os
+import re
 import socket
 import struct
 from dataclasses import dataclass
@@ -320,16 +321,16 @@ class ReplicationClient:
             else:
                 raise ProtocolError(f"unexpected message {t!r} in simple query")
 
-    def copy_out(self, sql: str) -> List[Tuple[Optional[str], ...]]:
-        """``COPY ... TO STDOUT`` (text format): the consistent initial-
-        sync path — run under the exported snapshot of a freshly created
+    def copy_out_stream(self, sql: str, sink) -> int:
+        """``COPY ... TO STDOUT`` (text format), STREAMED: every CopyData
+        payload is handed to ``sink(bytes)`` as it arrives — the driver
+        never holds more than one protocol message of COPY data, so the
+        table's size is irrelevant to driver memory.  The consistent
+        initial-sync path (reference S3) at the scale this engine
+        claims: run under the exported snapshot of a freshly created
         replication slot, it reads each published table exactly at the
-        slot's consistent point, so the subsequent stream applies cleanly
-        on top (reference S3; psycopg2 does this with copy_expert).
-
-        Returns decoded rows; ``\\N`` unescapes to None, and the COPY
-        text escapes (backslash, tab, newline) are reversed.
-        """
+        slot's consistent point, so the subsequent stream applies
+        cleanly on top.  Returns the total bytes streamed."""
         write_message(self.sock, b"Q", sql.encode() + b"\x00")
         t, b = read_message(self.sock)
         if t == b"E":
@@ -341,11 +342,12 @@ class ReplicationClient:
             raise ProtocolError(f"COPY failed: {err}", fields=err)
         if t != b"H":  # CopyOutResponse
             raise ProtocolError(f"expected CopyOutResponse, got {t!r}")
-        buf = bytearray()
+        total = 0
         while True:
             t, b = read_message(self.sock)
             if t == b"d":
-                buf.extend(b)
+                sink(b)
+                total += len(b)
             elif t == b"c":  # CopyDone
                 break
             elif t == b"E":
@@ -362,6 +364,16 @@ class ReplicationClient:
             t, _ = read_message(self.sock)
             if t == b"Z":
                 break
+        return total
+
+    def copy_out(self, sql: str) -> List[Tuple[Optional[str], ...]]:
+        """Buffered convenience twin of :meth:`copy_out_stream` for
+        SMALL results (catalog queries, tests): decoded rows with COPY
+        text escapes reversed and ``\\N`` as None.  The bootstrap path
+        for real tables is the spooled one — see
+        :class:`CopySpool` / ``WireReplicationTailer.initial_sync_to_spool``."""
+        buf = bytearray()
+        self.copy_out_stream(sql, buf.extend)
         rows: List[Tuple[Optional[str], ...]] = []
         for line in buf.decode("utf-8").split("\n"):
             if not line:
@@ -484,6 +496,64 @@ class ReplicationClient:
                 pass
             self.sock.close()
             self.sock = None
+
+
+class CopySpool:
+    """Sink for :meth:`ReplicationClient.copy_out_stream` that spools
+    COPY text to rotating chunk files, cutting ONLY at row (newline)
+    boundaries so every chunk is a standalone set of complete COPY
+    lines — i.e. a valid Spark input split.
+
+    Driver memory is bounded by ``chunk_bytes`` plus one protocol
+    message regardless of table size (``max_buffered`` records the
+    observed peak, so tests can enforce the bound); the chunk files are
+    what a 1000-executor ``spark.read.text(spool_dir)`` parallelizes
+    over.  This is the 100 TB bootstrap path: the driver relays bytes
+    to disk, executors do ALL parsing/typing (api.bootstrap)."""
+
+    def __init__(self, spool_dir: str, chunk_bytes: int = 64 << 20):
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self.chunk_bytes = chunk_bytes
+        self.paths: List[str] = []
+        self.max_buffered = 0
+        self._buf = bytearray()
+
+    def __call__(self, data: bytes) -> None:
+        self._buf.extend(data)
+        self.max_buffered = max(self.max_buffered, len(self._buf))
+        if len(self._buf) >= self.chunk_bytes:
+            cut = self._buf.rfind(b"\n")
+            if cut >= 0:
+                self._write_chunk(bytes(self._buf[: cut + 1]))
+                del self._buf[: cut + 1]
+
+    def _write_chunk(self, data: bytes) -> None:
+        path = os.path.join(self.spool_dir, f"part-{len(self.paths):05d}.copy")
+        with open(path, "wb") as f:
+            f.write(data)
+        self.paths.append(path)
+
+    def close(self) -> List[str]:
+        """Flush the tail chunk; returns all chunk paths in order."""
+        if self._buf:
+            self._write_chunk(bytes(self._buf))
+            self._buf.clear()
+        return self.paths
+
+
+_SNAPSHOT_NAME_RE = re.compile(r"[0-9A-Fa-f-]+\Z")
+
+
+def _validate_snapshot_name(name: str) -> str:
+    """Exported snapshot names are ``XXXXXXXX-XXXXXXXX-N`` hex tokens;
+    the value travels into ``SET TRANSACTION SNAPSHOT '{name}'`` so it
+    must never carry quoting metacharacters (SURVEY §7.4 Q8: statements
+    are parameterized or validated — replication commands can't take
+    bind parameters, so this one is validated)."""
+    if not _SNAPSHOT_NAME_RE.match(name):
+        raise ProtocolError(f"suspicious exported snapshot name: {name!r}")
+    return name
 
 
 _COPY_ESCAPES = {"\\\\": "\\", "\\t": "\t", "\\n": "\n", "\\r": "\r", "\\b": "\b", "\\f": "\f", "\\v": "\v"}
@@ -733,22 +803,54 @@ class WireReplicationTailer:
         finally:
             writer.close()
 
-    def initial_sync(self, table: str, columns: Sequence[str]) -> List[Tuple[Optional[str], ...]]:
-        """Consistent initial table sync (reference S3): a SECOND
-        connection imports the replication slot's exported snapshot
-        (``SET TRANSACTION SNAPSHOT``) and ``COPY``s the table — every
-        row exactly at the slot's consistent point, so the stream that
+    def _snapshot_session(self) -> "ReplicationClient":
+        """A SECOND connection importing the replication slot's exported
+        snapshot (``SET TRANSACTION SNAPSHOT``) — reads on it see the
+        table exactly at the slot's consistent point, so the stream that
         follows applies cleanly on top with no gap and no overlap."""
         c = ReplicationClient(*self._conn_args)
         c.connect()
+        c.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        if self.snapshot_name:
+            name = _validate_snapshot_name(self.snapshot_name)
+            c.simple_query(f"SET TRANSACTION SNAPSHOT '{name}'")
+        return c
+
+    def initial_sync(self, table: str, columns: Sequence[str]) -> List[Tuple[Optional[str], ...]]:
+        """Consistent initial table sync (reference S3), BUFFERED: rows
+        land in a driver list — fine for small/medium tables and tests.
+        The scale path is :meth:`initial_sync_to_spool`."""
+        c = self._snapshot_session()
         try:
-            c.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
-            if self.snapshot_name:
-                c.simple_query(f"SET TRANSACTION SNAPSHOT '{self.snapshot_name}'")
             cols = ", ".join(columns)
             rows = c.copy_out(f"COPY (SELECT {cols} FROM {table}) TO STDOUT")
             c.simple_query("COMMIT")
             return rows
+        finally:
+            c.close()
+
+    def initial_sync_to_spool(
+        self,
+        table: str,
+        columns: Sequence[str],
+        spool_dir: str,
+        chunk_bytes: int = 64 << 20,
+    ) -> CopySpool:
+        """Consistent initial table sync (reference S3), DISTRIBUTED:
+        COPY bytes stream from the socket straight into rotating chunk
+        files (driver memory bounded by ``chunk_bytes`` + one message,
+        never by table size), which ``PgCdcEngine.bootstrap`` then
+        parses, types and writes as parquet entirely executor-side.
+        Returns the closed :class:`CopySpool` (``.paths``,
+        ``.max_buffered``)."""
+        c = self._snapshot_session()
+        try:
+            spool = CopySpool(spool_dir, chunk_bytes=chunk_bytes)
+            cols = ", ".join(columns)
+            c.copy_out_stream(f"COPY (SELECT {cols} FROM {table}) TO STDOUT", spool)
+            spool.close()
+            c.simple_query("COMMIT")
+            return spool
         finally:
             c.close()
 

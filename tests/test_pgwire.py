@@ -297,16 +297,21 @@ class FakeWalsender(threading.Thread):
                 write_message(conn, b"C", b"SET\x00")
                 write_message(conn, b"Z", b"T")
             elif sql.startswith("COPY"):
+                import itertools
                 import re as _re
 
                 table = _re.search(r"FROM\s+(\w+)", sql).group(1)
                 rows = self.copy_tables.get(table, [])
-                ncols = len(rows[0]) if rows else 0
+                if callable(rows):  # generator factory: big-table scenarios
+                    rows = rows()
+                it = iter(rows)
+                first = next(it, None)
+                ncols = len(first) if first is not None else 0
                 # CopyOutResponse: int8 overall format, int16 ncols, formats
                 write_message(
                     conn, b"H", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols
                 )
-                for row in rows:
+                for row in itertools.chain([first] if first is not None else [], it):
                     line = "\t".join(_copy_escape(v) for v in row) + "\n"
                     write_message(conn, b"d", line.encode())
                 write_message(conn, b"c")
@@ -972,3 +977,68 @@ def test_initial_sync_snapshot_plus_stream(tmp_path):
                 )
     assert sorted(state) == ["1", "2"]
     assert state["1"][4] == "seed\trow"
+
+
+def test_initial_sync_spooled_chunked(tmp_path):
+    """Distributed initial sync (VERDICT r5 #1): COPY bytes spool to
+    rotating chunk files cut at row boundaries; driver memory stays
+    bounded by chunk_bytes + one protocol message no matter how big the
+    table is (the buffering here is PYTHON driver memory — the bound is
+    asserted via the spool's observed peak, the process-level twin of a
+    low --driver-memory run)."""
+    srv = FakeWalsender(auth="trust", slot_exists=False, max_conns=2)
+    n_rows = 20_000
+
+    def big_table():
+        for i in range(n_rows):
+            yield (
+                str(i),
+                None if i % 7 == 0 else f'{{"v": {i}}}',
+                f"{i}.25",
+                None,
+                f"t{i}\tx\\y\nz" if i % 5 == 0 else f"plain {i}",
+            )
+
+    srv.copy_tables["integration"] = big_table
+    srv.start()
+    log = str(tmp_path / "sync.log")
+    tailer = WireReplicationTailer("127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log)
+    tailer.start()  # slot missing -> created, snapshot exported
+    chunk_bytes = 64 * 1024
+    spool = tailer.initial_sync_to_spool(
+        "integration",
+        ["id", "json_data", "amount", "updated_at", "text_data"],
+        str(tmp_path / "spool"),
+        chunk_bytes=chunk_bytes,
+    )
+    tailer.stop()
+    assert len(spool.paths) > 3  # genuinely chunked
+    # Driver memory bound: chunk buffer + one protocol message of slack.
+    assert spool.max_buffered <= chunk_bytes + 64 * 1024
+    assert srv.imported_snapshots == [tailer.snapshot_name]
+
+    # Every chunk ends on a row boundary and the concatenation parses to
+    # exactly the table (same driver-side unescape the buffered path uses).
+    from pypgcdc_spark.sources.pgwire import _copy_unescape
+
+    got = []
+    for p in spool.paths:
+        data = open(p, "rb").read()
+        assert data.endswith(b"\n")
+        for line in data.decode().split("\n"):
+            if line:
+                got.append(tuple(_copy_unescape(v) for v in line.split("\t")))
+    want = list(big_table())
+    assert len(got) == n_rows
+    assert got == [tuple(r) for r in want]
+
+
+def test_snapshot_name_validation(tmp_path):
+    """A malicious/corrupt exported snapshot name must never reach
+    SET TRANSACTION SNAPSHOT string interpolation (SURVEY §7.4 Q8)."""
+    from pypgcdc_spark.sources.pgwire import _validate_snapshot_name
+
+    assert _validate_snapshot_name("00000003-00000002-1") == "00000003-00000002-1"
+    for bad in ("snap'; DROP TABLE x; --", "a b", "", "snap\\x"):
+        with pytest.raises(ProtocolError, match="snapshot name"):
+            _validate_snapshot_name(bad)

@@ -1,0 +1,127 @@
+"""Round 6: distributed COPY initial sync (VERDICT r5 #1).
+
+The bootstrap path must not hold a table in driver memory: COPY bytes
+spool to chunk files over the wire, and ``PgCdcEngine.bootstrap`` loads
+them as a distributed text read with executor-side COPY parsing/typing —
+hash-matching the legacy driver-list path, and merging the subsequent
+change stream on top identically (exported-snapshot seed + stream =
+final state, reference S2/S3).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypgcdc_spark.api import PgCdcEngine
+from pypgcdc_spark.cdc import pgoutput as pg
+from pypgcdc_spark.cdc.registry import SchemaRegistry
+from pypgcdc_spark.testing import INTEGRATION_COLS, INTEGRATION_RELID, WorkloadWriter
+
+from test_pgwire import DB, USER, FakeWalsender, WireReplicationTailer
+
+N_ROWS = 20_000
+COLS = ["id", "json_data", "amount", "updated_at", "text_data"]
+
+
+def _table_rows():
+    """Synthetic big table in COPY text VALUES (None = SQL NULL), with
+    every escape family (tab, newline, backslash) sprinkled in."""
+    for i in range(N_ROWS):
+        yield (
+            str(i),
+            None if i % 7 == 0 else f'{{"v": {i}}}',
+            f"{(i * 13) % 9999}.{i % 100:02d}",
+            None if i % 3 == 0 else "2024-01-01 00:00:00+00",
+            f"t{i}\tx\\y\nz" if i % 5 == 0 else f"plain {i}",
+        )
+
+
+def _schema():
+    reg = SchemaRegistry()
+    reg.register_relation(
+        pg.decode_relation(
+            pg.encode_relation(INTEGRATION_RELID, "public", "integration", INTEGRATION_COLS)
+        ),
+        lsn=1,
+    )
+    return reg.get(INTEGRATION_RELID)
+
+
+@pytest.fixture(scope="module")
+def spool(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sync6")
+    srv = FakeWalsender(auth="trust", slot_exists=False, max_conns=2)
+    srv.copy_tables["integration"] = _table_rows
+    srv.start()
+    tailer = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", str(d / "sync.log")
+    )
+    tailer.start()
+    sp = tailer.initial_sync_to_spool(
+        "integration", COLS, str(d / "spool"), chunk_bytes=128 * 1024
+    )
+    tailer.stop()
+    assert srv.error is None
+    return sp
+
+
+def test_bootstrap_from_spool_matches_driver_list_path(spark, spool, tmp_path):
+    """Spooled (distributed) bootstrap == legacy driver-list bootstrap,
+    value for value through the typed StructType, and genuinely
+    parallel (more than one input partition)."""
+    assert len(spool.paths) > 3
+    engine = PgCdcEngine(spark)
+    schema = _schema()
+
+    spooled = engine.bootstrap(spool, schema, str(tmp_path / "t_spool"))
+    legacy = engine.bootstrap(list(_table_rows()), schema, str(tmp_path / "t_list"))
+
+    assert spooled.schema == legacy.schema
+    assert spooled.count() == N_ROWS
+    # The distributed read parallelizes over chunk files.
+    raw = spark.read.text(spool.spool_dir)
+    assert raw.rdd.getNumPartitions() > 1
+
+    a = sorted(spooled.collect(), key=lambda r: r.id)
+    b = sorted(legacy.collect(), key=lambda r: r.id)
+    assert a == b
+
+
+def test_spooled_seed_plus_stream_merge(spark, spool, tmp_path):
+    """Seed from the spool, then materialize a change stream on top —
+    the update/delete/insert merge lands on the distributed seed
+    exactly as it would on the legacy one."""
+    engine = PgCdcEngine(spark)
+    schema = _schema()
+    target = str(tmp_path / "state")
+    engine.bootstrap(spool, schema, target)
+
+    log = str(tmp_path / "changes.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx(
+        [
+            pg.encode_update(
+                INTEGRATION_RELID,
+                ["5", '{"v": -5}', "999.99", "2024-02-02 00:00:00+00", "updated"],
+            ),
+            pg.encode_delete(INTEGRATION_RELID, ["6", None, None, None, None]),
+            pg.encode_insert(
+                INTEGRATION_RELID,
+                [str(N_ROWS + 1), None, "1.00", None, "brand new"],
+            ),
+        ]
+    )
+    w.close()
+
+    engine.materialize(
+        engine.stream(log),
+        schema,
+        target,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    final = spark.read.parquet(target)
+    assert final.count() == N_ROWS  # +1 insert, -1 delete
+    assert final.filter(F.col("id") == 6).count() == 0
+    row5 = final.filter(F.col("id") == 5).collect()[0]
+    assert row5.text_data == "updated" and str(row5.amount) == "999.99"
+    assert final.filter(F.col("id") == N_ROWS + 1).count() == 1
