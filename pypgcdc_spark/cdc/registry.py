@@ -123,6 +123,15 @@ class SchemaRegistry:
 
     # -- persistence (checkpoint survival; the reference loses its registry
     # -- on restart and re-learns from Relation messages) -------------------
+    @property
+    def revision(self) -> int:
+        """Monotone mutation watermark: the total number of schema
+        versions across all relations.  Log scanning is deterministic,
+        so the registry content at revision N is identical no matter
+        how many times the scan is rebuilt — N keys a stable snapshot
+        (the offset watermark of the ``pgcdc`` source)."""
+        return sum(len(chain) for chain in self._versions.values())
+
     def dumps(self) -> str:
         return json.dumps(
             {

@@ -14,14 +14,19 @@ The stream emits the flat change-event envelope (``models.ENVELOPE_DDL``).
 Offset model (reference K2/K3, ``reader.py:139,161-163``):
 
 * an offset is ``{"pos": <byte offset at a tx boundary>, "lsn": <last
-  commit lsn>, "registry": <schema registry JSON>}``;
+  commit lsn>, "reg": <registry snapshot revision>}`` — O(1) bytes no
+  matter how many relations/schema versions the feed has seen, so
+  checkpoint writes never grow with schema history;
 * offsets only land on transaction boundaries, so every micro-batch holds
   whole Begin..Commit spans and the transform's tx context never crosses a
   partition;
-* the schema registry rides inside the offset, so a restart from
-  checkpoint restores table schemas without rescanning — the reference
-  instead re-learns from Relation messages and silently caches stale
-  schemas (Q4);
+* registry snapshots persist once per schema mutation to
+  ``<path>.registry.d/reg-<revision>.json``; a restart replaying a
+  checkpointed batch loads exactly the snapshot its offset names, so
+  table schemas restore without rescanning and later versions never
+  retype old ranges — the reference instead re-learns from Relation
+  messages and silently caches stale schemas (Q4).  Pre-r6 offsets
+  embedding ``"registry"`` JSON still resolve (back-compat);
 * ``commit(end)`` durably acks the offset to ``<path>.ack`` — the replay
   analog of ``send_feedback(flush_lsn)``; a live backend forwards it to
   the walsender so Postgres can recycle WAL.
@@ -141,6 +146,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # Incremental driver-side scan state (rebuilt lazily after restart).
         self._scanned_pos = 0
         self._registry = SchemaRegistry(database=self.database)
+        self._persisted_rev = 0  # highest registry snapshot on disk
         self._last_lsn = 0
         self._pending: List[Tuple[int, int]] = []  # whole-tx ranges not yet offered
         # Persistent boundary scanner: open stream/prepared spans live in
@@ -190,12 +196,56 @@ class PgCdcStreamReader(DataSourceStreamReader):
             return self._scanner.range_start
         return self._scanned_pos
 
+    # -- registry snapshot sidecar ---------------------------------------
+    # Offsets carry only a REVISION WATERMARK, not the registry JSON:
+    # with many relations × many versions an embedded registry makes
+    # every offset (and so every checkpoint write, every micro-batch)
+    # grow with schema history.  Snapshots persist once per mutation to
+    # `<log>.registry.d/reg-<revision>.json` (schema changes are rare;
+    # steady-state cost is zero), and a restart replaying a checkpointed
+    # batch loads exactly the snapshot its end offset names — not the
+    # current registry, whose later versions could retype old ranges.
+
+    def _registry_dir(self) -> str:
+        return self.path + ".registry.d"
+
+    def _persist_registry(self) -> None:
+        rev = self._registry.revision
+        if rev <= self._persisted_rev:
+            return
+        d = self._registry_dir()
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"reg-{rev:08d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._registry.dumps())
+        os.replace(tmp, final)  # atomic: readers never see a torn snapshot
+        self._persisted_rev = rev
+
+    def _registry_json_at(self, rev: int) -> str:
+        if rev <= 0:
+            return SchemaRegistry(self.database).dumps()
+        if rev == self._registry.revision:
+            return self._registry.dumps()
+        p = os.path.join(self._registry_dir(), f"reg-{rev:08d}.json")
+        with open(p) as f:
+            return f.read()
+
     def _offset(self, pos: int) -> dict:
-        return {"pos": pos, "lsn": self._last_lsn, "registry": self._registry.dumps()}
+        self._persist_registry()
+        return {"pos": pos, "lsn": self._last_lsn, "reg": self._registry.revision}
+
+    @staticmethod
+    def _offset_registry_ref(offset: dict):
+        """Back-compat: pre-r6 checkpoints embed the registry JSON under
+        'registry'; r6+ offsets name a snapshot revision under 'reg'."""
+        if offset.get("registry"):
+            return offset["registry"]
+        return int(offset.get("reg", 0))
 
     # -- DataSourceStreamReader contract ---------------------------------
     def initialOffset(self) -> dict:
-        return {"pos": 0, "lsn": 0, "registry": SchemaRegistry(self.database).dumps()}
+        return {"pos": 0, "lsn": 0, "reg": 0}
 
     def latestOffset(self) -> dict:
         self._scan_forward()
@@ -217,11 +267,13 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # The checkpointed start offset is authoritative: never re-offer
         # anything at or below it.
         self._offset_floor = max(self._offset_floor, int(start["pos"]))
+        ref = self._offset_registry_ref(end) or self._offset_registry_ref(start)
+        registry_json = ref if isinstance(ref, str) else self._registry_json_at(ref)
         return _plan_partitions(
             self.path,
             int(start["pos"]),
             int(end["pos"]),
-            end.get("registry") or start.get("registry") or SchemaRegistry().dumps(),
+            registry_json,
             self.database,
             self.num_partitions,
             self.on_decode_error,
