@@ -52,6 +52,31 @@ REV_PRIORITY = "9-REVISED"
 
 _JOIN_LOGS: dict = {}
 
+
+def _concurrently(collect_fn, write_fn):
+    """Run a bounded collect and a state write as concurrent Spark jobs
+    (both consume already-checkpointed blocks); returns the collect's
+    result, re-raising whichever side failed."""
+    import threading
+
+    err: list = []
+
+    def _run():
+        try:
+            write_fn()
+        except BaseException as e:  # propagate to the caller's thread
+            err.append(e)
+
+    t = threading.Thread(target=_run)
+    t.start()
+    try:
+        rows = collect_fn()
+    finally:
+        t.join()
+    if err:
+        raise err[0]
+    return rows
+
 A_SCHEMA = "lsn LONG, tbl STRING, orderkey LONG, linenumber LONG, custkey LONG, priority STRING, cents LONG"
 
 
@@ -122,30 +147,55 @@ def chunked_join_log(spark: SparkSession, sf_dir: str) -> str:
 
 
 class JoinViewMaintainer:
-    """ΔV = ΔA⋈B_old ∪ A_new⋈ΔB with retract/add aggregate upkeep."""
+    """ΔV = ΔA⋈B_old ∪ A_new⋈ΔB with retract/add aggregate upkeep.
+
+    Per-batch cost discipline (r6: the r5 shape spent ~6 driver-visible
+    Spark actions per micro-batch, each dragging several tiny AQE stages
+    — at toy scale the per-stage fixed cost dominated the wall):
+
+    * the ENTIRE delta rule evaluates as ONE co-partitioned wide
+      full-outer join W on ``orderkey`` (old A ⟗ batch A ⟗ old B sums ⟗
+      batch B sums): after the first exchange everything downstream
+      reuses the orderkey hash partitioning, and W materializes exactly
+      once per batch (``localCheckpoint`` — which also severs
+      read-own-write lineage on the state path it came from);
+    * A-rows and B-sums state live in ONE parquet dataset partitioned by
+      ``(tbl, bucket)``; a batch commits with a single
+      dynamic-partition-overwrite write of narrow projections of the
+      checkpointed W — only the touched partitions are replaced;
+    * state reads prune buckets via a broadcast join with the batch's
+      bucket set (runtime partition pruning), so the driver never
+      collects bucket ids;
+    * the maintained aggregate is priorities × counters — metadata-sized
+      — so it lives as driver rows (one bounded collect per batch), not
+      as per-batch parquet versions;
+    * B-state is the per-orderkey partial aggregate ``(b_n, b_cents)``
+      the delta join actually consumes — group-aggregate IVM state,
+      bounded by #orders, not #lines; raw-line state would only be
+      needed if individual lines could retract, which order lines
+      (immutable facts) never do.
+    """
 
     AGG_SCHEMA = "priority STRING, n_lines LONG, total_cents LONG"
+    A_COLS = "orderkey LONG, custkey LONG, priority STRING, lsn LONG"
+    B_COLS = "orderkey LONG, b_n LONG, b_cents LONG"
 
     def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_BUCKETS):
         self.spark = spark
         self.work = work_dir
         self.n_buckets = n_buckets
-        self._has_a = False
-        self._has_b = False
-        # The maintained aggregate is priorities × counters — metadata-
-        # sized — so it lives as driver rows instead of a parquet file per
-        # version: the r04 review flagged the write-then-read round-trip
-        # (2 jobs/batch) as pure fixed overhead.
+        self._has_state = False
         self._agg_rows: list = []
 
-    def _read_state(self, path: str, has: bool, schema: str, buckets) -> DataFrame:
-        if not has:
-            return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.parquet(path)
-            .filter(F.col("bucket").isin(list(buckets)))
-            .drop("bucket")
-        )
+    def _read_part(self, tbl: str, cols: str, batch_buckets=None) -> DataFrame:
+        """One logical table out of the unified state dataset, bucket-
+        pruned at runtime by the batch's bucket set (no driver collect)."""
+        if not self._has_state:
+            return self.spark.createDataFrame([], cols)
+        df = self.spark.read.parquet(f"{self.work}/state").filter(F.col("tbl") == tbl)
+        if batch_buckets is not None:
+            df = df.join(F.broadcast(batch_buckets), "bucket")
+        return df.select(*[c.split()[0] for c in cols.split(", ")])
 
     def _read_agg(self) -> DataFrame:
         return self.spark.createDataFrame(self._agg_rows, self.AGG_SCHEMA)
@@ -155,148 +205,212 @@ class JoinViewMaintainer:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.join.preferSortMergeJoin",
+            )
+        }
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Per-batch data is bucket-sized: right-size the tiny shuffles to
+        # the bucket count and prefer shuffled-hash joins (no sort) —
+        # at real scale a deployment sets these to its cluster's shape.
+        conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
+        conf.set("spark.sql.join.preferSortMergeJoin", "false")
         bucket = (F.col("orderkey") % self.n_buckets).cast("int")
-
-        # The micro-batch feeds five consumers (touched-bucket scan, ΔA
-        # dedup, ΔA retract join, ΔB join, B-state append) — cache it once
-        # instead of re-scanning the batch file per job.
-        batch_df = batch_df.persist()
         try:
             self._apply(batch_df, bucket)
         finally:
-            batch_df.unpersist()
+            for k, v in saved.items():
+                conf.set(k, v)
 
     def _apply(self, batch_df: DataFrame, bucket) -> None:
-        spark = self.spark
-        # Bounded driver metadata: touched bucket ids only.
-        touched = [
-            r[0] for r in batch_df.select(bucket.alias("b")).distinct().collect()
-        ]
-        if not touched:
-            return
+        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
+        a_old = self._read_part("A", self.A_COLS, batch_buckets)
+        b_old = self._read_part("B", self.B_COLS, batch_buckets)
 
-        a_old = self._read_state(
-            f"{self.work}/a_state",
-            self._has_a,
-            "orderkey LONG, custkey LONG, priority STRING, lsn LONG",
-            touched,
-        )
-        b_old = self._read_state(
-            f"{self.work}/b_state",
-            self._has_b,
-            "orderkey LONG, linenumber LONG, cents LONG, lsn LONG",
-            touched,
-        )
+        # The whole per-key reconciliation is ONE aggregation, not a join
+        # tree: old A-state, the batch's A rows, old B-sums and the
+        # batch's B rows stack into one tall frame tagged by source, and
+        # a single groupBy(orderkey) — map-side partial aggregation, one
+        # shuffle — extracts per key the old A row (conditional max_by),
+        # the batch's NEWEST A row (max_by over lsn, which also subsumes
+        # the within-batch dedup), and both B partial sums.  The
+        # cross-batch LSN guard (hash chunking delivers keys out of
+        # global LSN order) is the `eff` flag below.
+        nul = F.lit(None)
 
-        # Latest version per key WITHIN the batch (max_by gets a map-side
-        # partial aggregate — the window formulation shuffled every A row),
-        # then the cross-batch LSN guard (stale rows dropped — hash
-        # chunking delivers keys out of global LSN order).
-        da = (
-            batch_df.filter(F.col("tbl") == "A")
-            .groupBy("orderkey")
-            .agg(
-                F.max_by(F.struct("custkey", "priority", "lsn"), F.col("lsn")).alias("v")
-            )
-            .select("orderkey", "v.custkey", "v.priority", "v.lsn")
-        )
-        da_eff = (
-            da.join(
-                a_old.select(
-                    "orderkey",
-                    F.col("priority").alias("old_priority"),
-                    F.col("lsn").alias("old_lsn"),
-                ),
+        def tagged(df, src, lsn, custkey, priority, n, cents):
+            return df.select(
                 "orderkey",
-                "left",
+                F.lit(src).alias("src"),
+                lsn.cast("long").alias("lsn"),
+                custkey.cast("long").alias("custkey"),
+                priority.cast("string").alias("priority"),
+                n.cast("long").alias("n"),
+                cents.cast("long").alias("cents"),
             )
-            .filter(F.col("lsn") > F.coalesce(F.col("old_lsn"), F.lit(-1)))
-            # Not checkpointed: cheap to recompute, and a_new (which IS
-            # checkpointed before the state overwrite) covers the
-            # read-own-write hazard.
+
+        tall = (
+            tagged(a_old, "OA", F.col("lsn"), F.col("custkey"), F.col("priority"), nul, nul)
+            .unionByName(
+                tagged(
+                    batch_df.filter(F.col("tbl") == "A"),
+                    "NA",
+                    F.col("lsn"),
+                    F.col("custkey"),
+                    F.col("priority"),
+                    nul,
+                    nul,
+                )
+            )
+            .unionByName(tagged(b_old, "OB", nul, nul, nul, F.col("b_n"), F.col("b_cents")))
+            .unionByName(
+                tagged(
+                    batch_df.filter(F.col("tbl") == "B"),
+                    "NB",
+                    nul,
+                    nul,
+                    nul,
+                    F.lit(1),
+                    F.col("cents"),
+                )
+            )
         )
-        # B is APPEND-ONLY fact rows (order lines are immutable; the
-        # fixture's (orderkey, linenumber) is not even unique, so there
-        # is no per-line upsert key) — dB is simply the batch's B rows.
-        db_eff = (
-            batch_df.filter(F.col("tbl") == "B")
-            .select("orderkey", "linenumber", "cents", "lsn")
+        is_src = lambda s: F.when(F.col("src") == s, F.col("lsn"))  # noqa: E731
+        w = tall.groupBy("orderkey").agg(
+            F.max_by(F.struct("custkey", "priority", "lsn"), is_src("OA")).alias("old"),
+            F.max_by(F.struct("custkey", "priority", "lsn"), is_src("NA")).alias("new"),
+            F.sum(F.when(F.col("src") == "OB", F.col("n"))).alias("b_n"),
+            F.sum(F.when(F.col("src") == "OB", F.col("cents"))).alias("b_cents"),
+            F.sum(F.when(F.col("src") == "NB", F.col("n"))).alias("db_n"),
+            F.sum(F.when(F.col("src") == "NB", F.col("cents"))).alias("db_cents"),
         )
 
-        # -- ΔA ⋈ B_old: retract the old joined contribution, add the new
-        b_old_sums = b_old.groupBy("orderkey").agg(
-            F.count(F.lit(1)).alias("b_n"), F.sum("cents").alias("b_cents")
+        eff = F.col("new.lsn").isNotNull() & (
+            F.col("new.lsn") > F.coalesce(F.col("old.lsn"), F.lit(-1))
         )
-        a_join = da_eff.join(b_old_sums, "orderkey", "left").select(
+        cur = F.when(eff, F.col("new")).otherwise(F.col("old"))
+        w = w.select(
             "orderkey",
-            "priority",
-            "old_priority",
-            F.coalesce("b_n", F.lit(0)).alias("b_n"),
-            F.coalesce("b_cents", F.lit(0)).alias("b_cents"),
+            eff.alias("eff"),
+            cur["priority"].alias("cur_priority"),
+            cur["custkey"].alias("cur_custkey"),
+            cur["lsn"].alias("cur_lsn"),
+            F.col("old.priority").alias("old_priority"),
+            F.coalesce("b_n", F.lit(0)).alias("b_n0"),
+            F.coalesce("b_cents", F.lit(0)).alias("b_c0"),
+            F.coalesce("db_n", F.lit(0)).alias("dn"),
+            F.coalesce("db_cents", F.lit(0)).alias("dc"),
+        ).localCheckpoint(eager=True)
+        # W materializes exactly ONCE (a cache/persist would let the
+        # union branches below race the first fill and recompute the
+        # aggregation concurrently); the checkpoint also severs lineage
+        # on the state path, so the overwrite below is hazard-free.
+
+        a_new = w.filter(F.col("cur_priority").isNotNull()).select(
+            "orderkey",
+            F.col("cur_custkey").alias("custkey"),
+            F.col("cur_priority").alias("priority"),
+            F.col("cur_lsn").alias("lsn"),
         )
-        delta_a = a_join.filter(F.col("old_priority").isNotNull()).select(
-            F.col("old_priority").alias("priority"),
-            (-F.col("b_n")).alias("d_n"),
-            (-F.col("b_cents")).alias("d_cents"),
-        ).unionByName(
-            a_join.select(
-                "priority", F.col("b_n").alias("d_n"), F.col("b_cents").alias("d_cents")
-            )
+        b_new = w.filter(F.col("b_n0") + F.col("dn") > 0).select(
+            "orderkey",
+            (F.col("b_n0") + F.col("dn")).alias("b_n"),
+            (F.col("b_c0") + F.col("dc")).alias("b_cents"),
         )
 
-        # -- new A-state (needed before ΔB joins it)
-        a_new = (
-            a_old.join(da_eff.select("orderkey", F.lit(1).alias("_r")), "orderkey", "left_anti")
-            .unionByName(da_eff.select("orderkey", "custkey", "priority", "lsn"))
-            .localCheckpoint(eager=True)
+        # Per-order delta contributions, straight from W (the delta-join
+        # rule, row-local): an effective A change retracts its old joined
+        # contribution against B_old and adds the new one; batch B sums
+        # contribute to the CURRENT priority (A_new ⋈ ΔB — lines whose A
+        # has not arrived yet contribute nothing now; the later
+        # A-arrival's add, computed over B-state, picks them up).
+        contrib = F.array(
+            F.when(
+                F.col("eff") & F.col("old_priority").isNotNull(),
+                F.struct(
+                    F.col("old_priority").alias("priority"),
+                    (-F.col("b_n0")).alias("d_n"),
+                    (-F.col("b_c0")).alias("d_cents"),
+                ),
+            ),
+            F.when(
+                F.col("eff"),
+                F.struct(
+                    F.col("cur_priority").alias("priority"),
+                    F.col("b_n0").alias("d_n"),
+                    F.col("b_c0").alias("d_cents"),
+                ),
+            ),
+            F.when(
+                F.col("cur_priority").isNotNull() & (F.col("dn") > 0),
+                F.struct(
+                    F.col("cur_priority").alias("priority"),
+                    F.col("dn").alias("d_n"),
+                    F.col("dc").alias("d_cents"),
+                ),
+            ),
         )
-
-        # -- A_new ⋈ ΔB: every appended line contributes to the CURRENT
-        # priority (lines whose A has not arrived yet contribute nothing
-        # now — the later A-arrival's add, computed over B-state, picks
-        # them up)
-        delta_b = (
-            db_eff.join(a_new.select("orderkey", "priority"), "orderkey")
-            .select(
-                "priority",
-                F.lit(1).cast("long").alias("d_n"),
-                F.col("cents").alias("d_cents"),
-            )
-        )
-
-        # -- fold deltas into the (metadata-sized) aggregate
         deltas = (
-            delta_a.unionByName(delta_b)
+            w.select(F.explode(contrib).alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select("c.priority", "c.d_n", "c.d_cents")
             .groupBy("priority")
             .agg(F.sum("d_n").alias("d_n"), F.sum("d_cents").alias("d_cents"))
         )
-        agg_new = self._read_agg().join(deltas, "priority", "full_outer").select(
-            "priority",
-            (F.coalesce("n_lines", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
-                "n_lines"
-            ),
-            (
-                F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
-            ).alias("total_cents"),
+        agg_new = (
+            self._read_agg()
+            .join(deltas, "priority", "full_outer")
+            .select(
+                "priority",
+                (F.coalesce("n_lines", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                    "n_lines"
+                ),
+                (
+                    F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+                ).alias("total_cents"),
+            )
         )
-        # Bounded collect (priorities × counters); replaces the per-batch
-        # checkpoint + parquet write + re-read of earlier rounds.
-        self._agg_rows = agg_new.collect()
-
-        # -- state writes. A: only the touched buckets are replaced.
-        a_new.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{self.work}/a_state")
-        self._has_a = True
-        # B is append-only fact state: append just the batch's delta rows
-        # to their bucket partitions — no bucket rewrite, no checkpoint,
-        # no read-own-write hazard, and the 100 TB-correct shape (an
-        # append-only fact log should never be rewritten in place).
-        db_eff.withColumn("bucket", bucket).write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(f"{self.work}/b_state")
-        self._has_b = True
+        # -- single commit: A-rows and B-sums (narrow projections of the
+        # checkpointed W) union into one frame; ONE dynamic partition
+        # overwrite replaces exactly the touched partitions.
+        n = F.lit(None)
+        unified = a_new.select(
+            F.lit("A").alias("tbl"),
+            bucket.alias("bucket"),
+            "orderkey",
+            "custkey",
+            "priority",
+            "lsn",
+            n.cast("long").alias("b_n"),
+            n.cast("long").alias("b_cents"),
+        ).unionByName(
+            b_new.select(
+                F.lit("B").alias("tbl"),
+                bucket.alias("bucket"),
+                "orderkey",
+                n.cast("long").alias("custkey"),
+                n.cast("string").alias("priority"),
+                n.cast("long").alias("lsn"),
+                "b_n",
+                "b_cents",
+            )
+        )
+        # The delta fold (bounded collect: priorities × counters — the
+        # maintained aggregate is metadata-sized driver state, not a
+        # parquet file) and the state write both stream from checkpointed
+        # W blocks and depend on nothing of each other: run them as
+        # concurrent Spark jobs.
+        self._agg_rows = _concurrently(
+            lambda: agg_new.collect(),
+            lambda: unified.write.mode("overwrite")
+            .partitionBy("tbl", "bucket")
+            .parquet(f"{self.work}/state"),
+        )
+        self._has_state = True
 
 
 @query(
@@ -341,8 +455,9 @@ def cdc_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        # The maintained aggregate lives as driver rows — the returned
-        # DataFrame has no dependency on the (deleted) work dir.
-        return maint.aggregate()
+        # Materialize the (metadata-sized) aggregate before the work dir
+        # is removed — the only driver collect in the whole operator.
+        rows = maint.aggregate().collect()
+        return spark.createDataFrame(rows, JoinViewMaintainer.AGG_SCHEMA)
     finally:
         shutil.rmtree(work, ignore_errors=True)
