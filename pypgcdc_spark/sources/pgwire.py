@@ -107,13 +107,26 @@ def _cstr(b: bytes) -> str:
 
 
 class ScramClient:
-    def __init__(self, user: str, password: str, nonce: Optional[str] = None):
+    def __init__(
+        self,
+        user: str,
+        password: str,
+        nonce: Optional[str] = None,
+        cbind_data: Optional[bytes] = None,
+    ):
         self.password = password
         # Per RFC 5802 the server ignores the authzid/username here (pg
         # uses the startup user); send n= empty like libpq does.
         self.nonce = nonce or base64.b64encode(os.urandom(18)).decode()
         self.client_first_bare = f"n=,r={self.nonce}"
-        self.client_first = "n,," + self.client_first_bare
+        # Channel binding (RFC 5802 §6 / RFC 5929): with ``cbind_data``
+        # (the tls-server-end-point hash of the server certificate) the
+        # gs2 header advertises binding and the final message's c=
+        # carries gs2-header + binding data — SCRAM-SHA-256-PLUS.
+        # Without it, 'n,,' / c=biws (plain SCRAM-SHA-256).
+        self.cbind_data = cbind_data
+        self.gs2 = "p=tls-server-end-point,," if cbind_data is not None else "n,,"
+        self.client_first = self.gs2 + self.client_first_bare
         self._auth_message: Optional[str] = None
         self._server_signature: Optional[bytes] = None
 
@@ -131,7 +144,10 @@ class ScramClient:
         )
         client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
         stored_key = hashlib.sha256(client_key).digest()
-        client_final_bare = f"c=biws,r={server_nonce}"
+        cbind = base64.b64encode(
+            self.gs2.encode() + (self.cbind_data or b"")
+        ).decode()
+        client_final_bare = f"c={cbind},r={server_nonce}"
         self._auth_message = ",".join([self.client_first_bare, sf, client_final_bare])
         client_sig = hmac.new(
             stored_key, self._auth_message.encode(), hashlib.sha256
@@ -149,6 +165,27 @@ class ScramClient:
             raise ProtocolError(f"SCRAM final message missing verifier: {parts}")
         if base64.b64decode(parts["v"]) != self._server_signature:
             raise ProtocolError("SCRAM server signature mismatch (wrong server?)")
+
+
+def tls_server_end_point(cert_der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point channel binding: hash of the server
+    certificate, using the certificate's own signature hash algorithm —
+    with MD5/SHA-1 upgraded to SHA-256, as the RFC (and PostgreSQL's
+    be-secure implementation) require.  Falls back to SHA-256 when the
+    optional ``cryptography`` package (used only to read the signature
+    algorithm) is unavailable — correct for every certificate a modern
+    deployment issues."""
+    algo = "sha256"
+    try:
+        from cryptography import x509
+
+        cert = x509.load_der_x509_certificate(cert_der)
+        name = (cert.signature_hash_algorithm.name or "sha256").lower()
+        if name not in ("md5", "sha1"):
+            algo = name
+    except Exception:
+        pass
+    return hashlib.new(algo, cert_der).digest()
 
 
 def md5_password_response(user: str, password: str, salt: bytes) -> bytes:
@@ -194,19 +231,55 @@ class ReplicationClient:
         database: str,
         password: str = "",
         timeout: float = 10.0,
+        sslmode: str = "disable",
+        ssl_context=None,
     ):
         self.host, self.port = host, port
         self.user, self.database, self.password = user, database, password
         self.timeout = timeout
+        self.sslmode = sslmode  # disable | prefer | require
+        self.ssl_context = ssl_context
         self.sock: Optional[socket.socket] = None
         self.parameters: Dict[str, str] = {}
         self.streaming = False
+        self._tls = False
+        self._server_cert_der: Optional[bytes] = None
 
     # -- connection & auth -------------------------------------------------
+
+    def _negotiate_tls(self) -> None:
+        """SSLRequest dance (PG docs 55.2.10): magic 80877103; the server
+        answers one raw byte — 'S' (proceed with TLS) or 'N' (refused).
+        ``sslmode=prefer`` falls back to plaintext on 'N'; ``require``
+        raises."""
+        import ssl
+
+        self.sock.sendall(struct.pack(">ii", 8, 80877103))
+        answer = _recv_exact(self.sock, 1)
+        if answer == b"N":
+            if self.sslmode == "require":
+                raise ProtocolError("server refused TLS but sslmode=require")
+            return
+        if answer != b"S":
+            raise ProtocolError(f"unexpected SSLRequest answer {answer!r}")
+        ctx = self.ssl_context
+        if ctx is None:
+            # Like libpq's sslmode=require: encrypted, cert NOT verified
+            # (verification tiers — verify-ca/verify-full — take a
+            # caller-supplied context with a CA bundle).
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        self.sock = ctx.wrap_socket(self.sock, server_hostname=self.host)
+        self.sock.settimeout(self.timeout)
+        self._tls = True
+        self._server_cert_der = self.sock.getpeercert(binary_form=True)
 
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port), self.timeout)
         self.sock.settimeout(self.timeout)
+        if self.sslmode != "disable":
+            self._negotiate_tls()
         params = {
             "user": self.user,
             "database": self.database,
@@ -251,14 +324,24 @@ class ReplicationClient:
             )
         elif code == AUTH_SASL:
             mechanisms = [m for m in b[4:].split(b"\x00") if m]
-            if b"SCRAM-SHA-256" not in mechanisms:
+            # Over TLS, prefer the channel-binding mechanism (like libpq):
+            # the tls-server-end-point hash of the server certificate is
+            # woven into the SCRAM exchange, so a MITM terminating TLS
+            # with its own certificate fails authentication even with the
+            # right password.  On plaintext, -PLUS must never be picked.
+            cbind = None
+            mech = b"SCRAM-SHA-256"
+            if self._tls and b"SCRAM-SHA-256-PLUS" in mechanisms:
+                cbind = tls_server_end_point(self._server_cert_der)
+                mech = b"SCRAM-SHA-256-PLUS"
+            elif b"SCRAM-SHA-256" not in mechanisms:
                 raise ProtocolError(f"no supported SASL mechanism in {mechanisms}")
-            scram = ScramClient(self.user, self.password)
+            scram = ScramClient(self.user, self.password, cbind_data=cbind)
             first = scram.first_message()
             write_message(
                 self.sock,
                 b"p",
-                b"SCRAM-SHA-256\x00" + struct.pack(">i", len(first)) + first,
+                mech + b"\x00" + struct.pack(">i", len(first)) + first,
             )
             t2, b2 = read_message(self.sock)
             if t2 == b"E":
@@ -517,6 +600,7 @@ class CopySpool:
         self.chunk_bytes = chunk_bytes
         self.paths: List[str] = []
         self.max_buffered = 0
+        self.retries = 0
         self._buf = bytearray()
 
     def __call__(self, data: bytes) -> None:
@@ -540,6 +624,18 @@ class CopySpool:
             self._write_chunk(bytes(self._buf))
             self._buf.clear()
         return self.paths
+
+    def discard(self) -> None:
+        """Remove every spooled chunk and reset — a COPY interrupted
+        mid-stream has no resume offset, so a retry restarts the table
+        from scratch under the same exported snapshot."""
+        for p in self.paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self.paths = []
+        self._buf.clear()
 
 
 _SNAPSHOT_NAME_RE = re.compile(r"[0-9A-Fa-f-]+\Z")
@@ -648,9 +744,12 @@ class WireReplicationTailer:
         proto_version: int = 1,
         streaming: bool = False,
         two_phase: bool = False,
+        sslmode: str = "disable",
+        ssl_context=None,
     ):
         self._conn_args = (host, port, user, database, password)
-        self.client = ReplicationClient(*self._conn_args)
+        self._conn_kwargs = {"sslmode": sslmode, "ssl_context": ssl_context}
+        self.client = ReplicationClient(*self._conn_args, **self._conn_kwargs)
         self.publication_name = publication_name
         self.slot_name = slot_name
         self.log_path = log_path
@@ -792,7 +891,9 @@ class WireReplicationTailer:
                         raise
                     self.reconnects += 1
                     self.client.close()
-                    self.client = ReplicationClient(*self._conn_args)
+                    self.client = ReplicationClient(
+                        *self._conn_args, **self._conn_kwargs
+                    )
                     # The partial unit is re-sent in full from the resume
                     # point — discard the buffer and re-scan boundaries.
                     unit_buf = []
@@ -808,7 +909,7 @@ class WireReplicationTailer:
         snapshot (``SET TRANSACTION SNAPSHOT``) — reads on it see the
         table exactly at the slot's consistent point, so the stream that
         follows applies cleanly on top with no gap and no overlap."""
-        c = ReplicationClient(*self._conn_args)
+        c = ReplicationClient(*self._conn_args, **self._conn_kwargs)
         c.connect()
         c.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ")
         if self.snapshot_name:
@@ -835,24 +936,39 @@ class WireReplicationTailer:
         columns: Sequence[str],
         spool_dir: str,
         chunk_bytes: int = 64 << 20,
+        max_retries: int = 0,
     ) -> CopySpool:
         """Consistent initial table sync (reference S3), DISTRIBUTED:
         COPY bytes stream from the socket straight into rotating chunk
         files (driver memory bounded by ``chunk_bytes`` + one message,
         never by table size), which ``PgCdcEngine.bootstrap`` then
         parses, types and writes as parquet entirely executor-side.
-        Returns the closed :class:`CopySpool` (``.paths``,
-        ``.max_buffered``)."""
-        c = self._snapshot_session()
-        try:
-            spool = CopySpool(spool_dir, chunk_bytes=chunk_bytes)
-            cols = ", ".join(columns)
-            c.copy_out_stream(f"COPY (SELECT {cols} FROM {table}) TO STDOUT", spool)
-            spool.close()
-            c.simple_query("COMMIT")
-            return spool
-        finally:
-            c.close()
+
+        A connection dropped mid-COPY has no resume offset: with
+        ``max_retries`` > 0 the partial spool is discarded and the COPY
+        restarts on a FRESH connection importing the SAME exported
+        snapshot (valid as long as the replication connection that
+        exported it lives), so the retried sync still lands exactly at
+        the slot's consistent point.  Returns the closed
+        :class:`CopySpool` (``.paths``, ``.max_buffered``,
+        ``.retries``)."""
+        spool = CopySpool(spool_dir, chunk_bytes=chunk_bytes)
+        spool.retries = 0
+        cols = ", ".join(columns)
+        while True:
+            c = self._snapshot_session()
+            try:
+                c.copy_out_stream(f"COPY (SELECT {cols} FROM {table}) TO STDOUT", spool)
+                spool.close()
+                c.simple_query("COMMIT")
+                return spool
+            except (ProtocolError, OSError):
+                if spool.retries >= max_retries:
+                    raise
+                spool.retries += 1
+                spool.discard()
+            finally:
+                c.close()
 
     def stop(self) -> None:
         self.client.close()
