@@ -137,6 +137,12 @@ NEW_OPS_R5 = [
     "session_window_dynamic_gap",
 ]
 
+# Round-6 operators — separate sum (`value_new_ops_r6`), merged into
+# `queries`.
+NEW_OPS_R6 = [
+    "source_copy_bootstrap_parity",
+]
+
 
 def decode_throughput_vs_reference(
     n_rows: int = 2000,
@@ -213,7 +219,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5:
+        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6:
             try:
                 REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -232,7 +238,7 @@ def main():
 
     timings = {}
     failed = []
-    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5:
+    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -279,6 +285,7 @@ def main():
     total_new_r3 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R3), 3)
     total_new_r4 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R4), 3)
     total_new_r5 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R5), 3)
+    total_new_r6 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R6), 3)
     full = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -287,6 +294,7 @@ def main():
         "value_new_ops_r3": total_new_r3,
         "value_new_ops_r4": total_new_r4,
         "value_new_ops_r5": total_new_r5,
+        "value_new_ops_r6": total_new_r6,
         "failed": failed,
         "queries": timings,
         "streaming_steady_state": streaming,

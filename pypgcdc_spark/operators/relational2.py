@@ -1061,3 +1061,109 @@ def source_orc_parity(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "source_copy_bootstrap_parity",
+    oracle="""
+    -- Distributed COPY-text bootstrap parity (round 6): 400 documents
+    -- rendered to PostgreSQL COPY text format (tab/newline/backslash
+    -- escaped, \\N for NULL), spooled in row-aligned chunks, then parsed
+    -- and typed ENTIRELY executor-side (PgCdcEngine.bootstrap) — the
+    -- per-lang stats over the decoded values must equal this direct
+    -- recompute.  body embeds a tab, a newline and a backslash per row,
+    -- and source is NULL for every 7th doc, so any escaping or NULL
+    -- defect shifts total_chars / n_null_source and flips the hash.
+    WITH prefix AS (
+      SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id LIMIT 400
+    ), rendered AS (
+      SELECT doc_id,
+             text || chr(9) || lang || chr(10) || '\\' AS body,
+             lang,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source
+      FROM prefix
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(body)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_source,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM rendered GROUP BY lang
+    """,
+)
+def source_copy_bootstrap_parity(spark, sf_dir):
+    """The initial-sync bridge gated end-to-end: document rows render to
+    COPY text exactly as a walsender-side COPY emits them
+    (``_copy_escape``), spool into row-aligned chunks
+    (:class:`~pypgcdc_spark.sources.pgwire.CopySpool`), and come back
+    through ``PgCdcEngine.bootstrap`` — a distributed ``spark.read.text``
+    whose tab-split, escape-reversal (NUL-sentinel) and ``\\N``-NULL
+    logic run as built-in JVM functions executor-side.  Driver work is
+    bounded: 400 collected rows render the spool (the same driver budget
+    the CDC log-synthesis queries use); at production scale the spool
+    arrives over the wire (``initial_sync_to_spool``) with the driver
+    relaying bytes only.
+
+    Escape coverage: every body embeds a literal tab, newline and
+    backslash; every 7th source is SQL NULL."""
+    import shutil
+    import tempfile
+
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.queries import load
+    from pypgcdc_spark.sources.pgwire import CopySpool, _copy_escape
+
+    (docs,) = load(spark, sf_dir, "documents")
+    prefix = (
+        docs.orderBy("doc_id").limit(400).select("doc_id", "text", "lang", "source").collect()
+    )
+    work = tempfile.mkdtemp(prefix="copyboot_")
+    try:
+        spool = CopySpool(f"{work}/spool", chunk_bytes=16 * 1024)
+        for r in prefix:
+            body = f"{r.text}\t{r.lang}\n\\"
+            source = None if r.doc_id % 7 == 0 else r.source
+            line = "\t".join(
+                _copy_escape(v) for v in (str(r.doc_id), body, r.lang, source)
+            )
+            spool(line.encode() + b"\n")
+        spool.close()
+
+        reg = SchemaRegistry()
+        reg.register_relation(
+            pg.decode_relation(
+                pg.encode_relation(
+                    23001,
+                    "public",
+                    "doc_seed",
+                    [
+                        (True, "doc_id", 20, -1),
+                        (False, "body", 25, -1),
+                        (False, "lang", 25, -1),
+                        (False, "source", 25, -1),
+                    ],
+                )
+            ),
+            lsn=1,
+        )
+        seeded = PgCdcEngine(spark).bootstrap(
+            spool, reg.get(23001), f"{work}/state"
+        )
+        out = seeded.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("body")).cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_source"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        rows = out.collect()  # materialize before the workdir is removed
+        return spark.createDataFrame(
+            rows,
+            "lang STRING, n_docs LONG, total_chars LONG, n_null_source LONG, sum_ids LONG",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

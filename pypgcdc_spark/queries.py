@@ -114,6 +114,8 @@ EXTENDED = frozenset(
         "source_format_parity",
         # ORC columnar round-trip (completes the built-in source matrix).
         "source_orc_parity",
+        # Round 6: distributed COPY-text bootstrap (escape/NULL parity).
+        "source_copy_bootstrap_parity",
         # Entropy is the 12th text-quality signal; the family keeps its
         # primary slots via quality_score/repetition/pii/token_stats.
         "text_char_entropy",
