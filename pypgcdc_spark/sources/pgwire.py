@@ -474,9 +474,17 @@ class ReplicationClient:
             "dbname": dbname,
         }
 
-    def create_replication_slot(self, slot: str) -> Dict[str, Optional[str]]:
+    def create_replication_slot(
+        self, slot: str, two_phase: bool = False
+    ) -> Dict[str, Optional[str]]:
+        # TWO_PHASE decoding must be enabled at slot CREATION (PG15+,
+        # parenthesized option syntax); the legacy EXPORT_SNAPSHOT
+        # keyword form stays the default for PG12/13 compatibility.
+        opts = (
+            "(TWO_PHASE, SNAPSHOT 'export')" if two_phase else "EXPORT_SNAPSHOT"
+        )
         rows = self.simple_query(
-            f"CREATE_REPLICATION_SLOT {slot} LOGICAL pgoutput EXPORT_SNAPSHOT"
+            f"CREATE_REPLICATION_SLOT {slot} LOGICAL pgoutput {opts}"
         )
         name, consistent_point, snapshot_name, plugin = rows[0]
         return {
@@ -638,6 +646,18 @@ class CopySpool:
         self._buf.clear()
 
 
+_SLOT_NAME_RE = re.compile(r"[a-z0-9_]+\Z")
+
+
+def _validate_slot_name(name: str) -> str:
+    """Replication slot names are lower-case [a-z0-9_] per Postgres; the
+    value travels into replication commands and catalog queries, so it
+    must never carry quoting metacharacters (SURVEY §7.4 Q8)."""
+    if not _SLOT_NAME_RE.match(name):
+        raise ProtocolError(f"invalid replication slot name: {name!r}")
+    return name
+
+
 _SNAPSHOT_NAME_RE = re.compile(r"[0-9A-Fa-f-]+\Z")
 
 
@@ -746,9 +766,14 @@ class WireReplicationTailer:
         two_phase: bool = False,
         sslmode: str = "disable",
         ssl_context=None,
+        timeout: float = 10.0,
     ):
         self._conn_args = (host, port, user, database, password)
-        self._conn_kwargs = {"sslmode": sslmode, "ssl_context": ssl_context}
+        self._conn_kwargs = {
+            "sslmode": sslmode,
+            "ssl_context": ssl_context,
+            "timeout": timeout,
+        }
         self.client = ReplicationClient(*self._conn_args, **self._conn_kwargs)
         self.publication_name = publication_name
         self.slot_name = slot_name
@@ -760,9 +785,33 @@ class WireReplicationTailer:
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
 
+    def prepare(self) -> Optional[str]:
+        """Connect and ensure the slot exists WITHOUT starting the
+        stream.  On a REAL server an exported snapshot is invalidated by
+        the next command on the exporting connection — so a consistent
+        initial sync must happen BETWEEN slot creation and
+        START_REPLICATION.  Flow: ``prepare()`` → ``initial_sync*()`` →
+        ``start()`` → ``run()``.  Returns the exported snapshot name if
+        the slot was created here (None if it already existed)."""
+        self.client.connect()
+        self._connected = True
+        exists = self.client.simple_query(
+            "SELECT 1 FROM pg_replication_slots WHERE slot_name = "
+            f"'{_validate_slot_name(self.slot_name)}'"
+        )
+        if not exists:
+            info = self.client.create_replication_slot(
+                self.slot_name, two_phase=self.two_phase
+            )
+            self.snapshot_name = info["snapshot_name"]
+            return self.snapshot_name
+        return None
+
     def start(self, start_lsn: Optional[int] = None) -> None:
         lsn = self.start_lsn if start_lsn is None else start_lsn
-        self.client.connect()
+        if not getattr(self, "_connected", False):
+            self.client.connect()
+        self._connected = False  # a reconnect must re-handshake
         kw = dict(
             proto_version=self.proto_version,
             streaming=self.streaming,
@@ -777,7 +826,9 @@ class WireReplicationTailer:
                 raise  # permission/publication/... — not fixable by a slot
             # Slot missing: create it (exported snapshot = consistent
             # initial-sync point, reference S2/S3) and retry.
-            info = self.client.create_replication_slot(self.slot_name)
+            info = self.client.create_replication_slot(
+                self.slot_name, two_phase=self.two_phase
+            )
             self.snapshot_name = info["snapshot_name"]
             self.client.start_replication(
                 self.slot_name, self.publication_name, lsn, **kw
@@ -844,8 +895,13 @@ class WireReplicationTailer:
                             # doesn't kill an idle session.
                             self.client.send_standby_status(flushed, flushed, flushed)
                             continue
-                        idle = 0
                         if isinstance(msg, XLogData):
+                            # Only DATA resets the idle counter: a live
+                            # walsender answers our proactive statuses
+                            # with keepalives, so counting those as
+                            # activity would livelock any max_idle drain
+                            # (keepalives arrive about once per tick).
+                            idle = 0
                             unit_buf.append(
                                 (
                                     msg.wal_start,

@@ -1,0 +1,601 @@
+"""LIVE PostgreSQL end-to-end (the round-1..5 "missing" item).
+
+This environment ships real PostgreSQL 15 binaries (no Docker needed):
+the module fixture initdb's a throwaway cluster with ``wal_level=logical``
++ SCRAM auth + TLS + a tiny ``logical_decoding_work_mem`` (so v2
+streaming genuinely engages) + ``max_prepared_transactions`` (two-phase),
+and every test drives it EXCLUSIVELY through the repo's own clean-room
+wire client — DDL/DML over simple query on walsender connections, slot
+creation with exported snapshot, COPY initial sync, CopyBoth streaming,
+standby-status acks.
+
+This ports the reference's integration matrix
+(``/root/reference/tests/test_reader.py:85-164``, run there against
+Dockerized PG 12.9/13.6) and goes beyond it: pgoutput v2 streamed
+transactions, two-phase commit, TLS + SCRAM-SHA-256-PLUS channel
+binding — none of which the reference speaks (it pins proto_version
+'1', ``reader.py:136-141``).
+
+Skipped automatically when PostgreSQL binaries are unavailable or the
+cluster cannot start (e.g. no non-root user to run it under).
+"""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import socket
+import struct
+import subprocess
+import tempfile
+import threading
+import time
+
+import pytest
+
+from pypgcdc_spark.cdc import pgoutput as pg
+from pypgcdc_spark.cdc.registry import SchemaRegistry
+from pypgcdc_spark.cdc.transform import MessageTransformer
+from pypgcdc_spark.sources.pgwire import (
+    ProtocolError,
+    ReplicationClient,
+    WireReplicationTailer,
+)
+from pypgcdc_spark.sources.replay import scan_frames
+
+USER, PASSWORD, DB = "rep", "test_pw", "postgres"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("initdb") is None or shutil.which("pg_ctl") is None,
+    reason="PostgreSQL server binaries not installed",
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_as(user: str, cmd: str) -> subprocess.CompletedProcess:
+    if os.geteuid() == 0:
+        return subprocess.run(
+            ["su", user, "-s", "/bin/bash", "-c", cmd],
+            cwd="/tmp",
+            capture_output=True,
+            text=True,
+        )
+    return subprocess.run(
+        ["bash", "-c", cmd], cwd="/tmp", capture_output=True, text=True
+    )
+
+
+def _self_signed_cert(cn: str, d: str):
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem, key_pem = f"{d}/server.crt", f"{d}/server.key"
+    with open(cert_pem, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_pem, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return cert_pem, key_pem
+
+
+class LivePg:
+    """Throwaway PostgreSQL cluster + helpers, all via the wire client."""
+
+    def __init__(self):
+        self.dir = tempfile.mkdtemp(prefix="pglive_test_")
+        self.port = _free_port()
+        self.run_user = None
+        if os.geteuid() == 0:
+            # postgres refuses to run as root: use (or create) a plain user.
+            for candidate in ("pgrunner", "nobody"):
+                try:
+                    pwd.getpwnam(candidate)
+                    self.run_user = candidate
+                    break
+                except KeyError:
+                    continue
+            if self.run_user is None:
+                r = subprocess.run(
+                    ["useradd", "-m", "pgrunner"], capture_output=True
+                )
+                if r.returncode == 0:
+                    self.run_user = "pgrunner"
+            if self.run_user is None:
+                pytest.skip("no non-root user available to run postgres")
+            subprocess.run(["chown", "-R", self.run_user, self.dir], check=True)
+        else:
+            self.run_user = pwd.getpwuid(os.geteuid()).pw_name
+
+        pwfile = f"{self.dir}/pw"
+        with open(pwfile, "w") as f:
+            f.write(PASSWORD + "\n")
+        cert, key = _self_signed_cert("127.0.0.1", self.dir)
+        if os.geteuid() == 0:
+            subprocess.run(["chown", "-R", self.run_user, self.dir], check=True)
+        os.chmod(key, 0o600)
+
+        data = f"{self.dir}/data"
+        r = _run_as(
+            self.run_user,
+            f"initdb -D {data} -U {USER} --pwfile={pwfile} "
+            "--auth-host=scram-sha-256 --auth-local=trust",
+        )
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+        with open(f"{data}/postgresql.conf", "a") as f:
+            f.write(
+                f"""
+listen_addresses = '127.0.0.1'
+port = {self.port}
+wal_level = logical
+max_wal_senders = 10
+max_replication_slots = 10
+max_prepared_transactions = 10
+logical_decoding_work_mem = 64kB
+unix_socket_directories = '{self.dir}'
+ssl = on
+ssl_cert_file = '{cert}'
+ssl_key_file = '{key}'
+"""
+            )
+        with open(f"{data}/pg_hba.conf", "a") as f:
+            f.write(
+                "host all all 127.0.0.1/32 scram-sha-256\n"
+                "host replication all 127.0.0.1/32 scram-sha-256\n"
+                "hostssl all all 127.0.0.1/32 scram-sha-256\n"
+                "hostssl replication all 127.0.0.1/32 scram-sha-256\n"
+            )
+        r = _run_as(
+            self.run_user,
+            f"pg_ctl -D {data} -l {self.dir}/pg.log -w start",
+        )
+        if r.returncode != 0:
+            pytest.skip(f"pg_ctl start failed: {open(self.dir + '/pg.log').read()[-300:]}")
+
+    def stop(self):
+        _run_as(self.run_user, f"pg_ctl -D {self.dir}/data -m immediate stop")
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+    # -- helpers over the wire client -----------------------------------
+
+    def sql_conn(self, **kw) -> ReplicationClient:
+        c = ReplicationClient(
+            "127.0.0.1", self.port, USER, DB, PASSWORD, timeout=10.0, **kw
+        )
+        c.connect()
+        return c
+
+    def sql(self, *statements):
+        c = self.sql_conn()
+        try:
+            out = [c.simple_query(s) for s in statements]
+            return out[-1]
+        finally:
+            c.close()
+
+    def tailer(self, slot, log, **kw) -> WireReplicationTailer:
+        return WireReplicationTailer(
+            "127.0.0.1",
+            self.port,
+            USER,
+            DB,
+            "pypgcdc_pub",
+            slot,
+            log,
+            password=PASSWORD,
+            timeout=1.0,  # short idle ticks keep max_idle waits snappy
+            **kw,
+        )
+
+    def confirmed_flush(self, slot) -> int:
+        rows = self.sql(
+            f"SELECT confirmed_flush_lsn::TEXT FROM pg_replication_slots "
+            f"WHERE slot_name = '{slot}'"
+        )
+        hi, lo = rows[0][0].split("/")
+        return (int(hi, 16) << 32) | int(lo, 16)
+
+
+@pytest.fixture(scope="module")
+def live():
+    server = LivePg()
+    server.sql(
+        "CREATE TABLE accounts (id BIGINT PRIMARY KEY, "
+        "created TIMESTAMPTZ DEFAULT '2024-01-01T00:00:00Z', "
+        "balance NUMERIC(12,2), meta JSONB, name TEXT)",
+        "CREATE PUBLICATION pypgcdc_pub FOR TABLE accounts",
+    )
+    yield server
+    server.stop()
+
+
+def _decode(log):
+    x = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    for fr in scan_frames(log):
+        events.extend(x.feed(fr.lsn, fr.payload))
+    return events, x.stats
+
+
+def _drain(tailer, idle_ticks=3, **kw):
+    """run() until the stream has been idle for idle_ticks × timeout."""
+    return tailer.run(max_idle=idle_ticks, **kw)
+
+
+def test_live_slot_snapshot_initial_sync_and_stream(live, tmp_path):
+    """The reference's S2/S3/S5 flow against REAL Postgres: slot created
+    with an exported snapshot, COPY initial sync on a second connection
+    under that snapshot, then the stream applies cleanly on top — and
+    every pgoutput type (bigint, timestamptz, numeric, jsonb, text)
+    round-trips the decoder."""
+    live.sql(
+        "INSERT INTO accounts (id, balance, meta, name) VALUES "
+        "(1, 10.50, '{\"a\": 1}', 'alice'), (2, 20.00, NULL, E'tab\\there')"
+    )
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_sync", log)
+    # prepare(): slot created with an exported snapshot that REMAINS
+    # valid (a real server invalidates it at the next command on the
+    # exporting connection, so streaming must not start yet).
+    assert t.prepare() is not None
+    assert t.snapshot_name
+    seed = t.initial_sync(
+        "accounts", ["id", "balance", "meta", "name"]
+    )
+    assert sorted(seed) == [
+        ("1", "10.50", '{"a": 1}', "alice"),
+        ("2", "20.00", None, "tab\there"),
+    ]
+    t.start()  # now the stream begins at the slot's consistent point
+    # Rows committed AFTER the snapshot arrive ONLY via the stream.
+    live.sql(
+        "INSERT INTO accounts (id, balance, meta, name) "
+        "VALUES (3, 30.25, '{\"b\": [1,2]}', 'carol')",
+        "UPDATE accounts SET balance = 11.00 WHERE id = 1",
+        "DELETE FROM accounts WHERE id = 2",
+    )
+    n = _drain(t)
+    t.stop()
+    assert n > 0
+    events, _ = _decode(log)
+    assert [e.op for e in events] == ["I", "U", "D"]
+    ins = events[0]
+    assert ins.after["id"] == "3"
+    assert ins.after["balance"] == "30.25"
+    assert ins.after["meta"] == '{"b": [1, 2]}'  # jsonb normalizes spacing
+    assert ins.after["created"].startswith("2024-01-01")
+    assert events[1].after["balance"] == "11.00"
+    assert events[2].key == {"id": "2"}
+    # seed + stream = live table state
+    state = {r[0]: r for r in seed}
+    for e in events:
+        if e.op == "D":
+            state.pop(e.key["id"])
+        else:
+            state[e.after["id"]] = (
+                e.after["id"],
+                e.after["balance"],
+                e.after["meta"],
+                e.after["name"],
+            )
+    truth = {
+        r[0]: r
+        for r in live.sql("SELECT id::TEXT, balance::TEXT, meta::TEXT, name FROM accounts")
+    }
+    assert state == truth
+    live.sql("SELECT pg_drop_replication_slot('slot_sync')")
+
+
+def test_live_spooled_initial_sync(live, tmp_path):
+    """The distributed bootstrap path against real Postgres: COPY bytes
+    spool to row-aligned chunks under the exported snapshot."""
+    live.sql(
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT i + 1000, i * 1.5, 'bulk_' || i FROM generate_series(1, 2000) g(i)"
+    )
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_spool", log)
+    t.prepare()
+    spool = t.initial_sync_to_spool(
+        "accounts", ["id", "name"], str(tmp_path / "spool"), chunk_bytes=8192
+    )
+    t.stop()
+    assert len(spool.paths) > 2
+    assert spool.max_buffered <= 8192 + 65536
+    from pypgcdc_spark.sources.pgwire import _copy_unescape
+
+    got = []
+    for p in spool.paths:
+        data = open(p, "rb").read()
+        assert data.endswith(b"\n")
+        for line in data.decode().split("\n"):
+            if line:
+                got.append(tuple(_copy_unescape(v) for v in line.split("\t")))
+    n_rows = live.sql("SELECT COUNT(*) FROM accounts")[0][0]
+    assert len(got) == int(n_rows)
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_spool')",
+        "DELETE FROM accounts WHERE id > 1000",
+    )
+
+
+def test_live_ack_advances_confirmed_flush(live, tmp_path):
+    """The ack loop against real Postgres: the source's `<log>.ack`
+    sidecar value reaches the server as a Standby Status Update and
+    pg_replication_slots.confirmed_flush_lsn advances — WAL retention is
+    bounded by what Spark durably processed (reference K2)."""
+    import json
+
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_ack", log)
+    t.start()
+    before = live.confirmed_flush("slot_ack")
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (10, 1.00, 'ack')")
+    n = _drain(t)
+    assert n > 0
+    frames = list(scan_frames(log))
+    commit_lsn = frames[-1].lsn
+    with open(log + ".ack", "w") as f:
+        json.dump({"pos": frames[-1].end_pos, "lsn": commit_lsn}, f)
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (11, 2.00, 'ack2')")
+    _drain(t)  # processes the ack file, sends standby status, drains DML
+    t.stop()
+    after = live.confirmed_flush("slot_ack")
+    assert after >= commit_lsn > before
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_ack')",
+        "DELETE FROM accounts WHERE id IN (10, 11)",
+    )
+
+
+def test_live_restart_resumes_without_duplicates(live, tmp_path):
+    """Stop the tailer, run more DML, restart from the flushed LSN: the
+    log gains only the new transactions (reference K3)."""
+    import json
+
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_resume", log)
+    t.start()
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (20, 1.00, 'r1')")
+    _drain(t)
+    t.stop()
+    frames1 = list(scan_frames(log))
+    assert frames1
+    with open(log + ".ack", "w") as f:
+        json.dump({"pos": frames1[-1].end_pos, "lsn": frames1[-1].lsn}, f)
+
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (21, 2.00, 'r2')")
+    t2 = live.tailer("slot_resume", log, start_lsn=frames1[-1].lsn)
+    t2.start()
+    _drain(t2)
+    t2.stop()
+    events, _ = _decode(log)
+    names = [e.after["name"] for e in events if e.op == "I"]
+    assert names == ["r1", "r2"]  # no dupes, no gaps
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_resume')",
+        "DELETE FROM accounts WHERE id IN (20, 21)",
+    )
+
+
+def test_live_alter_table_relation_resend(live, tmp_path):
+    """ALTER TABLE mid-stream: the walsender re-sends Relation with the
+    new column set; the versioned registry types events before and after
+    by their own spans (reference Q4 fixed)."""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_alter", log)
+    t.start()
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (30, 1.00, 'pre')")
+    _drain(t)
+    live.sql(
+        "ALTER TABLE accounts ADD COLUMN tag TEXT DEFAULT 'new'",
+        "INSERT INTO accounts (id, balance, name) VALUES (31, 2.00, 'post')",
+    )
+    _drain(t)
+    t.stop()
+    events, _ = _decode(log)
+    ins = [e for e in events if e.op == "I"]
+    assert "tag" not in ins[0].after
+    assert ins[1].after["tag"] == "new"
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_alter')",
+        "ALTER TABLE accounts DROP COLUMN tag",
+        "DELETE FROM accounts WHERE id IN (30, 31)",
+    )
+
+
+def test_live_toast_unchanged_tuples(live, tmp_path):
+    """A TOASTed value not touched by an UPDATE arrives as the 'u'
+    (unchanged) tuple marker, never inline (reference test_reader.py's
+    TOAST scenario)."""
+    from pypgcdc_spark.cdc.models import TOAST_UNCHANGED
+
+    big = "x" * 200_000  # far past TOAST_TUPLE_THRESHOLD
+    live.sql(
+        f"INSERT INTO accounts (id, balance, name) VALUES (40, 1.00, '{big}')"
+    )
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_toast", log)
+    t.start()
+    live.sql("UPDATE accounts SET balance = 2.00 WHERE id = 40")
+    _drain(t)
+    t.stop()
+    events, _ = _decode(log)
+    ups = [e for e in events if e.op == "U"]
+    assert ups and ups[0].after["balance"] == "2.00"
+    assert ups[0].after["name"] is TOAST_UNCHANGED
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_toast')",
+        "DELETE FROM accounts WHERE id = 40",
+    )
+
+
+def test_live_v2_streamed_transaction(live, tmp_path):
+    """pgoutput protocol v2 against real Postgres: one transaction big
+    enough to blow logical_decoding_work_mem (64kB) streams as Stream
+    Start/Stop segments with in-segment xid prefixes and closes with
+    Stream Commit — reassembled to exactly the committed rows.  The
+    reference cannot do this at all (proto_version '1')."""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_v2", log, proto_version=2, streaming=True)
+    t.start()
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT i + 5000, i * 0.25, 'v2_' || i FROM generate_series(1, 3000) g(i)",
+        "COMMIT",
+    )
+    _drain(t)
+    t.stop()
+    kinds = {fr.payload[:1] for fr in scan_frames(log)}
+    assert b"S" in kinds and b"E" in kinds and b"c" in kinds  # genuinely streamed
+    events, stats = _decode(log)
+    assert stats.streamed_txs == 1
+    ins = [e for e in events if e.op == "I"]
+    assert len(ins) == 3000
+    assert all(e.commit_lsn is not None for e in ins)
+    assert ins[0].after["name"] == "v2_1" and ins[-1].after["name"] == "v2_3000"
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_v2')",
+        "DELETE FROM accounts WHERE id > 5000",
+    )
+
+
+def test_live_two_phase_commit_and_rollback(live, tmp_path):
+    """Two-phase decoding against real Postgres 15: a slot created with
+    TWO_PHASE delivers BeginPrepare..Prepare at PREPARE TRANSACTION time,
+    the pending buffer drains at COMMIT PREPARED, and a ROLLBACK PREPARED
+    discards — the reference speaks neither."""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_2pc", log, proto_version=3, streaming=True, two_phase=True)
+    t.start()
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) VALUES (60, 6.00, 'tpc_commit')",
+        "PREPARE TRANSACTION 'gid_commit'",
+    )
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) VALUES (61, 6.10, 'tpc_rollback')",
+        "PREPARE TRANSACTION 'gid_rollback'",
+    )
+    live.sql("COMMIT PREPARED 'gid_commit'", "ROLLBACK PREPARED 'gid_rollback'")
+    _drain(t)
+    t.stop()
+    kinds = {fr.payload[:1] for fr in scan_frames(log)}
+    assert b"b" in kinds and b"P" in kinds and b"K" in kinds and b"r" in kinds
+    events, stats = _decode(log)
+    assert stats.prepared_txs == 2
+    assert stats.committed_prepared == 1 and stats.rolled_back_prepared == 1
+    ins = [e for e in events if e.op == "I"]
+    assert [e.after["name"] for e in ins] == ["tpc_commit"]
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_2pc')",
+        "DELETE FROM accounts WHERE id IN (60, 61)",
+    )
+
+
+def test_live_tls_scram_plus_channel_binding(live, tmp_path):
+    """TLS + SCRAM-SHA-256-PLUS against real Postgres: over sslmode=
+    require the server advertises -PLUS, the client binds to the real
+    server certificate (tls-server-end-point), and Postgres verifies the
+    binding — then replication streams over the encrypted socket."""
+    c = live.sql_conn(sslmode="require")
+    try:
+        assert c._tls
+        assert c.identify_system()["dbname"] == DB
+    finally:
+        c.close()
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_tls", log, sslmode="require")
+    t.start()
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (70, 7.00, 'tls')")
+    _drain(t)
+    t.stop()
+    events, _ = _decode(log)
+    assert [e.after["name"] for e in events if e.op == "I"] == ["tls"]
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_tls')",
+        "DELETE FROM accounts WHERE id = 70",
+    )
+
+
+def test_live_spark_end_to_end_materialize(live, tmp_path, spark):
+    """The full engine path on live changes: wire tailer -> replay log ->
+    pgcdc DataSource -> DeleteAwareMerger materialized current state ==
+    the live table queried directly."""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_spark", log)
+    t.start()
+    live.sql(
+        "INSERT INTO accounts (id, balance, meta, name) VALUES "
+        "(80, 8.00, '{\"x\": 1}', 'spark1'), (81, 8.10, NULL, 'spark2')",
+        "UPDATE accounts SET balance = 9.99 WHERE id = 80",
+        "DELETE FROM accounts WHERE id = 81",
+    )
+    _drain(t)
+    t.stop()
+
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.cdc.models import ColumnDefinition, TableSchema
+
+    schema = TableSchema(
+        db="replay",
+        namespace="public",
+        table="accounts",
+        relation_id=0,
+        column_definitions=[
+            ColumnDefinition("id", True, 20, "int8"),
+            ColumnDefinition("created", False, 1184, "timestamptz"),
+            ColumnDefinition(
+                "balance", False, 1700, "numeric", atttypmod=((12 << 16) | 2) + 4
+            ),
+            ColumnDefinition("meta", False, 3802, "jsonb"),
+            ColumnDefinition("name", False, 25, "text"),
+        ],
+    )
+    engine = PgCdcEngine(spark)
+    target = str(tmp_path / "accounts_state")
+    engine.materialize(
+        engine.stream(log), schema, target, checkpoint=str(tmp_path / "ckpt")
+    )
+    got = {
+        r["id"]: (str(r["balance"]), r["name"])
+        for r in spark.read.parquet(target).collect()
+        if r["id"] in (80, 81)
+    }
+    assert got == {80: ("9.99", "spark1")}
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_spark')",
+        "DELETE FROM accounts WHERE id IN (80, 81)",
+    )
