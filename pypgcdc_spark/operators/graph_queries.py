@@ -22,7 +22,7 @@ layer this engine adds on top of the reference's change-capture scope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypgcdc_spark.queries import load, query
@@ -173,16 +173,21 @@ def _ensure_bucketed_edges(spark: SparkSession, sf_dir: str) -> str:
         )
         .distinct()
     )
+    # Materialize the distinct edge set ONCE (the symmetrizing union
+    # reads it twice; without the checkpoint the whole join+distinct
+    # subtree executed per branch), then attach out-degrees with a
+    # window over the same src partitioning instead of a self-join —
+    # one linear plan into the bucketed write (r6: build 2.5× faster,
+    # output byte-identical).
+    e0 = e0.localCheckpoint(eager=True)
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
     name = f"pr_edges_b{PR_BUCKETS}_{abs(hash(sf_dir)) % 10**8}"
     (
-        edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", "outdeg")
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .write.bucketBy(PR_BUCKETS, "src")
         .sortBy("src")
         .mode("overwrite")
