@@ -294,6 +294,20 @@ class PgCdcStreamReader(DataSourceStreamReader):
         self._offset_floor = pos
         with open(self.path + ".ack", "w") as f:
             json.dump({"pos": pos, "lsn": end["lsn"]}, f)
+        # Registry-snapshot GC: batches at or below the committed offset
+        # are never replayed, so snapshots OLDER than the one this offset
+        # names are garbage (the named one stays — it seeds the next
+        # batch).  Keeps the sidecar O(live window), not O(history).
+        rev = int(self._offset_registry_ref(end) or 0) if "reg" in end else 0
+        if rev > 1:
+            d = self._registry_dir()
+            try:
+                for fn in os.listdir(d):
+                    if fn.startswith("reg-") and fn.endswith(".json"):
+                        if int(fn[4:-5]) < rev:
+                            os.remove(os.path.join(d, fn))
+            except OSError:
+                pass  # GC is best-effort; correctness never depends on it
 
     def stop(self) -> None:
         pass

@@ -208,3 +208,38 @@ def test_restart_replay_uses_snapshot_not_current_registry(tmp_path):
     legacy_start = {"pos": 0, "lsn": 0, "registry": SchemaRegistry().dumps()}
     legacy_rows = [t for part in r2.partitions(legacy_start, legacy) for t in r2.read(part)]
     assert len(legacy_rows) == 3
+
+
+def test_registry_snapshot_gc_on_commit(tmp_path):
+    """Committing an offset garbage-collects snapshots older than the one
+    the offset names; the named snapshot survives (it seeds the next
+    batch after a restart) and replay of the live window still works."""
+    import os
+
+    from pypgcdc_spark.sources.pgcdc import PgCdcStreamReader
+
+    log = str(tmp_path / "gc.log")
+    # Two appends with a scan between them -> two registry snapshots
+    # (one latestOffset scan folds every mutation it sees into ONE
+    # snapshot, like the pre-r6 embedded registry did).
+    _evolving_log(log, n_rel=2, n_ver=2)
+    r = PgCdcStreamReader({"path": log, "maxtxperbatch": 4})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    w = WorkloadWriter(log, start_lsn=50_000)
+    cols = [(True, "id", 23, -1)] + [(False, f"c{k}", 25, -1) for k in range(3)]
+    for rid in (20_001, 20_002):
+        w.relation(rid, f"t{rid}", cols)
+        w.tx([pg.encode_insert(rid, ["9", "x", "x", "x"])])
+    w.close()
+    o2 = r.latestOffset()
+    d = log + ".registry.d"
+    assert len(os.listdir(d)) >= 2
+    r.commit(o1)
+    left = sorted(os.listdir(d))
+    assert left[0] == f"reg-{o1['reg']:08d}.json"  # older ones pruned
+    # The surviving snapshots still replay the next batch on a restart.
+    r2 = PgCdcStreamReader({"path": log, "maxtxperbatch": 10})
+    r2.latestOffset()
+    rows = [t for p in r2.partitions(o1, o2) for t in r2.read(p)]
+    assert len(rows) == 2
