@@ -243,6 +243,9 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_TOPK = 10
+# Adjacency/degree sides broadcast below this edge count; beyond it the
+# same plan runs as shuffle equi-joins on node keys (100 TB path).
+TRI_BROADCAST_EDGES = 20_000_000
 
 
 @query(
@@ -295,81 +298,108 @@ TRI_TOPK = 10
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the co-purchase graph (parts that
-    share an order), using degree orientation (Suri & Vassilvitskii,
-    "Counting triangles and the curse of the last reducer", WWW 2011):
-    each undirected edge points from its lower-(degree, id) endpoint to
-    the higher, wedges enumerate only pairs of higher-ranked
-    out-neighbors, and a wedge is a triangle iff its closing oriented
-    edge exists.  Output: the top-{TRI_TOPK} parts by triangle
-    participation, with degree and the global triangle total.
+    share an order), degree-oriented (Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW 2011) and closed
+    by sorted-adjacency intersection (Latapy's compact-forward /
+    edge-iterator, TCS 2008): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher; for every oriented edge
+    (u, v) the triangles through it are ``N+(u) ∩ N+(v)`` — each
+    triangle {x<y<z} found exactly once, on its (x, y) edge, as z.
+    Output: the top-{TRI_TOPK} parts by triangle participation, with
+    degree and the global triangle total.
 
-    Scale shape (100 TB): orientation is THE point — wedge fan-out per
+    Scale shape (100 TB): orientation is THE point — out-adjacency per
     node is bounded by oriented out-degree, which degree-ordering caps
     near sqrt(m) even on power-law graphs (the "last reducer" whose hub
     would otherwise generate d² wedges does zero wedge work as a sink).
-    Both the wedge build and the closing check are equi-joins on node
-    keys; no broadcast of anything corpus-sized; total work O(m^{{3/2}}).
+    The edge list is built with ONE groupBy(order) shuffle and in-place
+    pair expansion (no self-join), and the intersection closes wedges
+    WITHOUT materializing the O(m^{{3/2}}) wedge set: per-edge work is a
+    merge of two sorted neighbor arrays, and only actual triangles
+    surface as rows.  The adjacency side broadcasts when the edge count
+    is under ``TRI_BROADCAST_EDGES`` and falls back to shuffle
+    equi-joins on node keys beyond that — same plan family either way.
+    Total work O(m^{{3/2}}).
     Reference parity: none (CDC client, SURVEY §0) — analytics surface.
     """
     (li,) = load(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    b = lines.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
+    # Edge build: one shuffle (groupBy order), then JVM-side pair
+    # expansion of each order's sorted distinct part set — u < v by
+    # construction — and one distinct across orders.
     edges = (
-        lines.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("p2")),
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
         )
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .select("e.u", "e.v")
         .distinct()
+        .localCheckpoint(eager=True)  # feeds deg + orientation
     )
+    small = edges.count() <= TRI_BROADCAST_EDGES
+    maybe_bcast = F.broadcast if small else (lambda df: df)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # feeds orientation twice + output
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # Carry the destination's (degree, id) on the oriented edge so the
-    # wedge build needs NO degree re-joins — the a-before-b ordering is a
-    # plain column comparison on the self-join output.
     oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
+        edges.join(maybe_bcast(du), "u")
+        .join(maybe_bcast(dv), "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
-        .localCheckpoint(eager=True)  # feeds wedges twice + closing join
+        .localCheckpoint(eager=True)  # feeds adjacency + the edge probe
     )
-    e1 = oriented.select("src", F.col("dst").alias("a"), F.col("ddst").alias("da"))
-    e2 = oriented.select(
-        F.col("src").alias("src2"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    # Sorted out-adjacency per node (total size = |E| entries), attached
+    # to both endpoints of every oriented edge; the intersection yields
+    # the triangle's highest-ranked node(s) directly.
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    wedges = (
-        e1.join(e2, F.col("src") == F.col("src2"))
-        .filter(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    tri_edges = (
+        oriented.join(
+            maybe_bcast(
+                adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("na"))
+            ),
+            F.col("src") == F.col("u2"),
         )
-        .select(F.col("src").alias("s"), "a", "b")
+        .join(
+            maybe_bcast(
+                adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nb"))
+            ),
+            F.col("dst") == F.col("v2"),
+        )
+        .select("src", "dst", F.array_intersect("na", "nb").alias("zs"))
+        .filter(F.size("zs") > 0)
+        .select("src", "dst", "zs", F.size("zs").alias("c"))
+        .localCheckpoint(eager=True)  # feeds total + all three role counts
     )
-    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    tri = wedges.join(closing, ["a", "b"]).localCheckpoint(eager=True)
-    total = tri.agg(F.count(F.lit(1)).alias("n_total"))
+    total = tri_edges.agg(F.sum("c").cast("long").alias("n_total"))
+    # Triangle {x<y<z} surfaces on edge (x, y) with z in zs: x and y each
+    # participate in c triangles of this edge, every z in exactly one.
     pernode = (
-        tri.select(F.col("s").alias("node"))
-        .unionAll(tri.select(F.col("a").alias("node")))
-        .unionAll(tri.select(F.col("b").alias("node")))
+        tri_edges.select(F.col("src").alias("node"), F.col("c").cast("long"))
+        .unionAll(tri_edges.select(F.col("dst").alias("node"), F.col("c").cast("long")))
+        .unionAll(
+            tri_edges.select(F.explode("zs").alias("node"), F.lit(1).cast("long"))
+        )
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
     return (
         pernode.join(deg, "node")
