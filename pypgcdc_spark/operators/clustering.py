@@ -12,11 +12,15 @@ argmin ties break on cluster id.  The DuckDB oracle replays the same two
 unrolled Lloyd iterations bit-for-bit — an *iterative ML kernel inside
 the correctness gate*, same discipline as graph_pagerank.
 
-Scale shape (100 TB): k centroids are a broadcast literal table (k×dim
-ints); assignment is a map-side broadcast join + min-struct agg per
-vector (no vector ever shuffles); the update shuffles only (cid, pos)
-partial sums — k×dim rows regardless of corpus size, the k-means
-analogue of the rank-vector-only PageRank shuffle.
+Scale shape (100 TB): k centroids are k×dim ints of driver-side
+metadata (the codebook convention of ann_scalar_quantized), closed over
+by an Arrow-batched numpy argmin kernel; assignment is pure map-side
+(no vector ever shuffles, joins, or multiplies by k); the update is one
+groupBy(cid) whose map-side partial aggregation shuffles only k×DIM
+partial sums regardless of corpus size — the k-means analogue of the
+rank-vector-only PageRank shuffle.  This is MLlib KMeans's own loop
+shape (cache input, broadcast centroids, collect k new centroids per
+iteration), with exact fixed-point arithmetic instead of floats.
 
 Reference parity: no counterpart — the reference (pypgcdc) is a CDC
 client; clustering is part of the training-data surface this engine adds
@@ -40,42 +44,66 @@ def _scaled(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
 
 
-def _dist2(v, c):
-    """Exact integer squared L2 distance between two scaled arrays."""
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _assign(vectors, cents):
+    """(vec_id, v, label) × driver-side centroids → min-distance cluster
+    (ties → smallest cid: numpy ``argmin`` returns the first minimum and
+    the centroid matrix is built in cid order).
+
+    ``cents`` is the k×DIM centroid table as plain Python ints (bounded
+    metadata, the codebook convention of ann_scalar_quantized), closed
+    over by an Arrow-batched pandas_udf that computes the full n×k
+    squared-distance matrix in one int64 numpy broadcast — exact (scaled
+    ints ≤2e4, so d2 ≤ DIM·(4e4)² ≪ 2⁶³) and an order of magnitude
+    faster than the equivalent zip_with/aggregate expression, which the
+    JVM evaluates as 512 interpreted lambda calls per row.  Map-side
+    only: no vector row is ever multiplied by k, shuffled, or joined."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array([cvec for _, cvec in sorted(cents)], dtype=np.int64)
+
+    def np_argmin(v):
+        if not len(v):
+            return pd.DataFrame({"cid": pd.array([], dtype="int32"),
+                                 "d2": pd.array([], dtype="int64")})
+        mat = np.array(v.tolist(), dtype=np.int64)  # (n, DIM)
+        d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        cid = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype("int32"), "d2": d[np.arange(len(mat)), cid]}
+        )
+
+    # ``from __future__ import annotations`` stringifies hints, which
+    # pandas_udf's signature inference rejects — attach real objects.
+    np_argmin.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    np_argmin = pandas_udf(np_argmin, "struct<cid:int,d2:bigint>")
+
+    m = np_argmin("v")
+    return vectors.select(
+        "vec_id", "v", "label",
+        m["cid"].alias("cid"), m["d2"].alias("d2"),
     )
-
-
-def _assign(vectors, centroids):
-    """(vec_id, v, label) × broadcast centroids → min-distance cluster
-    (ties → smallest cid, via lexicographic struct min)."""
-    joined = vectors.crossJoin(F.broadcast(centroids))
-    d = joined.withColumn("d2", _dist2(F.col("v"), F.col("cvec")))
-    return d.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cid")).alias("m"),
-        F.any_value("v").alias("v"),
-        F.any_value("label").alias("label"),
-    ).select("vec_id", "v", "label", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
 
 
 def _update(assigned):
     """New centroids: per-dimension rounded mean of the scaled members.
-    Only k×DIM (cid, pos) partial sums shuffle — never the vectors."""
-    exploded = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-    sums = exploded.groupBy("cid", "pos").agg(
-        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    ONE groupBy(cid) with DIM column sums (map-side partial agg) — only
+    k×DIM partial sums shuffle, never the vectors."""
+    sums = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}") for i in range(DIM)],
     )
-    coord = sums.withColumn(
-        "cval", F.round(F.col("s").cast("double") / F.col("n")).cast("long")
-    )
-    return coord.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
-        ).alias("cvec")
-    )
+    rows = sums.select(
+        "cid",
+        F.array(
+            *[
+                F.round(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+                for i in range(DIM)
+            ]
+        ).alias("cvec"),
+    ).collect()
+    return sorted((r.cid, list(r.cvec)) for r in rows)
 
 
 # DuckDB fragments shared by the unrolled oracle iterations.
@@ -133,22 +161,24 @@ def _final_assignment(vectors):
     """Seeds (K lowest vec_ids) → two Lloyd iterations → final assignment
     ``(vec_id, v, label, cid, d2)``.  Shared by embed_kmeans_domains and
     dedup_semantic_semdedup so both cluster identically."""
-    # limit-K first, then rank the K seed rows WITHOUT a global window:
-    # fold them into one sorted array and posexplode — same cid numbering
-    # as row_number over vec_id, but no single-partition WindowExec (so
-    # the engine's window warnings stay meaningful; r4 VERDICT note).
-    # The single-row aggregate is K structs — bounded by construction.
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(K)
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("seeds"))
-        .select(F.posexplode("seeds").alias("cid", "s"))
-        .select("cid", F.col("s.v").alias("cvec"))
-    )
+    # Materialize the scaled vectors once (MLlib's iterative-ML input
+    # cache): each Lloyd iteration is an eager job, and without this every
+    # one re-reads parquet and re-quantizes.  Memory-and-disk backed, so
+    # at scale it degrades to a columnar spill, not an OOM.
+    vectors = vectors.localCheckpoint(eager=True)
+    # Seeds: the K lowest vec_ids, cids in vec_id order — K rows of
+    # bounded metadata collected to the driver (codebook convention).
+    seeds = vectors.orderBy("vec_id").limit(K).select("vec_id", "v").collect()
+    cents = [
+        (cid, list(r.v))
+        for cid, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
+    ]
     for _ in range(ITERS):
-        assigned = _assign(vectors, centroids)
-        centroids = _update(assigned)
-    return _assign(vectors, centroids)
+        assigned = _assign(vectors, cents)
+        # ONE job per iteration: map-side assignment + k-row partial-agg
+        # shuffle, k×DIM ints back to the driver as the next literals.
+        cents = _update(assigned)
+    return _assign(vectors, cents)
 
 
 @query(

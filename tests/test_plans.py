@@ -474,17 +474,22 @@ def test_count_min_cells_are_map_side_combined(spark, sf_dir):
     assert _CM_D * _CM_W <= 4096
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
-    """Lloyd assignment must be a map-side broadcast of the k×dim
-    centroid table — the vectors themselves never shuffle for argmin;
-    only (cid, pos) partial sums move in the update."""
-    from pypgcdc_spark.plans.inspect import plan_text
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """Lloyd assignment must be pure map-side: the centroid matrix is
+    closed over by an Arrow-batched argmin kernel, so the final plan has
+    NO join of any kind for assignment — vectors never shuffle for
+    argmin; only k×DIM partial sums move in the update, and the one
+    broadcast join left is the k-row purity lookup."""
+    from pypgcdc_spark.plans.inspect import count_op, plan_text
 
     df = REGISTRY["embed_kmeans_domains"].fn(spark, sf_dir)
     txt = plan_text(df)
     assert "SortMergeJoin" not in txt
-    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "ArrowEvalPython" in txt  # the numpy argmin kernel
+    # the only join is the k-row top-label broadcast
+    assert count_op(df, "BroadcastHashJoin") <= 1
 
 
 def test_doc_chunking_is_map_only(spark, sf_dir):
