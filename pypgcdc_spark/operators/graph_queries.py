@@ -88,7 +88,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-side co-location — noted in SCALE.md."""
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     # orders(o_orderkey, o_custkey) is the narrow side — broadcast it so
-    # the edge build shuffles once (the distinct), not twice.
+    # the edge build shuffles once (the distinct), not twice.  Checkpoint
+    # the distinct edge set BEFORE the symmetrizing union: both union
+    # branches read it, and without the checkpoint the join+distinct
+    # subtree executes twice within the one materializing action.
     e0 = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
@@ -100,24 +103,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
-    )
-    edges = (
-        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    # outdeg doubles as the node set (symmetric edges → every node has
-    # outdeg ≥ 1), saving a separate distinct over the edge list.
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
+    # Embed the source's out-degree on every edge row: degrees are a
+    # |V|-row partial aggregation over the checkpointed edge set, then a
+    # broadcast join back (no |E| sort, unlike a window).  Each
+    # iteration's contribution then reads outdeg off the edge, so the
+    # broadcast rank vector stays a bare (node, pr) and no per-iteration
+    # degree re-join exists at all.
+    edges_sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges_sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     ).localCheckpoint(eager=True)
     n_nodes = deg.count()
-    pr = deg.select("node", "outdeg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    edges = edges_sym.join(
+        F.broadcast(deg), edges_sym.src == deg.node
+    ).select("src", "dst", "outdeg").localCheckpoint(eager=True)
+    pr = deg.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast("decimal(18,15)")
     for _ in range(PR_ITERS):
-        # The rank vector (|V| rows, outdeg pre-joined) broadcasts; each
-        # iteration is ONE map-side join over the edge list + ONE
-        # groupBy(dst) shuffle.  Checkpointing pr keeps the broadcast
-        # input materialized and the lineage flat across iterations.
+        # The rank vector (|V| rows ≪ |E|) broadcasts; each iteration is
+        # ONE map-side join over the edge list + ONE groupBy(dst) shuffle.
+        # Checkpointing pr keeps the broadcast input materialized and the
+        # lineage flat across iterations.
         pr = (
             edges.join(F.broadcast(pr), edges.src == pr.node)
             .groupBy(F.col("dst").alias("node"))
@@ -128,7 +138,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("pr")
             )
-            .join(F.broadcast(deg), "node")
             .localCheckpoint(eager=True)
         )
     return (
