@@ -244,15 +244,6 @@ def embed_kmeans_domains(spark, sf_dir):
 SEM_TAU = 0.25  # SemDeDup cosine threshold (fixture planted near-dups ≈ 0.3-0.4)
 
 
-def _dot(a, b):
-    """Exact BIGINT dot product of two scaled arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 @query(
     "dedup_semantic_semdedup",
     oracle=f"""
@@ -308,61 +299,61 @@ def dedup_semantic_semdedup(spark, sf_dir):
     assignment for free.  No counterpart in the reference (CDC client,
     SURVEY §0) — this is training-data surface.
     """
+    import numpy as np
+    import pandas as pd
+
     (emb,) = load(spark, sf_dir, "embeddings")
     vectors = emb.select("vec_id", "label", _scaled(F.col("embedding")).alias("v"))
-    # Assignment feeds both sides of the pair join and the membership agg:
+    # Assignment feeds both the pair pass and the membership counts:
     # checkpoint so the Lloyd pipeline runs once.
     final = _final_assignment(vectors).localCheckpoint(eager=True)
-    norms = final.select(
-        "vec_id", "cid", "d2", "v", _dot(F.col("v"), F.col("v")).alias("n2")
-    )
-    a = norms.select(
-        "cid",
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("va"),
-        F.col("d2").alias("da"),
-        F.col("n2").alias("na"),
-    )
-    b = norms.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("vb"),
-        F.col("d2").alias("db"),
-        F.col("n2").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    rem = (
-        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("a_id") < F.col("b_id")))
-        .filter(cos >= SEM_TAU)
-        .select(
-            "cid",
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))),
-                F.col("b_id"),
-            )
-            .otherwise(F.col("a_id"))
-            .alias("removed"),
+
+    def per_cluster(pdf):
+        # One cluster = one pandas block (the paper scales k with corpus
+        # size so cluster width stays ~constant — this IS the documented
+        # shuffle partition).  Exact int64 Gram matrix: dots and norms
+        # stay integers, cosine is the same IEEE-double sqrt/divide the
+        # SQL oracle computes, so the >= TAU cut is bit-identical.
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        d2 = pdf["d2"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.int64)
+        gram = mat @ mat.T
+        n2 = np.sqrt(np.diag(gram).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram.astype(np.float64) / np.outer(n2, n2)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # a = lower vec_id of the pair, matching the SQL's a.vec_id <
+        # b.vec_id join: rows arrive in arbitrary order, so order each
+        # index pair by vec_id first.
+        swap = ids[iu] > ids[ju]
+        ai = np.where(swap, ju, iu)
+        bi = np.where(swap, iu, ju)
+        hit = np.nan_to_num(cos[ai, bi], nan=-1.0) >= SEM_TAU
+        ai, bi = ai[hit], bi[hit]
+        a_better = (d2[ai] < d2[bi]) | ((d2[ai] == d2[bi]) & (ids[ai] < ids[bi]))
+        removed = np.unique(np.where(a_better, ids[bi], ids[ai]))
+        return pd.DataFrame(
+            {
+                "cid": pdf["cid"].iloc[:1],
+                "n_members": [len(ids)],
+                "n_removed": [len(removed)],
+                "removed_id_sum": [int(removed.sum()) if len(removed) else 0],
+            }
         )
-        .distinct()
+
+    per = final.groupBy("cid").applyInPandas(
+        per_cluster,
+        "cid int, n_members long, n_removed long, removed_id_sum long",
     )
-    per = rem.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_removed"),
-        F.sum("removed").alias("removed_id_sum"),
-    )
-    mem = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        mem.join(per, "cid", "left")
-        .select(
+        per.select(
             F.col("cid").alias("cluster_id"),
             "n_members",
-            (F.col("n_members") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            F.coalesce("removed_id_sum", F.lit(0).cast("long")).alias("removed_id_sum"),
+            (F.col("n_members") - F.col("n_removed")).alias("n_kept"),
+            "n_removed",
+            "removed_id_sum",
             F.round(
-                F.coalesce("n_removed", F.lit(0)).cast("double") / F.col("n_members"), 4
+                F.col("n_removed").cast("double") / F.col("n_members"), 4
             ).alias("removal_rate"),
         )
     )
