@@ -31,10 +31,17 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 # Postgres timestamps are microseconds since 2000-01-01 00:00:00 UTC.
 _PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+# Precompiled big-endian primitive unpackers (hot path: one call per
+# protocol field of every replicated row).
+_S_INT8 = struct.Struct(">b")
+_S_INT16 = struct.Struct(">h")
+_S_INT32 = struct.Struct(">i")
+_S_INT64 = struct.Struct(">q")
 
 # TupleData column categories (protocol byte values).
 COL_NULL = "n"
@@ -53,7 +60,11 @@ def datetime_to_pg_ts(dt: datetime) -> int:
 
 
 class _Reader:
-    """Cursor over a message buffer with the protocol's primitive reads."""
+    """Cursor over a message buffer with the protocol's primitive reads.
+
+    Primitives use precompiled ``struct.Struct`` unpackers and direct
+    byte indexing — this class runs once per replicated row inside the
+    executor-side partition reader, so per-call overhead is throughput."""
 
     __slots__ = ("buf", "pos")
 
@@ -61,27 +72,33 @@ class _Reader:
         self.buf = buf
         self.pos = 0
 
-    def _unpack(self, fmt: str, size: int):
-        val = struct.unpack_from(fmt, self.buf, self.pos)[0]
-        self.pos += size
-        return val
-
     def int8(self) -> int:
-        return self._unpack(">b", 1)
+        (v,) = _S_INT8.unpack_from(self.buf, self.pos)
+        self.pos += 1
+        return v
 
     def int16(self) -> int:
-        return self._unpack(">h", 2)
+        (v,) = _S_INT16.unpack_from(self.buf, self.pos)
+        self.pos += 2
+        return v
 
     def int32(self) -> int:
-        return self._unpack(">i", 4)
+        (v,) = _S_INT32.unpack_from(self.buf, self.pos)
+        self.pos += 4
+        return v
 
     def int64(self) -> int:
-        return self._unpack(">q", 8)
+        (v,) = _S_INT64.unpack_from(self.buf, self.pos)
+        self.pos += 8
+        return v
 
     def byte(self) -> str:
-        b = self.buf[self.pos : self.pos + 1].decode("ascii")
-        self.pos += 1
-        return b
+        pos = self.pos
+        buf = self.buf
+        if pos >= len(buf):
+            return ""  # truncated frame: callers fail loudly on ''
+        self.pos = pos + 1
+        return chr(buf[pos])
 
     def cstring(self) -> str:
         end = self.buf.index(b"\x00", self.pos)
@@ -100,14 +117,16 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class ColumnData:
+class ColumnData(NamedTuple):
+    """One wire column.  NamedTuple, not dataclass: constructed once per
+    column of every replicated row, and tuple.__new__ is ~4× cheaper
+    than a frozen-dataclass __init__ — same attribute API, immutable."""
+
     category: str  # 'n' | 'u' | 't'
     value: Optional[str] = None  # text payload when category == 't'
 
 
-@dataclass(frozen=True)
-class TupleData:
+class TupleData(NamedTuple):
     columns: Tuple[ColumnData, ...]
 
     @property
@@ -319,18 +338,36 @@ PgoutputMessage = object  # union of the dataclasses above
 # ---------------------------------------------------------------------------
 
 
+# Shared immutable markers: every 'n'/'u' column is the same frozen
+# instance, so the per-row hot loop allocates only for text payloads.
+_COL_NULL_MARKER = ColumnData(COL_NULL)
+_COL_TOAST_MARKER = ColumnData(COL_UNCHANGED_TOAST)
+
+
 def _read_tuple_data(r: _Reader) -> TupleData:
-    n = r.int16()
+    # Hot loop (once per replicated row): operate on the buffer directly
+    # with local variables; the cursor position is written back once.
+    buf = r.buf
+    pos = r.pos
+    (n,) = _S_INT16.unpack_from(buf, pos)
+    pos += 2
     cols: List[ColumnData] = []
+    append = cols.append
     for _ in range(n):
-        cat = r.byte()
-        if cat == COL_TEXT:
-            length = r.int32()
-            cols.append(ColumnData(COL_TEXT, r.utf8(length)))
-        elif cat in (COL_NULL, COL_UNCHANGED_TOAST):
-            cols.append(ColumnData(cat))
+        cat = buf[pos]
+        pos += 1
+        if cat == 116:  # 't' text payload
+            (length,) = _S_INT32.unpack_from(buf, pos)
+            pos += 4
+            append(ColumnData(COL_TEXT, buf[pos : pos + length].decode("utf-8")))
+            pos += length
+        elif cat == 110:  # 'n' null
+            append(_COL_NULL_MARKER)
+        elif cat == 117:  # 'u' unchanged TOAST
+            append(_COL_TOAST_MARKER)
         else:
-            raise ValueError(f"unknown TupleData column category {cat!r}")
+            raise ValueError(f"unknown TupleData column category {chr(cat)!r}")
+    r.pos = pos
     return TupleData(tuple(cols))
 
 
@@ -402,11 +439,26 @@ def decode_type(buf: bytes, streamed: bool = False) -> PgType:
     return PgType(r.int32(), r.cstring(), r.cstring(), xid=xid)
 
 
+def _row_header(r: _Reader, kind: str, streamed: bool) -> Tuple[Optional[int], int]:
+    """Shared I/U/D header: type byte, optional v2 in-segment xid,
+    relation OID — inlined primitive reads (hot path: once per row)."""
+    buf = r.buf
+    if not buf or buf[0] != ord(kind):
+        got = chr(buf[0]) if buf else ""
+        raise ValueError(f"expected message type {kind!r}, got {got!r}")
+    pos = 1
+    xid: Optional[int] = None
+    if streamed:
+        (xid,) = _S_INT32.unpack_from(buf, pos)
+        pos += 4
+    (relation_id,) = _S_INT32.unpack_from(buf, pos)
+    r.pos = pos + 4
+    return xid, relation_id
+
+
 def decode_insert(buf: bytes, streamed: bool = False) -> Insert:
     r = _Reader(buf)
-    _expect(r, "I")
-    xid = _maybe_xid(r, streamed)
-    relation_id = r.int32()
+    xid, relation_id = _row_header(r, "I", streamed)
     marker = r.byte()
     if marker != "N":
         raise ValueError(f"Insert: expected 'N' new-tuple marker, got {marker!r}")
@@ -415,9 +467,7 @@ def decode_insert(buf: bytes, streamed: bool = False) -> Insert:
 
 def decode_update(buf: bytes, streamed: bool = False) -> Update:
     r = _Reader(buf)
-    _expect(r, "U")
-    xid = _maybe_xid(r, streamed)
-    relation_id = r.int32()
+    xid, relation_id = _row_header(r, "U", streamed)
     marker = r.byte()
     old_cat: Optional[str] = None
     old_tuple: Optional[TupleData] = None
@@ -432,9 +482,7 @@ def decode_update(buf: bytes, streamed: bool = False) -> Update:
 
 def decode_delete(buf: bytes, streamed: bool = False) -> Delete:
     r = _Reader(buf)
-    _expect(r, "D")
-    xid = _maybe_xid(r, streamed)
-    relation_id = r.int32()
+    xid, relation_id = _row_header(r, "D", streamed)
     marker = r.byte()
     if marker not in ("K", "O"):
         raise ValueError(f"Delete: expected 'K' or 'O' marker, got {marker!r}")
