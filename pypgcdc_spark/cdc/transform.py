@@ -109,6 +109,25 @@ class MessageTransformer:
         """Transform one raw replication message; yields 0..n envelope rows."""
         in_segment = self._segment_xid is not None
         msg = pg.decode_message(payload, streamed=in_segment)
+        # Hot path first: DML is the overwhelming share of a change feed,
+        # so it must not fall through a dozen control-type checks.
+        if isinstance(msg, (pg.Insert, pg.Update, pg.Delete, pg.Truncate)):
+            if in_segment:
+                # Tag with the message's own xid (the subtransaction's,
+                # when it came from one) so a subtx Stream Abort can
+                # surgically drop it.
+                self._stream_bufs[self._segment_xid].append(
+                    (lsn, msg.xid if msg.xid is not None else self._segment_xid, msg)
+                )
+                return
+            if self._prepared_xid is not None:
+                # Inside a 'b'..'P' span: plain layout, buffered until K/r.
+                self._stream_bufs[self._prepared_xid].append(
+                    (lsn, self._prepared_xid, msg)
+                )
+                return
+            yield from self._dml(msg, lsn)
+            return
         if isinstance(msg, pg.StreamStart):
             # Segments of one xid never nest; segments of different xids
             # interleave only *between* S..E spans (walsender serializes).
@@ -188,21 +207,7 @@ class MessageTransformer:
             self.registry.register_relation(msg, lsn=lsn)
             self.stats.relations += 1
             return
-        # Transactional DML (Insert/Update/Delete/Truncate).
-        if in_segment:
-            # Tag with the message's own xid (the subtransaction's, when it
-            # came from one) so a subtx Stream Abort can surgically drop it.
-            self._stream_bufs[self._segment_xid].append(
-                (lsn, msg.xid if msg.xid is not None else self._segment_xid, msg)
-            )
-            return
-        if self._prepared_xid is not None:
-            # Inside a 'b'..'P' span: plain layout, buffered until K / r.
-            self._stream_bufs[self._prepared_xid].append(
-                (lsn, self._prepared_xid, msg)
-            )
-            return
-        yield from self._dml(msg, lsn)
+        raise ValueError(f"unhandled pgoutput message {type(msg).__name__}")
 
     def _drain_pending(
         self, tx_xid: int, commit_lsn: int, commit_ts
@@ -231,12 +236,6 @@ class MessageTransformer:
         drain; schema resolution is at-LSN in both, so replays and
         deferred drains see the version in force when the change happened.
         """
-        if isinstance(msg, pg.Truncate):
-            for rid in msg.relation_ids:
-                schema = self.registry.get_at_lsn(rid, lsn)
-                yield self._event("T", lsn, schema)
-                self.stats.events += 1
-            return
         if isinstance(msg, pg.Insert):
             schema = self._schema(msg.relation_id, lsn)
             after = _tuple_to_dict(msg.new_tuple, schema)
@@ -293,6 +292,12 @@ class MessageTransformer:
             ev.key = {k: before.get(k) for k in schema.get_key_columns()}
             self.stats.events += 1
             yield ev
+            return
+        if isinstance(msg, pg.Truncate):
+            for rid in msg.relation_ids:
+                schema = self.registry.get_at_lsn(rid, lsn)
+                yield self._event("T", lsn, schema)
+                self.stats.events += 1
             return
         raise ValueError(f"unhandled pgoutput message {type(msg).__name__}")
 
