@@ -41,6 +41,11 @@ WATCH = [
     "stream_stream_join",
     "dedup_connected_components",
     "graph_pagerank_bucketed",
+    # r6 session-2 optimizations: map-side Lloyd assignment, per-cluster
+    # Gram-matrix SemDeDup, degree-embedded broadcast PageRank.
+    "embed_kmeans_domains",
+    "dedup_semantic_semdedup",
+    "graph_pagerank",
 ]
 
 RUNNER = r"""
