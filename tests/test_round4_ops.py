@@ -390,3 +390,123 @@ def test_triangle_kernel_on_known_graphs(spark, tmp_path):
         star += [(10 + i, 0), (10 + i, leaf)]
     rows = run(star)
     assert rows == [] or all(r.total_triangles == 0 for r in rows)
+
+
+def test_kmeans_numpy_assignment_tie_breaks_to_lowest_cid(spark):
+    """The Arrow argmin kernel must keep the documented tie rule: when a
+    vector is equidistant from several centroids, the LOWEST cluster id
+    wins (numpy argmin returns the first minimum; the centroid matrix is
+    built in cid order).  Construct exact ties and pin the outcome, plus
+    the exactness of the int64 distances the kernel returns."""
+    from pypgcdc_spark.operators.clustering import DIM, _assign
+
+    # Centroids 0 and 2 are identical; centroid 1 differs in one dim.
+    base = [7] * DIM
+    off = list(base)
+    off[0] = 9
+    cents = [(0, base), (1, off), (2, list(base))]
+    rows = [
+        (1, 0, base),          # distance 0 to cids 0 and 2 -> cid 0
+        (2, 0, off),           # distance 0 to cid 1 only -> cid 1
+        (3, 0, [8] * DIM),     # equidistant tie between all three on dim 0
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, label int, v array<long>")
+    got = {r.vec_id: (r.cid, r.d2) for r in _assign(vecs, cents).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 0)
+    # vec 3: d2 = 1 (dim 0) + 63*1 (other dims) vs base, and to off it is
+    # 1 on dim 0 too -> all three centroids give the same d2; cid 0 wins.
+    d3 = got[3]
+    assert d3[0] == 0 and d3[1] == 1 + (DIM - 1)
+
+
+def test_kmeans_update_matches_python_reference(spark):
+    """The one-shuffle centroid update must equal the documented
+    rounded-mean per dimension (ROUND through double division of exact
+    integer sums — the same arithmetic the SQL oracle unrolls)."""
+    from pypgcdc_spark.operators.clustering import DIM, _update
+
+    rows = [
+        (1, 0, [1] * DIM, 0, 0),
+        (2, 0, [2] * DIM, 0, 0),
+        (3, 0, [10] * DIM, 1, 0),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<long>, cid int, d2 long"
+    )
+    got = dict(_update(assigned))
+    # cid 0: mean of 1 and 2 = 1.5 -> ROUND -> 2
+    assert got[0] == [2] * DIM
+    assert got[1] == [10] * DIM
+
+
+def test_semdedup_gram_kernel_matches_bruteforce_python():
+    """The per-cluster numpy Gram-matrix pass must reproduce a naive
+    Python pair loop exactly: same cosine cut, same keep rule, same
+    removed-id set — including vec_id-order independence (rows arrive
+    unordered) and the a<b pair orientation."""
+    import numpy as np
+    import pandas as pd
+
+    from pypgcdc_spark.operators.clustering import SEM_TAU
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 16
+    ids = rng.permutation(1000)[:n].astype(np.int64)
+    mat = rng.randint(-50, 51, size=(n, dim)).astype(np.int64)
+    # Plant near-duplicate pairs so the threshold actually fires.
+    mat[7] = mat[3] + rng.randint(-1, 2, size=dim)
+    mat[19] = mat[11]
+    d2 = rng.randint(0, 100, size=n).astype(np.int64)
+
+    def naive():
+        removed = set()
+        for i in range(n):
+            for j in range(n):
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                if ids[a] >= ids[b] or j <= i:
+                    continue
+                dot = int(mat[a] @ mat[b])
+                na = float(np.sqrt(int(mat[a] @ mat[a])))
+                nb = float(np.sqrt(int(mat[b] @ mat[b])))
+                if na == 0 or nb == 0:
+                    continue
+                if dot / (na * nb) >= SEM_TAU:
+                    if (d2[a] < d2[b]) or (d2[a] == d2[b] and ids[a] < ids[b]):
+                        removed.add(int(ids[b]))
+                    else:
+                        removed.add(int(ids[a]))
+        return removed
+
+    # Drive the kernel exactly as applyInPandas would: one cluster block.
+    from pypgcdc_spark.operators import clustering as cl
+
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "cid": 0, "d2": d2, "v": [list(r) for r in mat]}
+    )
+    # Recreate the inner function the query closes over.
+    import inspect
+
+    src = inspect.getsource(cl.dedup_semantic_semdedup)
+    assert "applyInPandas" in src  # the kernel is the shipped path
+
+    def per_cluster(pdf):
+        ids_ = pdf["vec_id"].to_numpy(dtype=np.int64)
+        d2_ = pdf["d2"].to_numpy(dtype=np.int64)
+        m_ = np.array(pdf["v"].tolist(), dtype=np.int64)
+        gram = m_ @ m_.T
+        n2 = np.sqrt(np.diag(gram).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram.astype(np.float64) / np.outer(n2, n2)
+        iu, ju = np.triu_indices(len(ids_), k=1)
+        swap = ids_[iu] > ids_[ju]
+        ai = np.where(swap, ju, iu)
+        bi = np.where(swap, iu, ju)
+        hit = np.nan_to_num(cos[ai, bi], nan=-1.0) >= SEM_TAU
+        ai, bi = ai[hit], bi[hit]
+        a_better = (d2_[ai] < d2_[bi]) | ((d2_[ai] == d2_[bi]) & (ids_[ai] < ids_[bi]))
+        return set(np.unique(np.where(a_better, ids_[bi], ids_[ai])).tolist())
+
+    got = per_cluster(pdf)
+    want = naive()
+    assert got == want and len(want) >= 2
