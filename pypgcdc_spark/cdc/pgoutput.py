@@ -29,7 +29,7 @@ Python DataSource partition reader on executors (SURVEY §4.2).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 from typing import List, NamedTuple, Optional, Tuple
 
