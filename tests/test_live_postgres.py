@@ -599,3 +599,54 @@ def test_live_spark_end_to_end_materialize(live, tmp_path, spark):
         "SELECT pg_drop_replication_slot('slot_spark')",
         "DELETE FROM accounts WHERE id IN (80, 81)",
     )
+
+
+def test_live_sustained_throughput(live, tmp_path):
+    """Sustained-ingest measurement against the REAL walsender: 50k rows
+    in 10 transactions, tailed over the wire to a replay log, then
+    decoded frame->envelope.  Asserts conservative floors (the committed
+    rates go to LIVE_RESULT); the real value is that the measurement
+    exists on the live path, not just the synthetic decode microbench."""
+    n_tx, rows_per_tx = 10, 5000
+    total = n_tx * rows_per_tx
+    log = str(tmp_path / "wal_tp.replay")
+    t = live.tailer("slot_tp", log)
+    t.start()
+    t0 = time.perf_counter()
+    for k in range(n_tx):
+        lo = 1_000_000 + k * rows_per_tx
+        live.sql(
+            "INSERT INTO accounts (id, balance, meta, name) "
+            f"SELECT g, (g % 1000) / 100.0, NULL, 'u' || g "
+            f"FROM generate_series({lo}, {lo + rows_per_tx - 1}) g"
+        )
+    _drain(t)
+    tail_wall = time.perf_counter() - t0
+    t.stop()
+
+    t1 = time.perf_counter()
+    events, stats = _decode(log)
+    decode_wall = time.perf_counter() - t1
+    inserts = [e for e in events if e.op == "I" and int(e.after["id"]) >= 1_000_000]
+    assert len(inserts) == total
+    tail_rate = total / tail_wall
+    # _drain waits idle_ticks x timeout AFTER the last byte by design;
+    # the streaming-active rate excludes that fixed drain tail.
+    active = max(tail_wall - 3 * 1.0, 0.25)
+    tail_rate_active = total / active
+    decode_rate = total / decode_wall
+    print(
+        f"\nlive sustained ingest: {total} rows | "
+        f"tail {tail_wall:.2f}s = {tail_rate:,.0f} rows/s "
+        f"({tail_rate_active:,.0f} rows/s streaming-active) | "
+        f"decode+transform {decode_wall:.2f}s = {decode_rate:,.0f} rows/s"
+    )
+    # Conservative floors (regression canaries, not benchmarks — the
+    # committed rates live in LIVE_RESULT): a real regression (per-frame
+    # fsync, a quadratic transformer) lands far below these.
+    assert tail_rate > 3_000
+    assert decode_rate > 15_000
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_tp')",
+        "DELETE FROM accounts WHERE id >= 1000000",
+    )
