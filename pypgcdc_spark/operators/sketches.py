@@ -119,22 +119,49 @@ def join_bloom_prefilter(spark, sf_dir):
             F.array(*[_slice(F.col("h"), i, F.col("m")) for i in range(_BLOOM_K)])
         ).alias("p")
     )
-    # one row: (sorted set positions, m) — the whole broadcast sketch
+    # one row: (sorted set positions, m) — n_bits_set reporting only
     bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits")).join(
         F.broadcast(mm)
     )
 
-    member = F.lit(True)
-    for i in range(_BLOOM_K):
-        member = member & F.array_contains(
-            F.col("bits"), _slice(F.col("h"), i, F.col("m"))
+    # The probed sketch is a PACKED bitset (m/64 longs, m/8 bytes — 8 KB
+    # at m=65536): set positions fold to per-word bit_or, then densify to
+    # an array once in the 1-row aggregate.  Membership per fact row is
+    # element_at + shift + mask — O(1), where the previous
+    # array_contains over the ~|dim|·k position array was O(bits set)
+    # per probe (three linear scans per fact row).
+    words = pos.groupBy(F.expr("shiftright(p, 6)").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST((p & 63) AS INT)))").alias("bw")
+    )
+    sketch = (
+        words.agg(
+            F.map_from_arrays(F.collect_list("w"), F.collect_list("bw")).alias("wm")
         )
+        .join(F.broadcast(mm))
+        .select(
+            "m",
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"), (F.col("m") / 64).cast("long") - 1
+                ),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("wm"), j), F.lit(0).cast("long")
+                ),
+            ).alias("wa"),
+        )
+    )
+    member = " AND ".join(
+        f"(shiftright(element_at(wa, CAST(shiftright(p{i}, 6) AS INT) + 1), "
+        f"CAST(p{i} & 63 AS INT)) & 1) = 1"
+        for i in range(_BLOOM_K)
+    )
     cand = (
         orders.select(
             "o_custkey", "o_totalprice", _md5(F.col("o_custkey"), "bf:").alias("h")
         )
-        .join(F.broadcast(bits))  # 1-row scalar broadcast, not a data cartesian
-        .filter(member)
+        .join(F.broadcast(sketch))  # 1-row scalar broadcast, not a data cartesian
+        .withColumns({f"p{i}": _slice(F.col("h"), i, F.col("m")) for i in range(_BLOOM_K)})
+        .filter(F.expr(member))
         .select("o_custkey", "o_totalprice")
     )
     # ONE pass over the candidate set: left-join the (broadcast) dim and
