@@ -851,7 +851,12 @@ class WireReplicationTailer:
         import json
         from datetime import datetime, timezone
 
-        from pypgcdc_spark.sources.replay import Frame, ReplayLogWriter, TxBoundaryScanner
+        from pypgcdc_spark.sources.replay import (
+            Frame,
+            ReplayLogWriter,
+            TxBoundaryScanner,
+            scan_frames,
+        )
 
         n = 0
         flushed = 0
@@ -866,13 +871,49 @@ class WireReplicationTailer:
         # membership would silently DROP distinct same-LSN frames.  With
         # whole units as the append granularity, resent data after a
         # reconnect is skipped by CLOSE-LSN membership instead: commit
-        # LSNs are unique per transaction, equal-LSN data frames inside
-        # a unit survive, and the log never contains a torn unit.
+        # LSNs are unique per transaction, and equal-LSN data frames
+        # inside a unit survive.
         scanner = TxBoundaryScanner()
         unit_buf: list = []  # [(lsn, payload, send_ts)] of the open unit
         appended: dict = {}  # close_lsn -> frame count (un-acked window)
-        writer = ReplayLogWriter(self.log_path)
         ack_path = self.log_path + ".ack"
+        # Cross-RUN resume (a fresh run() over an existing log — process
+        # restart): the close-LSN window above is per-call, so rebuild it
+        # from the log itself — every closed unit past the acked byte
+        # position (units at/below the ack are never resent) — and DROP
+        # a torn tail, i.e. frames of an open unit that a prior drain
+        # exit flushed.  The torn unit's transaction is resent IN FULL
+        # from the resume point; appending the resend after the torn
+        # prefix would hand downstream one merged unit with duplicated
+        # frames (duplicate rows from the immediate-emit DML path, or a
+        # "StreamStart inside an open stream segment" crash mid-span).
+        # Scan cost is O(un-acked window), the standard WAL-reader
+        # restart discipline.
+        # `floor`: the acked LSN at run start.  A resume from exactly a
+        # commit LSN may get that commit frame resent (resend is
+        # inclusive at equality), and the lone 'C' would close as a
+        # phantom single-frame unit — any unit closing at/below the
+        # floor (or the in-run `flushed`) is already consumed per
+        # confirmed-flush semantics and is dropped, not re-appended.
+        floor = 0
+        if os.path.exists(self.log_path):
+            seed_pos = 0
+            if os.path.exists(ack_path):
+                with open(ack_path) as f:
+                    ack = json.load(f)
+                seed_pos = int(ack.get("pos", 0))
+                floor = int(ack.get("lsn", 0))
+            seed = TxBoundaryScanner()
+            last_end, unit_frames = seed_pos, 0
+            for fr in scan_frames(self.log_path, seed_pos):
+                unit_frames += 1
+                if seed.feed(fr) is not None:
+                    appended[fr.lsn] = unit_frames
+                    last_end, unit_frames = fr.end_pos, 0
+            if last_end < os.path.getsize(self.log_path):
+                with open(self.log_path, "r+b") as f:
+                    f.truncate(last_end)
+        writer = ReplayLogWriter(self.log_path)
 
         def _flush_unit() -> None:
             nonlocal n, unit_buf
@@ -915,9 +956,12 @@ class WireReplicationTailer:
                                 Frame(msg.wal_start, 0, msg.payload, 0, 0)
                             )
                             if closed is not None:
-                                if msg.wal_start in appended:
+                                if msg.wal_start in appended or msg.wal_start <= max(
+                                    floor, flushed
+                                ):
                                     # A resent unit that's already fully
-                                    # in the log — drop the whole buffer.
+                                    # in the log (or a resent fragment of
+                                    # an acked one) — drop the buffer.
                                     unit_buf = []
                                 else:
                                     appended[msg.wal_start] = len(unit_buf)

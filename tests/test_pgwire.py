@@ -1347,3 +1347,80 @@ def test_two_phase_rollback_after_reconnect(tmp_path):
     assert [e.op for e in events] == ["I"]  # only the plain tx's insert
     assert events[0].after["id"] == "2"
     assert xform.stats.rolled_back_prepared == 1
+
+
+def test_cross_run_resume_truncates_torn_tail_and_dedups(tmp_path):
+    """A fresh run() over an existing log (process restart): run 1 stops
+    mid-transaction via max_messages, flushing a TORN tail (the open
+    unit's buffered prefix).  Run 2 — a brand-new tailer on the same log
+    — must rebuild its close-LSN dedup window from the log and drop the
+    torn tail before appending, so the full resend yields every frame
+    exactly once; without the rebuild the torn prefix merges with the
+    resent unit into one span with duplicated DML."""
+    frames, src = _workload_frames(tmp_path)
+    # Frames: R,R,(B,I,C),(B,U,C),(B,D,C),(B,I,C) — unit 1 closes at
+    # index 4; max_messages=6 stops after buffering the next unit's 'B'.
+    srv1 = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv1.start()
+    log = str(tmp_path / "restart.log")
+    t1 = WireReplicationTailer("127.0.0.1", srv1.port, USER, DB, "pub1", "slot1", log)
+    t1.start()
+    n1 = t1.run(max_messages=6)
+    t1.stop()
+    srv1.join(10)
+    assert n1 == 6
+    got1 = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
+    assert got1 == frames[:6]  # closed unit 1 + the torn 'B' tail
+
+    # Restart: no ack was ever written, so the server resends everything.
+    srv2 = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv2.start()
+    t2 = WireReplicationTailer("127.0.0.1", srv2.port, USER, DB, "pub1", "slot1", log)
+    t2.start()
+    n2 = t2.run()
+    t2.stop()
+    srv2.join(10)
+    assert srv2.error is None
+    got2 = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
+    assert got2 == frames  # each frame exactly once, in order
+    # Unit 1 was deduped (not re-appended), so run 2 counted only the rest.
+    assert n2 == len(frames) - 5
+    events, stats = _decode_log(log)
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
+
+
+def test_cross_run_resume_seed_scan_starts_at_ack(tmp_path):
+    """With an ack sidecar present, the restart's dedup-window rebuild
+    scans only [ack pos, EOF) — units at/below the ack are never resent
+    — and a resume from the acked LSN appends only the new units."""
+    frames, src = _workload_frames(tmp_path)
+    srv1 = FakeWalsender(auth="trust", frames=frames[:8], slot_exists=True)
+    srv1.start()
+    log = str(tmp_path / "ackseed.log")
+    t1 = WireReplicationTailer("127.0.0.1", srv1.port, USER, DB, "pub1", "slot1", log)
+    t1.start()
+    n1 = t1.run()  # drains units 1-2 (8 frames), clean CopyDone
+    t1.stop()
+    srv1.join(10)
+    assert n1 == 8
+    fr_all = list(scan_frames(log))
+    # Ack unit 1 (ends at frame index 4): its byte end is the scan start.
+    with open(log + ".ack", "w") as f:
+        json.dump({"pos": fr_all[4].end_pos, "lsn": fr_all[4].lsn}, f)
+
+    # The restarted server resends from unit 2 on (resume LSN = ack).
+    srv2 = FakeWalsender(auth="trust", frames=frames, slot_exists=True)
+    srv2.start()
+    t2 = WireReplicationTailer(
+        "127.0.0.1", srv2.port, USER, DB, "pub1", "slot1", log,
+        start_lsn=fr_all[4].lsn,
+    )
+    t2.start()
+    n2 = t2.run()
+    t2.stop()
+    srv2.join(10)
+    assert srv2.error is None
+    got = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
+    assert got == frames  # unit 2's resend deduped, units 3-4 appended
+    events, _ = _decode_log(log)
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
