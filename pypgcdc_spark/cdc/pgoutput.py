@@ -349,6 +349,7 @@ def _read_tuple_data(r: _Reader) -> TupleData:
     # with local variables; the cursor position is written back once.
     buf = r.buf
     pos = r.pos
+    blen = len(buf)
     (n,) = _S_INT16.unpack_from(buf, pos)
     pos += 2
     cols: List[ColumnData] = []
@@ -359,6 +360,14 @@ def _read_tuple_data(r: _Reader) -> TupleData:
         if cat == 116:  # 't' text payload
             (length,) = _S_INT32.unpack_from(buf, pos)
             pos += 4
+            if length < 0 or pos + length > blen:
+                # Fail loudly on truncation — a silently shortened column
+                # value is worse than a decode error (same contract as
+                # decode_logical_message).
+                raise ValueError(
+                    f"truncated TupleData column: declared {length} bytes, "
+                    f"{blen - pos} remain"
+                )
             append(ColumnData(COL_TEXT, buf[pos : pos + length].decode("utf-8")))
             pos += length
         elif cat == 110:  # 'n' null

@@ -153,3 +153,21 @@ def test_begin_commit_roundtrip_matches_golden_bytes():
     assert pg.encode_commit(c.commit_lsn, c.end_lsn, c.commit_ts) == GOLDEN_COMMIT
     i = pg.decode_insert(GOLDEN_INSERT)
     assert pg.encode_insert(16385, [c.value for c in i.new_tuple.columns]) == GOLDEN_INSERT
+
+
+def test_truncated_tuple_column_raises():
+    """A 't' column whose declared length exceeds the remaining buffer
+    must fail loudly (fail-fast contract shared by every decoder) — a
+    silently shortened value would corrupt the replicated row."""
+    buf = pg.encode_insert(7, ["hello world"])
+    for cut in (1, 3, 10):
+        with pytest.raises(ValueError, match="truncated TupleData"):
+            pg.decode_insert(buf[:-cut])
+
+
+def test_truncated_logical_message_raises():
+    """Same contract for 'M' frames (ADVICE r5): declared content length
+    past the buffer end raises instead of silently shortening."""
+    m = pg.encode_logical_message("pfx", b"payload-bytes", msg_lsn=500)
+    with pytest.raises(ValueError, match="truncated logical message"):
+        pg.decode_logical_message(m[:-5])
