@@ -153,19 +153,41 @@ def _chunked_event_log(spark, sf_dir, events) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _EVENT_LOGS:
         return _EVENT_LOGS[key]
-    bounds = events.approxQuantile(
-        "event_id", [i / IVM_CHUNKS for i in range(1, IVM_CHUNKS)], 0.0
-    )
-    lo = [None] + bounds
-    hi = bounds + [None]
+    # Equal-width id ranges from one min/max agg — the exact-quantile
+    # scan (approxQuantile rel-err 0.0) cost more than the write itself,
+    # and any deterministic LSN-range split serves the fixture equally
+    # (oracles recompute over the whole log; event ids are dense).
+    mm = events.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    width = max(1, (int(mm.hi) - int(mm.lo) + IVM_CHUNKS) // IVM_CHUNKS)
+    bounds = [int(mm.lo) + width * i for i in range(1, IVM_CHUNKS)]
     base = tempfile.mkdtemp(prefix="cdc_evlog_")
-    for i, (a, b) in enumerate(zip(lo, hi)):
-        chunk = events
-        if a is not None:
-            chunk = chunk.filter(F.col("event_id") > a)
-        if b is not None:
-            chunk = chunk.filter(F.col("event_id") <= b)
-        chunk.coalesce(1).write.mode("overwrite").parquet(f"{base}/log/chunk={i}")
+    # ONE partitioned write (the N sequential filter+coalesce jobs each
+    # rescanned the table), then an mtime fixup: FileStreamSource orders
+    # its initial listing by modification time, and consumers like the
+    # pattern matcher need the LSN chunks to arrive in order — so chunk
+    # i's file is stamped i seconds apart, which the sequential writes
+    # used to guarantee implicitly.
+    chunk = F.lit(0)
+    for b in bounds:
+        chunk = chunk + F.when(F.col("event_id") > b, 1).otherwise(0)
+    (
+        events.withColumn("chunk", chunk.cast("int"))
+        .repartition(IVM_CHUNKS, "chunk")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(f"{base}/log")
+    )
+    import glob
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i in range(IVM_CHUNKS):
+        for p in glob.glob(f"{base}/log/chunk={i}/*.parquet"):
+            os.utime(p, (now + i, now + i))
     _EVENT_LOGS[key] = f"{base}/log"
     return _EVENT_LOGS[key]
 

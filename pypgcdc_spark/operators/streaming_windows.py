@@ -660,15 +660,18 @@ def _chunked_lineitem_log(spark, sf_dir: str) -> str:
         "l_orderkey",
         "l_partkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        (
-            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
-            .cast("int") % 4
-        ).alias("chunk"),
+        # Chunk assignment only shapes micro-batch composition — the
+        # oracle recomputes over the WHOLE stream, so the cheap
+        # deterministic hash is free to use (md5+conv was pure
+        # synthesis overhead; the join-IVM log made the same switch).
+        F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(4)).cast("int").alias("chunk"),
     )
     base = tempfile.mkdtemp(prefix="li_log_")
-    fact.repartition(4, "chunk").write.mode("overwrite").partitionBy("chunk").parquet(
-        f"{base}/log"
-    )
+    # Plain 4-file write (NOT partitionBy — the hive-partitioned writer
+    # costs ~2x here): hash-repartitioning on the chunk key makes each
+    # output file one deterministic chunk, which is all
+    # maxFilesPerTrigger=1 needs to cut one micro-batch per file.
+    fact.repartition(4, "chunk").write.mode("overwrite").parquet(f"{base}/log")
     _LI_LOGS[key] = f"{base}/log"
     return _LI_LOGS[key]
 
