@@ -294,16 +294,20 @@ def test_join_view_ivm_correct_after_every_batch(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     log = chunked_join_log(spark, sf)
+    # One file per chunk (flat layout, file = micro-batch); feed them in
+    # name order like maxFilesPerTrigger=1 would.
+    import glob
+
+    files = sorted(glob.glob(f"{log}/*.parquet"))
+    assert len(files) == N_CHUNKS  # the chunk->partition map stayed 1:1
     m = JoinViewMaintainer(spark, str(tmp_path / "state"))
     for i in range(N_CHUNKS):
-        batch = spark.read.schema(A_SCHEMA).parquet(f"{log}/chunk={i}")
+        batch = spark.read.schema(A_SCHEMA).parquet(files[i])
         m.apply_batch(batch, i)
         got = {
             r.priority: (r.n_lines, r.total_cents) for r in m.aggregate().collect()
         }
-        seen = spark.read.schema(A_SCHEMA).parquet(
-            *[f"{log}/chunk={j}" for j in range(i + 1)]
-        )
+        seen = spark.read.schema(A_SCHEMA).parquet(*files[: i + 1])
         wa = Window.partitionBy("orderkey").orderBy(F.col("lsn").desc())
         a = (
             seen.filter("tbl='A'")
