@@ -85,6 +85,11 @@ class BucketedViewMaintainer:
     # -- the per-batch delta step ---------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # Idle micro-batches are normal on a live feed; a zero-row
+            # dynamic overwrite could also leave a fileless state dir
+            # that flips _has_keys before any row ever landed.
+            return
         conf = self.spark.conf
         saved = {
             k: conf.get(k)
