@@ -292,8 +292,12 @@ class PgCdcStreamReader(DataSourceStreamReader):
             # position (like walsender flush_lsn) must never move backwards.
             return
         self._offset_floor = pos
-        with open(self.path + ".ack", "w") as f:
+        # Atomic replace: the live tailer polls this file between frames
+        # (pgwire run()), so an in-place write could be read torn.
+        tmp = self.path + ".ack.tmp"
+        with open(tmp, "w") as f:
             json.dump({"pos": pos, "lsn": end["lsn"]}, f)
+        os.replace(tmp, self.path + ".ack")
         # Registry-snapshot GC: batches at or below the committed offset
         # are never replayed, so snapshots OLDER than the one this offset
         # names are garbage (the named one stays — it seeds the next

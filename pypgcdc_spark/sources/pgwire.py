@@ -969,8 +969,11 @@ class WireReplicationTailer:
                         elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
                             self.client.send_standby_status(flushed, flushed, flushed)
                         if os.path.exists(ack_path):
-                            with open(ack_path) as f:
-                                lsn = json.load(f).get("lsn", 0)
+                            try:
+                                with open(ack_path) as f:
+                                    lsn = json.load(f).get("lsn", 0)
+                            except ValueError:
+                                lsn = 0  # torn concurrent write; next poll wins
                             if lsn and lsn > flushed:
                                 flushed = lsn
                                 # Units committed at/below the flush are
