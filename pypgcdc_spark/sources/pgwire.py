@@ -595,9 +595,11 @@ class CopySpool:
     boundaries so every chunk is a standalone set of complete COPY
     lines — i.e. a valid Spark input split.
 
-    Driver memory is bounded by ``chunk_bytes`` plus one protocol
-    message regardless of table size (``max_buffered`` records the
-    observed peak, so tests can enforce the bound); the chunk files are
+    Driver memory is bounded by ``max(chunk_bytes, one row)`` plus one
+    protocol message regardless of table size — a row longer than
+    ``chunk_bytes`` has no newline to cut at until it completes
+    (``max_buffered`` records the observed peak, so tests can enforce
+    the bound); the chunk files are
     what a 1000-executor ``spark.read.text(spool_dir)`` parallelizes
     over.  This is the 100 TB bootstrap path: the driver relays bytes
     to disk, executors do ALL parsing/typing (api.bootstrap)."""

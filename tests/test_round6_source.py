@@ -243,3 +243,57 @@ def test_registry_snapshot_gc_on_commit(tmp_path):
     r2.latestOffset()
     rows = [t for p in r2.partitions(o1, o2) for t in r2.read(p)]
     assert len(rows) == 2
+
+
+# -- CopySpool invariants (property-based) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\n"
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    chunk_bytes=st.integers(min_value=16, max_value=256),
+    cuts=st.data(),
+)
+def test_copyspool_row_alignment_under_arbitrary_fragmentation(
+    tmp_path_factory, lines, chunk_bytes, cuts
+):
+    """The walsender fragments COPY data into CopyData messages at
+    ARBITRARY byte positions (mid-row, mid-UTF8-sequence); the spool
+    must still (a) reproduce the byte stream exactly, (b) cut chunk
+    files only at row boundaries — every chunk is a standalone set of
+    complete COPY lines, i.e. a valid Spark input split — and (c) keep
+    the driver buffer bounded by max(chunk_bytes, one row) + one
+    message (a row longer than chunk_bytes has no newline to cut at
+    until it completes — the docstring's chunk_bytes+one-message bound
+    assumes rows smaller than the chunk size)."""
+    from pypgcdc_spark.sources.pgwire import CopySpool
+
+    payload = b"".join(t.encode("utf-8") + b"\n" for t in lines)
+    d = tmp_path_factory.mktemp("spoolprop")
+    spool = CopySpool(str(d), chunk_bytes=chunk_bytes)
+    pos, max_msg = 0, 0
+    while pos < len(payload):
+        step = cuts.draw(st.integers(min_value=1, max_value=48))
+        spool(payload[pos : pos + step])
+        max_msg = max(max_msg, step)
+        pos += step
+    paths = spool.close()
+
+    blobs = [open(p, "rb").read() for p in paths]
+    assert b"".join(blobs) == payload  # (a) lossless
+    for b in blobs[:-1]:
+        assert b.endswith(b"\n")  # (b) whole rows per chunk
+    longest_row = max(len(t.encode("utf-8")) for t in lines) + 1
+    assert spool.max_buffered <= max(chunk_bytes, longest_row) + max_msg
