@@ -650,3 +650,46 @@ def test_live_sustained_throughput(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_tp')",
         "DELETE FROM accounts WHERE id >= 1000000",
     )
+
+
+def test_live_restart_with_torn_tail_no_duplicates(live, tmp_path):
+    """Cross-run resume against the REAL walsender with a TORN TAIL in
+    the log: run 1 is capped by max_messages so it stops and flushes
+    mid-transaction; run 2 (a brand-new tailer on the same log, resuming
+    from 0 with no ack) must truncate the torn prefix, dedup the
+    resent closed units by close-LSN, and land every frame exactly
+    once — the decoded state must equal a clean single-run tail."""
+    import json
+
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_torn", log)
+    t.start()
+    # One multi-row transaction so a frame cap can land mid-unit:
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) VALUES (40, 1.00, 'a')",
+        "INSERT INTO accounts (id, balance, name) VALUES (41, 2.00, 'b')",
+        "INSERT INTO accounts (id, balance, name) VALUES (42, 3.00, 'c')",
+        "COMMIT",
+        "INSERT INTO accounts (id, balance, name) VALUES (43, 4.00, 'd')",
+    )
+    # Tx1 = R + B + 3I + C = 6 frames; capping at 7 stops INSIDE tx2
+    # (its Begin buffered, flushed as the torn tail on return).
+    n1 = _drain(t, max_messages=7)
+    t.stop()
+    frames1 = list(scan_frames(log))
+    assert len(frames1) == n1 == 7
+
+    # Restart from scratch (no ack): the server resends everything
+    # committed after the slot's confirmed_flush (= all of it).
+    t2 = live.tailer("slot_torn", log)
+    t2.start()
+    _drain(t2)
+    t2.stop()
+    events, _ = _decode(log)
+    inserts = [e.after["name"] for e in events if e.op == "I"]
+    assert inserts == ["a", "b", "c", "d"]  # no dupes, no gaps, no crash
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_torn')",
+        "DELETE FROM accounts WHERE id IN (40, 41, 42, 43)",
+    )
