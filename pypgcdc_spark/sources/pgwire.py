@@ -863,20 +863,18 @@ class WireReplicationTailer:
         n = 0
         flushed = 0
         idle = 0
-        # Unit-granularity append (replaces the per-frame LSN seen-set):
-        # frames of the open transaction unit buffer in memory and reach
-        # the log only when the unit CLOSES (Commit / Stream Commit /
-        # resolved prepare).  Real walsenders emit multiple XLogData
-        # frames sharing one WAL position — Relation/Type/Message frames
-        # reuse the following change's write location, Begin can share
-        # the first change's — so deduping resends by frame-LSN
-        # membership would silently DROP distinct same-LSN frames.  With
-        # whole units as the append granularity, resent data after a
-        # reconnect is skipped by CLOSE-LSN membership instead: commit
-        # LSNs are unique per transaction, and equal-LSN data frames
-        # inside a unit survive.
+        # Unit-granularity dedup (replaces the per-frame LSN seen-set):
+        # a unit COMMITS to the log only when it CLOSES (Commit / Stream
+        # Commit / resolved prepare).  Real walsenders emit multiple
+        # XLogData frames sharing one WAL position — Relation/Type/
+        # Message frames reuse the following change's write location,
+        # Begin can share the first change's — so deduping resends by
+        # frame-LSN membership would silently DROP distinct same-LSN
+        # frames.  With whole units as the commit granularity, resent
+        # data after a reconnect is skipped by CLOSE-LSN membership
+        # instead: commit LSNs are unique per transaction, and equal-LSN
+        # data frames inside a unit survive.
         scanner = TxBoundaryScanner()
-        unit_buf: list = []  # [(lsn, payload, send_ts)] of the open unit
         appended: dict = {}  # close_lsn -> frame count (un-acked window)
         ack_path = self.log_path + ".ack"
         # Cross-RUN resume (a fresh run() over an existing log — process
@@ -916,14 +914,25 @@ class WireReplicationTailer:
                 with open(self.log_path, "r+b") as f:
                     f.truncate(last_end)
         writer = ReplayLogWriter(self.log_path)
+        # Write-THROUGH, truncate-on-drop: frames reach the log as they
+        # arrive, so tailer memory is O(1) no matter how large a
+        # transaction (or interleaved v2 span) is — a whole-unit RAM
+        # buffer would hold multi-GB transactions at the single ingest
+        # point, the very thing the walsender's streaming mode exists to
+        # avoid.  An OPEN unit always occupies the log TAIL contiguously,
+        # so dropping a resent duplicate (or a partial unit on reconnect)
+        # is one truncate back to the unit's start; a duplicate's CLOSING
+        # frame is checked before it is written, so a kept log never
+        # contains a closed duplicate, and a crash mid-unit leaves only a
+        # torn tail for the next run()'s seed scan to truncate.  Readers
+        # are safe throughout: the boundary scanner never offers an
+        # unclosed tail to a partition.
+        unit_start = writer.pos  # byte pos where the open unit begins
+        unit_frames = 0
 
-        def _flush_unit() -> None:
-            nonlocal n, unit_buf
-            for lsn_, payload_, ts_ in unit_buf:
-                writer.append(lsn_, payload_, ts_)
-            writer.flush()
-            n += len(unit_buf)
-            unit_buf = []
+        def _exit_total() -> int:
+            writer.flush()  # open tail stays in the log (drain semantics)
+            return n + unit_frames
 
         try:
             while True:
@@ -932,8 +941,7 @@ class WireReplicationTailer:
                         if isinstance(msg, IdleTimeout):
                             idle += 1
                             if max_idle is not None and idle >= max_idle:
-                                _flush_unit()  # partial tail -> log
-                                return n
+                                return _exit_total()
                             # Proactive keepalive so wal_sender_timeout
                             # doesn't kill an idle session.
                             self.client.send_standby_status(flushed, flushed, flushed)
@@ -945,29 +953,31 @@ class WireReplicationTailer:
                             # activity would livelock any max_idle drain
                             # (keepalives arrive about once per tick).
                             idle = 0
-                            unit_buf.append(
-                                (
-                                    msg.wal_start,
-                                    msg.payload,
-                                    datetime.fromtimestamp(
-                                        msg.send_time_us / 1e6, tz=timezone.utc
-                                    ),
-                                )
+                            ts = datetime.fromtimestamp(
+                                msg.send_time_us / 1e6, tz=timezone.utc
                             )
                             closed = scanner.feed(
                                 Frame(msg.wal_start, 0, msg.payload, 0, 0)
                             )
-                            if closed is not None:
-                                if msg.wal_start in appended or msg.wal_start <= max(
-                                    floor, flushed
-                                ):
-                                    # A resent unit that's already fully
-                                    # in the log (or a resent fragment of
-                                    # an acked one) — drop the buffer.
-                                    unit_buf = []
-                                else:
-                                    appended[msg.wal_start] = len(unit_buf)
-                                    _flush_unit()
+                            if closed is None:
+                                writer.append(msg.wal_start, msg.payload, ts)
+                                unit_frames += 1
+                            elif msg.wal_start in appended or msg.wal_start <= max(
+                                floor, flushed
+                            ):
+                                # A resent unit that's already fully in
+                                # the log (or a resent fragment of an
+                                # acked one) — drop it: its frames are
+                                # the tail, its closing frame unwritten.
+                                writer.truncate(unit_start)
+                                unit_frames = 0
+                            else:
+                                writer.append(msg.wal_start, msg.payload, ts)
+                                writer.flush()
+                                n += unit_frames + 1
+                                appended[msg.wal_start] = unit_frames + 1
+                                unit_start = writer.pos
+                                unit_frames = 0
                         elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
                             self.client.send_standby_status(flushed, flushed, flushed)
                         if os.path.exists(ack_path):
@@ -986,11 +996,9 @@ class WireReplicationTailer:
                                 self.client.send_standby_status(
                                     flushed, flushed, flushed
                                 )
-                        if max_messages and n + len(unit_buf) >= max_messages:
-                            _flush_unit()
-                            return n
-                    _flush_unit()  # clean CopyDone; partial tail -> log
-                    return n
+                        if max_messages and n + unit_frames >= max_messages:
+                            return _exit_total()
+                    return _exit_total()  # clean CopyDone
                 except (ProtocolError, OSError):
                     if self.reconnects >= max_reconnects:
                         raise
@@ -1000,8 +1008,9 @@ class WireReplicationTailer:
                         *self._conn_args, **self._conn_kwargs
                     )
                     # The partial unit is re-sent in full from the resume
-                    # point — discard the buffer and re-scan boundaries.
-                    unit_buf = []
+                    # point — truncate it off and re-scan boundaries.
+                    writer.truncate(unit_start)
+                    unit_frames = 0
                     scanner = TxBoundaryScanner()
                     # Resume from what the server knows is flushed; resent
                     # closed units are skipped by close-LSN membership.

@@ -33,20 +33,38 @@ class Frame:
 
 
 class ReplayLogWriter:
-    """Append pgoutput messages to a replay log (test-stream synthesis)."""
+    """Append pgoutput messages to a replay log.
+
+    ``pos`` tracks the byte length of the log including buffered
+    appends; :meth:`truncate` cuts the file back to an earlier
+    position — the wire tailer writes frames through as they arrive
+    (O(1) memory regardless of transaction size) and drops a
+    duplicate/aborted unit, which always occupies the log TAIL
+    contiguously, by truncating to the unit's start."""
 
     def __init__(self, path: str):
         self.path = path
         self._f = open(path, "ab")
+        self.pos = os.path.getsize(path)
 
     def append(self, lsn: int, payload: bytes, send_time: Optional[datetime] = None) -> None:
         ts = send_time or datetime.now(timezone.utc)
         us = int(ts.timestamp() * 1_000_000)
         self._f.write(_HDR.pack(lsn, us, len(payload)) + payload)
+        self.pos += _HDR.size + len(payload)
 
     def flush(self) -> None:
         """Make appended frames visible to a concurrent log tailer."""
         self._f.flush()
+
+    def truncate(self, pos: int) -> None:
+        """Cut the log back to ``pos`` (O_APPEND writes continue at the
+        new end).  Concurrent readers never see the removed span as
+        data: it can only be an OPEN unit's frames, which the boundary
+        scanner never offers to a partition."""
+        self._f.flush()
+        self._f.truncate(pos)
+        self.pos = pos
 
     def close(self) -> None:
         self._f.flush()

@@ -1424,3 +1424,28 @@ def test_cross_run_resume_seed_scan_starts_at_ack(tmp_path):
     assert got == frames  # unit 2's resend deduped, units 3-4 appended
     events, _ = _decode_log(log)
     assert [e.op for e in events] == ["I", "U", "D", "I"]
+
+
+def test_replay_writer_truncate_drops_only_the_tail(tmp_path):
+    """ReplayLogWriter.pos/truncate — the write-through tailer's drop
+    mechanism: truncating back to a recorded position removes exactly
+    the frames appended since, and appends continue cleanly after."""
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+
+    log = str(tmp_path / "t.log")
+    w = ReplayLogWriter(log)
+    w.append(10, b"AA")
+    keep = w.pos
+    w.append(20, b"BBB")
+    w.append(30, b"C")
+    w.truncate(keep)
+    w.append(40, b"DD")
+    w.close()
+    assert [(fr.lsn, fr.payload) for fr in scan_frames(log)] == [
+        (10, b"AA"),
+        (40, b"DD"),
+    ]
+    # A reopened writer resumes at the true end.
+    w2 = ReplayLogWriter(log)
+    assert w2.pos == os.path.getsize(log)
+    w2.close()
