@@ -170,7 +170,11 @@ class PgCdcStreamReader(DataSourceStreamReader):
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         if size <= self._scanned_pos:
             return
-        for fr in replay.scan_frames(self.path, self._scanned_pos):
+        # Prefix scan: boundary detection touches ≤38 payload bytes per
+        # frame (full read only for rare 'R' frames), so the driver's
+        # cost per frame is flat no matter how wide the replicated rows
+        # are — executors read full payloads for their own ranges only.
+        for fr in replay.scan_frames(self.path, self._scanned_pos, prefix_bytes=64):
             if fr.payload[:1] == b"R":
                 from pypgcdc_spark.cdc import pgoutput as pg
 

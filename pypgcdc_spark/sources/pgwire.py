@@ -905,7 +905,8 @@ class WireReplicationTailer:
                 floor = int(ack.get("lsn", 0))
             seed = TxBoundaryScanner()
             last_end, unit_frames = seed_pos, 0
-            for fr in scan_frames(self.log_path, seed_pos):
+            # Prefix scan: boundary detection needs ≤38 payload bytes.
+            for fr in scan_frames(self.log_path, seed_pos, prefix_bytes=64):
                 unit_frames += 1
                 if seed.feed(fr) is not None:
                     appended[fr.lsn] = unit_frames

@@ -77,9 +77,24 @@ class ReplayLogWriter:
         self.close()
 
 
-def scan_frames(path: str, start_pos: int = 0, end_pos: Optional[int] = None) -> Iterator[Frame]:
+def scan_frames(
+    path: str,
+    start_pos: int = 0,
+    end_pos: Optional[int] = None,
+    prefix_bytes: Optional[int] = None,
+    full_kinds: tuple = (b"R",),
+) -> Iterator[Frame]:
     """Iterate frames in [start_pos, end_pos). Tolerates a torn tail write
-    (stops at the last complete frame, like WAL readers do)."""
+    (stops at the last complete frame, like WAL readers do).
+
+    ``prefix_bytes`` is the driver-scan mode: yield only the first N
+    payload bytes and SEEK past the rest — boundary detection needs at
+    most 38 bytes of any frame, so the driver's per-frame cost stops
+    scaling with row width (a wide-row feed would otherwise pull every
+    byte through Python just to find commit positions).  Frames whose
+    kind is in ``full_kinds`` are always read whole ('R' by default:
+    schema inference decodes the full Relation message; schema changes
+    are rare).  Frame positions stay exact either way."""
     size = os.path.getsize(path)
     end = min(end_pos, size) if end_pos is not None else size
     with open(path, "rb") as f:
@@ -92,9 +107,21 @@ def scan_frames(path: str, start_pos: int = 0, end_pos: Optional[int] = None) ->
             lsn, us, n = _HDR.unpack(hdr)
             if pos + _HDR.size + n > end:
                 break
-            payload = f.read(n)
-            if len(payload) < n:
-                break
+            if prefix_bytes is None or n <= prefix_bytes:
+                payload = f.read(n)
+                if len(payload) < n:
+                    break
+            else:
+                payload = f.read(prefix_bytes)
+                if len(payload) < prefix_bytes:
+                    break
+                if payload[:1] in full_kinds:
+                    rest = f.read(n - prefix_bytes)
+                    if len(rest) < n - prefix_bytes:
+                        break
+                    payload += rest
+                else:
+                    f.seek(n - prefix_bytes, 1)
             new_pos = pos + _HDR.size + n
             yield Frame(lsn, us, payload, pos, new_pos)
             pos = new_pos
@@ -202,7 +229,7 @@ def tx_boundaries(path: str, start_pos: int = 0) -> List[Tuple[int, int]]:
     """
     ranges: List[Tuple[int, int]] = []
     scanner = TxBoundaryScanner()
-    for fr in scan_frames(path, start_pos):
+    for fr in scan_frames(path, start_pos, prefix_bytes=64):
         closed = scanner.feed(fr)
         if closed is not None:
             ranges.append(closed)

@@ -297,3 +297,48 @@ def test_copyspool_row_alignment_under_arbitrary_fragmentation(
         assert b.endswith(b"\n")  # (b) whole rows per chunk
     longest_row = max(len(t.encode("utf-8")) for t in lines) + 1
     assert spool.max_buffered <= max(chunk_bytes, longest_row) + max_msg
+
+
+def test_prefix_scan_boundaries_match_full_scan(tmp_path):
+    """The driver's prefix scan (≤64 payload bytes per frame, full read
+    only for 'R') must find exactly the unit boundaries and Relation
+    payloads the full scan finds — over wide rows, v2 streamed spans and
+    two-phase units."""
+    from pypgcdc_spark.sources.replay import (
+        TxBoundaryScanner,
+        scan_frames,
+        tx_boundaries,
+    )
+    from pypgcdc_spark.testing import write_two_phase_cdc_pair
+
+    plain = str(tmp_path / "p.log")
+    log = str(tmp_path / "s.log")
+    rows = [(i % 11, "error" if i % 9 == 4 else "ev" + "x" * (i % 300), i * 1.5)
+            for i in range(200)]
+    write_two_phase_cdc_pair(plain, log, rows, chunk=25)
+
+    full = []
+    sc = TxBoundaryScanner()
+    for fr in scan_frames(log):
+        c = sc.feed(fr)
+        if c is not None:
+            full.append(c)
+    assert tx_boundaries(log) == full  # tx_boundaries runs prefix mode
+
+    pre = []
+    sc2 = TxBoundaryScanner()
+    r_payloads = []
+    for fr in scan_frames(log, prefix_bytes=64):
+        if fr.payload[:1] == b"R":
+            r_payloads.append(fr.payload)
+        c = sc2.feed(fr)
+        if c is not None:
+            pre.append(c)
+    assert pre == full
+    # 'R' frames came through whole (decodable), wide DML frames truncated.
+    from pypgcdc_spark.cdc import pgoutput as pg
+
+    assert r_payloads and all(pg.decode_relation(p) for p in r_payloads)
+    assert any(
+        len(fr.payload) == 64 for fr in scan_frames(log, prefix_bytes=64)
+    )
