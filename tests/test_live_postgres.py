@@ -693,3 +693,41 @@ def test_live_restart_with_torn_tail_no_duplicates(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_torn')",
         "DELETE FROM accounts WHERE id IN (40, 41, 42, 43)",
     )
+
+
+def test_live_streamed_two_phase_prepare(live, tmp_path):
+    """STREAMED two-phase against real Postgres 15: a transaction large
+    enough to spill past logical_decoding_work_mem that then PREPAREs
+    arrives as Stream Start/Stop segments closed by Stream Prepare
+    ('p'), stays pending across other traffic, and drains at COMMIT
+    PREPARED — the v2+2PC composition only the fake walsender covered
+    until now."""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_s2pc", log, proto_version=3, streaming=True, two_phase=True)
+    t.start()
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT i + 9000, i * 0.5, 's2pc_' || i FROM generate_series(1, 2000) g(i)",
+        "PREPARE TRANSACTION 'gid_streamed'",
+    )
+    # Unrelated traffic commits while the prepared tx is pending.
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (80, 8.00, 'mid')")
+    live.sql("COMMIT PREPARED 'gid_streamed'")
+    _drain(t)
+    t.stop()
+    kinds = {fr.payload[:1] for fr in scan_frames(log)}
+    assert b"S" in kinds and b"p" in kinds and b"K" in kinds  # streamed prepare
+    events, stats = _decode(log)
+    assert stats.prepared_txs == 1 and stats.committed_prepared == 1
+    ins = [e for e in events if e.op == "I"]
+    assert len(ins) == 2001
+    by_name = [e.after["name"] for e in ins]
+    assert "mid" in by_name and "s2pc_1" in by_name and "s2pc_2000" in by_name
+    # The streamed prepared tx's rows all resolved under ONE commit.
+    s_lsns = {e.commit_lsn for e in ins if e.after["name"].startswith("s2pc_")}
+    assert len(s_lsns) == 1
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_s2pc')",
+        "DELETE FROM accounts WHERE id > 8999 OR id = 80",
+    )
