@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     from pypgcdc_spark.cdc import pgoutput as pg
     from pypgcdc_spark.cdc.registry import SchemaRegistry
     from pypgcdc_spark.session import get_spark
-    from pypgcdc_spark.sources.replay import scan_frames
+    from pypgcdc_spark.sources.replay import TxBoundaryScanner, scan_frames
 
     spark = get_spark("pypgcdc-cli", cpus=args.cpus or None)
     engine = PgCdcEngine(spark)
@@ -52,9 +52,17 @@ def main(argv=None) -> int:
     ckpt_root = args.checkpoint or os.path.join(args.out, "_checkpoint")
 
     registry = SchemaRegistry()
-    for fr in scan_frames(args.log):
+    # Prefix scan (R frames still read whole) + in-segment tracking: a
+    # v2 log's mid-stream Relation carries an xid prefix, which a naive
+    # decode_relation(payload) would misparse as the relation OID.
+    scanner = TxBoundaryScanner()
+    for fr in scan_frames(args.log, prefix_bytes=64):
         if fr.payload[:1] == b"R":
-            registry.register_relation(pg.decode_relation(fr.payload), lsn=fr.lsn)
+            registry.register_relation(
+                pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                lsn=fr.lsn,
+            )
+        scanner.feed(fr)
     tables = registry.tables()
     if not tables:
         print("no Relation messages in log; nothing to materialize", file=sys.stderr)

@@ -26,6 +26,38 @@ def test_cli_materializes_all_tables(tmp_path):
     assert "public.control: 1 current rows" in r.stdout
 
 
+def test_cli_registry_scan_handles_v2_in_segment_relation(tmp_path):
+    """The CLI's registry pre-scan must decode a Relation frame that
+    arrives INSIDE a v2 stream segment (xid-prefixed layout) — a naive
+    decode_relation(payload) would read the xid as the relation OID."""
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.replay import ReplayLogWriter
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    log = tmp_path / "v2cli.log"
+    w = ReplayLogWriter(str(log))
+    cols = [(True, "id", 23, -1), (False, "v", 25, -1)]
+    xid = 900
+    w.append(100, pg.encode_stream_start(xid, first_segment=True))
+    w.append(110, pg.encode_relation(31007, "public", "seg_rel", cols, xid=xid))
+    w.append(120, pg.encode_insert(31007, ["1", "a"], xid=xid))
+    w.append(130, pg.encode_stream_stop())
+    w.append(140, pg.encode_stream_commit(xid, 140, 140, ts))
+    w.close()
+    out = tmp_path / "state"
+    r = subprocess.run(
+        [sys.executable, "-m", "pypgcdc_spark", "--log", str(log), "--out", str(out), "--cpus", "2"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "public.seg_rel: 1 current rows" in r.stdout
+
+
 def test_sql_catalog_over_fixtures(spark, sf_dir):
     from pypgcdc_spark.api import PgCdcEngine
 
