@@ -814,6 +814,12 @@ class WireReplicationTailer:
         if not getattr(self, "_connected", False):
             self.client.connect()
         self._connected = False  # a reconnect must re-handshake
+        # A fresh START_REPLICATION resends everything after the request
+        # LSN, so run() may (must) drop a torn log tail.  A run() called
+        # WITHOUT an intervening start() continues the same CopyBoth
+        # stream — the server will NOT resend, so the tail must be
+        # adopted, not truncated.
+        self._fresh_stream = True
         kw = dict(
             proto_version=self.proto_version,
             streaming=self.streaming,
@@ -878,15 +884,25 @@ class WireReplicationTailer:
         appended: dict = {}  # close_lsn -> frame count (un-acked window)
         ack_path = self.log_path + ".ack"
         # Cross-RUN resume (a fresh run() over an existing log — process
-        # restart): the close-LSN window above is per-call, so rebuild it
-        # from the log itself — every closed unit past the acked byte
-        # position (units at/below the ack are never resent) — and DROP
-        # a torn tail, i.e. frames of an open unit that a prior drain
-        # exit flushed.  The torn unit's transaction is resent IN FULL
-        # from the resume point; appending the resend after the torn
-        # prefix would hand downstream one merged unit with duplicated
-        # frames (duplicate rows from the immediate-emit DML path, or a
-        # "StreamStart inside an open stream segment" crash mid-span).
+        # restart, or a second drain on a live tailer): the close-LSN
+        # window above is per-call, so rebuild it from the log itself —
+        # every closed unit past the acked byte position (units at/below
+        # the ack are never resent).  What happens to a TORN TAIL (an
+        # open unit's frames that a prior drain exit flushed) depends on
+        # how this run's stream came to be:
+        #
+        # * after a fresh start() (START_REPLICATION): the server
+        #   resends the torn unit's transaction IN FULL, so the tail is
+        #   TRUNCATED — appending the resend after the torn prefix would
+        #   hand downstream one merged unit with duplicated frames
+        #   (duplicate rows from the immediate-emit DML path, or a
+        #   "StreamStart inside an open stream segment" crash mid-span);
+        # * continuing the SAME CopyBoth stream (run() again with no
+        #   start() in between — the drain-poll-drain pattern): the
+        #   server will NOT resend, so the tail is ADOPTED — its frames
+        #   re-feed the boundary scanner so unit tracking (and a later
+        #   reconnect's truncate-back-to-unit-start) stay exact.
+        #
         # Scan cost is O(un-acked window), the standard WAL-reader
         # restart discipline.
         # `floor`: the acked LSN at run start.  A resume from exactly a
@@ -895,7 +911,11 @@ class WireReplicationTailer:
         # phantom single-frame unit — any unit closing at/below the
         # floor (or the in-run `flushed`) is already consumed per
         # confirmed-flush semantics and is dropped, not re-appended.
+        fresh_stream = getattr(self, "_fresh_stream", True)
+        self._fresh_stream = False
         floor = 0
+        tail_start = 0
+        tail_frames = 0
         if os.path.exists(self.log_path):
             seed_pos = 0
             if os.path.exists(ack_path):
@@ -912,8 +932,18 @@ class WireReplicationTailer:
                     appended[fr.lsn] = unit_frames
                     last_end, unit_frames = fr.end_pos, 0
             if last_end < os.path.getsize(self.log_path):
-                with open(self.log_path, "r+b") as f:
-                    f.truncate(last_end)
+                if fresh_stream:
+                    with open(self.log_path, "r+b") as f:
+                        f.truncate(last_end)
+                else:
+                    # Adopt the open tail: replay it through THIS run's
+                    # scanner so the open unit's state carries over.
+                    for fr in scan_frames(
+                        self.log_path, last_end, prefix_bytes=64
+                    ):
+                        scanner.feed(fr)
+                        tail_frames += 1
+            tail_start = last_end
         writer = ReplayLogWriter(self.log_path)
         # Write-THROUGH, truncate-on-drop: frames reach the log as they
         # arrive, so tailer memory is O(1) no matter how large a
@@ -928,8 +958,13 @@ class WireReplicationTailer:
         # torn tail for the next run()'s seed scan to truncate.  Readers
         # are safe throughout: the boundary scanner never offers an
         # unclosed tail to a partition.
-        unit_start = writer.pos  # byte pos where the open unit begins
-        unit_frames = 0
+        # Byte pos where the open unit begins / frames it already holds:
+        # equals the writer's end unless a continuation adopted a tail.
+        unit_start = tail_start
+        unit_frames = tail_frames
+        # Adopted frames were already counted by the run() that wrote
+        # them; offset n so this call's return counts only new arrivals.
+        n -= tail_frames
 
         def _exit_total() -> int:
             writer.flush()  # open tail stays in the log (drain semantics)

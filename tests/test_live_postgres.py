@@ -731,3 +731,42 @@ def test_live_streamed_two_phase_prepare(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_s2pc')",
         "DELETE FROM accounts WHERE id > 8999 OR id = 80",
     )
+
+
+def test_live_drain_poll_drain_adopts_open_tail(live, tmp_path):
+    """run() → idle-drain → run() again on the SAME CopyBoth stream (the
+    drain-poll-drain pattern): a v2 transaction still OPEN at the first
+    drain leaves its spilled segments as the log tail, and the second
+    run() must ADOPT that tail — the server will not resend on a
+    continuing stream — so the commit arriving later completes the unit
+    with every row exactly once.  (After a fresh start() the same tail
+    would be truncated instead; both behaviors are load-bearing.)"""
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_adopt", log, proto_version=2, streaming=True)
+    t.start()
+    c = live.sql_conn()
+    try:
+        c.simple_query("BEGIN")
+        c.simple_query(
+            "INSERT INTO accounts (id, balance, name) "
+            "SELECT i + 12000, i * 0.5, 'adopt_' || i FROM generate_series(1, 2000) g(i)"
+        )
+        n1 = _drain(t)  # tx still open: spilled segments, torn tail
+        frames_mid = list(scan_frames(log))
+        kinds_mid = {fr.payload[:1] for fr in frames_mid}
+        assert b"S" in kinds_mid and b"c" not in kinds_mid  # open span
+        c.simple_query("COMMIT")
+    finally:
+        c.close()
+    n2 = _drain(t)
+    t.stop()
+    assert n1 > 0 and n2 > 0
+    events, stats = _decode(log)
+    assert stats.streamed_txs == 1
+    ins = [e for e in events if e.op == "I"]
+    assert len(ins) == 2000  # every row exactly once, across the two drains
+    assert ins[0].after["name"] == "adopt_1" and ins[-1].after["name"] == "adopt_2000"
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_adopt')",
+        "DELETE FROM accounts WHERE id > 11999",
+    )
