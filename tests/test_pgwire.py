@@ -1449,3 +1449,41 @@ def test_replay_writer_truncate_drops_only_the_tail(tmp_path):
     w2 = ReplayLogWriter(log)
     assert w2.pos == os.path.getsize(log)
     w2.close()
+
+
+@pytest.mark.parametrize("drop_partial", [False, True])
+def test_reconnect_dedup_sweep_every_drop_point(tmp_path, drop_partial):
+    """Exhaustive fault sweep: the connection dies after EVERY possible
+    frame index (optionally mid-message), the tailer reconnects, and the
+    final log must equal the source frames exactly once at every drop
+    point — closed units deduped by close-LSN, the partial unit
+    truncated and replayed whole.  Uses a v2 log (interleaved streamed
+    segments + plain txs between them) so drops land inside spans,
+    between segments, and on unit boundaries."""
+    from pypgcdc_spark.testing import write_streamed_cdc_pair
+
+    src_plain = str(tmp_path / "p.log")
+    src = str(tmp_path / "s.log")
+    rows = [((i * 7) % 13, "error" if i % 11 == 5 else f"e{i % 4}", i * 0.5)
+            for i in range(24)]
+    write_streamed_cdc_pair(src_plain, src, rows, chunk=8)
+    frames = [(fr.lsn, fr.payload) for fr in scan_frames(src)]
+
+    for cut in range(1, len(frames), 4):  # sweep drop points, both modes
+        srv = FakeWalsender(
+            auth="trust", frames=frames, slot_exists=True,
+            drop_after=cut, drop_partial=drop_partial, max_conns=2,
+        )
+        srv.start()
+        log = str(tmp_path / f"sweep_{drop_partial}_{cut}.log")
+        tailer = WireReplicationTailer(
+            "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log,
+            timeout=1.0,
+        )
+        tailer.start()
+        n = tailer.run(max_reconnects=1)
+        tailer.stop()
+        srv.join(10)
+        got = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
+        assert got == frames, f"drop at {cut} (partial={drop_partial}): log diverged"
+        assert n == len(frames)
