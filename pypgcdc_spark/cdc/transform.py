@@ -79,6 +79,7 @@ class TransformStats:
     ignored_origin: int = 0
     ignored_type: int = 0
     ignored_logical_message: int = 0
+    messages_emitted: int = 0  # 'M' envelope rows (emit_messages=True)
     relations: int = 0
     events: int = 0
     streamed_txs: int = 0  # stream spans committed ('c')
@@ -93,6 +94,15 @@ class TransformStats:
 class MessageTransformer:
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
     stats: TransformStats = field(default_factory=TransformStats)
+    # Transactional-outbox surface: emit pg_logical_emit_message ('M')
+    # frames as op='M' envelope rows (prefix/content in `after`,
+    # key={"prefix": ...} for routing) instead of count-and-skip.
+    # Transactional messages ride the tx buffers exactly like DML —
+    # streamed/prepared ones drain only at their commit; a
+    # non-transactional message emits immediately with no tx context
+    # (the walsender delivers it at WAL-write position, reference has
+    # no equivalent — it crashes on unknown types, SURVEY Q2).
+    emit_messages: bool = False
     _tx: Optional[_TxContext] = None
     # v2 stream reassembly state: the currently open segment's top-level
     # xid (None outside S..E), per-xid buffered changes, and the first
@@ -198,7 +208,20 @@ class MessageTransformer:
             self.stats.ignored_type += 1
             return
         if isinstance(msg, pg.LogicalMessage):
-            self.stats.ignored_logical_message += 1
+            if not self.emit_messages:
+                self.stats.ignored_logical_message += 1
+                return
+            if in_segment and msg.transactional:
+                self._stream_bufs[self._segment_xid].append(
+                    (lsn, msg.xid if msg.xid is not None else self._segment_xid, msg)
+                )
+                return
+            if self._prepared_xid is not None and msg.transactional:
+                self._stream_bufs[self._prepared_xid].append(
+                    (lsn, self._prepared_xid, msg)
+                )
+                return
+            yield self._message_event(msg, lsn)
             return
         if isinstance(msg, pg.Relation):
             # Register immediately even mid-stream: the frame LSN versions
@@ -229,6 +252,21 @@ class MessageTransformer:
         finally:
             self._tx = saved
 
+    def _message_event(self, msg, lsn: int) -> ChangeEvent:
+        ev = self._event(
+            "M",
+            lsn,
+            None,
+            after={
+                "prefix": msg.prefix,
+                "content_hex": msg.content.hex(),
+                "transactional": "true" if msg.transactional else "false",
+            },
+        )
+        ev.key = {"prefix": msg.prefix}
+        self.stats.messages_emitted += 1
+        return ev
+
     def _dml(self, msg, lsn: int) -> Iterator[ChangeEvent]:
         """I/U/D/T message -> envelope rows, under the current tx context.
 
@@ -236,6 +274,10 @@ class MessageTransformer:
         drain; schema resolution is at-LSN in both, so replays and
         deferred drains see the version in force when the change happened.
         """
+        if isinstance(msg, pg.LogicalMessage):
+            # Buffered transactional message draining at its commit.
+            yield self._message_event(msg, lsn)
+            return
         if isinstance(msg, pg.Insert):
             schema = self._schema(msg.relation_id, lsn)
             after = _tuple_to_dict(msg.new_tuple, schema)

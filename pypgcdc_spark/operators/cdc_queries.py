@@ -1016,3 +1016,129 @@ def pipeline_cdc_corpus_refresh(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_OUTBOX_LOGS: dict = {}
+
+
+def _outbox_log(spark, sf_dir: str) -> str:
+    """Deterministic pgoutput log exercising the transactional-outbox
+    surface: for each of the first 400 events (by event_id) one
+    message-only transaction emits ``pg_logical_emit_message`` with
+    prefix 'orders' (purchases) or 'activity' (everything else) and
+    content ``user_id:cents``; every event with ``event_id % 10 == 0``
+    additionally emits a NON-transactional 'audit' message
+    (``event_id:0``) before its transaction.  400 collected rows render
+    the log (the fixture driver budget every cdc_* log query uses);
+    session-cached."""
+    import tempfile
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.testing import WorkloadWriter
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _OUTBOX_LOGS:
+        return _OUTBOX_LOGS[key]
+    (events,) = load(spark, sf_dir, "events")
+    rows = (
+        events.orderBy("event_id")
+        .limit(400)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="cdc_outbox_")
+    path = f"{base}/outbox.log"
+    w = WorkloadWriter(path)
+    for r in rows:
+        if r.event_id % 10 == 0:
+            w.writer.append(
+                w._next(),
+                pg.encode_logical_message(
+                    "audit", f"{r.event_id}:0".encode(), transactional=False
+                ),
+            )
+        pfx = "orders" if r.event_type == "purchase" else "activity"
+        w.tx(
+            [
+                pg.encode_logical_message(
+                    pfx, f"{r.user_id}:{r.cents}".encode(), msg_lsn=r.event_id
+                )
+            ]
+        )
+    w.close()
+    _OUTBOX_LOGS[key] = path
+    return path
+
+
+@query(
+    "cdc_logical_messages",
+    oracle="""
+    -- Transactional-outbox parity: the Spark side synthesizes a real
+    -- pgoutput log (one message-only transaction per event, prefix by
+    -- event type, content user_id:cents; every 10th event also emits a
+    -- non-transactional 'audit' message), streams it through the pgcdc
+    -- source with emitMessages on, and parses the op='M' envelope rows
+    -- back -- per-prefix counts, distinct content keys and cent totals
+    -- must equal this direct recompute over the same event prefix.
+    WITH prefix AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events ORDER BY event_id LIMIT 400
+    ), msgs AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'orders'
+                  ELSE 'activity' END AS prefix,
+             user_id AS k, cents FROM prefix
+      UNION ALL
+      SELECT 'audit', event_id, 0 FROM prefix WHERE event_id % 10 = 0
+    )
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM msgs GROUP BY prefix
+    """,
+)
+def cdc_logical_messages(spark, sf_dir):
+    """``pg_logical_emit_message`` -> op='M' envelope rows (the
+    transactional-outbox pattern: reliable event publication riding the
+    database transaction, no dual-write).  The pgcdc source decodes 'M'
+    frames with ``emitMessages`` on — prefix as the routing key,
+    hex-encoded content, transactional flag — transactional messages
+    under their commit's context, non-transactional ones standalone.
+    The reference crashes on any message type it doesn't know (SURVEY
+    §7.4 Q2); Debezium exposes this surface as its 'message' event.
+
+    Scale shape: messages are ordinary frames in ordinary transactions —
+    partitioned, deduped and committed exactly like DML; the parse of
+    ``content`` is built-in split/cast (JVM-side)."""
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+
+    spark.dataSource.register(PgCdcDataSource)
+    log = _outbox_log(spark, sf_dir)
+    env = (
+        spark.read.format("pgcdc")
+        .option("path", log)
+        .option("emitMessages", "true")
+        .load()
+    )
+    content = F.unhex(F.col("after")["content_hex"]).cast("string")
+    parts = F.split(content, ":")
+    return (
+        env.filter(F.col("op") == "M")
+        .select(
+            F.col("key")["prefix"].alias("prefix"),
+            parts.getItem(0).cast("long").alias("k"),
+            parts.getItem(1).cast("long").alias("cents"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.countDistinct("k").alias("n_keys"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

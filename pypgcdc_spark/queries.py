@@ -55,6 +55,10 @@ EXTENDED = frozenset(
         "cdc_oplog_stats",
         "cdc_before_after_diff",
         "cdc_tx_grouping",
+        # Transactional-outbox surface (round 6, session 3): 'M' frame
+        # envelope rows via emitMessages — source-path variant of the
+        # primary apply family.
+        "cdc_logical_messages",
         # Protocol v2 streamed-tx replay, two-phase replay + LSN-span typed
         # views (round 5): source-path variants of the already-primary
         # apply family.

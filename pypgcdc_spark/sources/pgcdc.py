@@ -74,12 +74,13 @@ class TxRangePartition(InputPartition):
     registry_json: str
     database: str
     on_decode_error: str = "fail"  # "fail" | "skip"
+    emit_messages: bool = False  # 'M' frames -> op='M' outbox envelope rows
 
 
 def _read_range(part: TxRangePartition) -> Iterator[Tuple]:
     registry = SchemaRegistry.loads(part.registry_json)
     registry.database = part.database
-    xform = MessageTransformer(registry=registry)
+    xform = MessageTransformer(registry=registry, emit_messages=part.emit_messages)
     for fr in replay.scan_frames(part.path, part.start_pos, part.end_pos):
         try:
             events = list(xform.feed(fr.lsn, fr.payload))
@@ -102,6 +103,7 @@ def _plan_partitions(
     database: str,
     num_partitions: int,
     on_decode_error: str = "fail",
+    emit_messages: bool = False,
 ) -> Sequence[TxRangePartition]:
     """Split [start_pos, end_pos) into ≤ num_partitions contiguous chunks
     that each hold whole transactions."""
@@ -122,13 +124,19 @@ def _plan_partitions(
     for s, e in ranges:
         acc += e - s
         if acc >= target and len(parts) < num_partitions - 1:
-            parts.append(TxRangePartition(path, chunk_start, e, registry_json, database, on_decode_error))
+            parts.append(
+                TxRangePartition(
+                    path, chunk_start, e, registry_json, database,
+                    on_decode_error, emit_messages,
+                )
+            )
             chunk_start = e
             acc = 0
     if chunk_start < ranges[-1][1]:
         parts.append(
             TxRangePartition(
-                path, chunk_start, ranges[-1][1], registry_json, database, on_decode_error
+                path, chunk_start, ranges[-1][1], registry_json, database,
+                on_decode_error, emit_messages,
             )
         )
     return parts
@@ -143,6 +151,10 @@ class PgCdcStreamReader(DataSourceStreamReader):
         self.max_tx = int(options.get("maxtxperbatch", 0) or 0)
         self.num_partitions = int(options.get("numpartitions", 4) or 4)
         self.on_decode_error = options.get("ondecodeerror", "fail").lower()
+        # Outbox surface: emit pg_logical_emit_message frames as op='M'.
+        self.emit_messages = str(
+            options.get("emitmessages", "false")
+        ).lower() in ("true", "1", "yes")
         # Incremental driver-side scan state (rebuilt lazily after restart).
         self._scanned_pos = 0
         self._registry = SchemaRegistry(database=self.database)
@@ -281,6 +293,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
             self.database,
             self.num_partitions,
             self.on_decode_error,
+            self.emit_messages,
         )
 
     def read(self, partition: TxRangePartition) -> Iterator[Tuple]:
@@ -332,6 +345,9 @@ class PgCdcBatchReader(DataSourceReader):
         self.database = options.get("database", "replay")
         self.num_partitions = int(options.get("numpartitions", 4) or 4)
         self.on_decode_error = options.get("ondecodeerror", "fail").lower()
+        self.emit_messages = str(
+            options.get("emitmessages", "false")
+        ).lower() in ("true", "1", "yes")
 
     def partitions(self) -> Sequence[InputPartition]:
         registry = SchemaRegistry(database=self.database)
@@ -354,10 +370,12 @@ class PgCdcBatchReader(DataSourceReader):
             self.database,
             self.num_partitions,
             self.on_decode_error,
+            self.emit_messages,
         )
         return parts or [
             TxRangePartition(
-                self.path, 0, size, registry.dumps(), self.database, self.on_decode_error
+                self.path, 0, size, registry.dumps(), self.database,
+                self.on_decode_error, self.emit_messages,
             )
         ]
 

@@ -504,13 +504,16 @@ class ReplicationClient:
         proto_version: int = 1,
         streaming: bool = False,
         two_phase: bool = False,
+        messages: bool = False,
     ) -> None:
         """``streaming=True`` requests v2 in-progress transaction streams
         (requires proto_version ≥ 2; PG14+); ``two_phase=True`` requests
-        prepared-transaction decoding (proto_version ≥ 3; PG15+).  The
-        codec and transformer handle both (cdc/pgoutput.py,
+        prepared-transaction decoding (proto_version ≥ 3; PG15+);
+        ``messages=True`` requests pg_logical_emit_message 'M' frames
+        (PG14+) — the transactional-outbox surface.  The codec and
+        transformer handle all three (cdc/pgoutput.py,
         cdc/transform.py) — the reference pins proto_version '1' and can
-        request neither (reader.py:136-141)."""
+        request none (reader.py:136-141)."""
         lsn = f"{start_lsn >> 32:X}/{start_lsn & 0xFFFFFFFF:X}"
         opts = [
             f"proto_version '{proto_version}'",
@@ -520,6 +523,8 @@ class ReplicationClient:
             opts.append("streaming 'on'")
         if two_phase:
             opts.append("two_phase 'on'")
+        if messages:
+            opts.append("messages 'on'")
         sql = f"START_REPLICATION SLOT {slot} LOGICAL {lsn} ({', '.join(opts)})"
         write_message(self.sock, b"Q", sql.encode() + b"\x00")
         t, b = read_message(self.sock)
@@ -766,6 +771,7 @@ class WireReplicationTailer:
         proto_version: int = 1,
         streaming: bool = False,
         two_phase: bool = False,
+        messages: bool = False,
         sslmode: str = "disable",
         ssl_context=None,
         timeout: float = 10.0,
@@ -784,6 +790,7 @@ class WireReplicationTailer:
         self.proto_version = proto_version
         self.streaming = streaming
         self.two_phase = two_phase
+        self.messages = messages
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
 
@@ -824,6 +831,7 @@ class WireReplicationTailer:
             proto_version=self.proto_version,
             streaming=self.streaming,
             two_phase=self.two_phase,
+            messages=self.messages,
         )
         try:
             self.client.start_replication(

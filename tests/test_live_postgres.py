@@ -770,3 +770,50 @@ def test_live_drain_poll_drain_adopts_open_tail(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_adopt')",
         "DELETE FROM accounts WHERE id > 11999",
     )
+
+
+def test_live_logical_messages_outbox(live, tmp_path):
+    """pg_logical_emit_message against real Postgres (the transactional
+    outbox pattern): with ``messages 'on'`` requested, a transactional
+    message emitted inside a committed tx arrives as an 'M' frame and —
+    with emitMessages on the source — becomes an op='M' envelope row
+    under its transaction's context; a message in a ROLLED-BACK tx never
+    surfaces; a non-transactional one arrives regardless."""
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer("slot_msg", log, messages=True)
+    t.start()
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) VALUES (90, 9.00, 'ob')",
+        "SELECT pg_logical_emit_message(true, 'outbox', '{\"event\":\"created\",\"id\":90}')",
+        "COMMIT",
+    )
+    live.sql(
+        "BEGIN",
+        "SELECT pg_logical_emit_message(true, 'outbox', 'poison-rolled-back')",
+        "ROLLBACK",
+    )
+    live.sql("SELECT pg_logical_emit_message(false, 'audit', 'non-tx ping')")
+    # A trailing tx so the non-tx message folds into a closed unit.
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (91, 9.10, 'after')")
+    _drain(t)
+    t.stop()
+    x = MessageTransformer(registry=SchemaRegistry(), emit_messages=True)
+    events = []
+    for fr in scan_frames(log):
+        events.extend(x.feed(fr.lsn, fr.payload))
+    msgs = [e for e in events if e.op == "M"]
+    contents = [bytes.fromhex(e.after["content_hex"]) for e in msgs]
+    assert b'{"event":"created","id":90}' in contents
+    assert b"non-tx ping" in contents
+    assert not any(b"poison" in c for c in contents)  # rolled back
+    ob = next(e for e in msgs if e.key == {"prefix": "outbox"})
+    assert ob.tx_id is not None and ob.commit_lsn is not None
+    assert x.stats.messages_emitted == len(msgs) >= 2
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_msg')",
+        "DELETE FROM accounts WHERE id IN (90, 91)",
+    )

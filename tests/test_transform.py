@@ -127,3 +127,70 @@ def test_decimal_typing_from_atttypmod():
     t = pg_type_to_spark("numeric", ((10 << 16) | 2) + 4)
     assert str(t) == "DecimalType(10,2)"
     assert str(pg_type_to_spark("numeric(12,3)")) == "DecimalType(12,3)"
+
+
+from datetime import datetime, timezone
+
+RELID = 77001
+COLS = [(True, "id", 23, -1), (False, "v", 25, -1)]
+TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def test_emit_messages_outbox_surface():
+    """pg_logical_emit_message -> op='M' envelope rows (the transactional
+    outbox surface): a transactional message rides its transaction's
+    context; a non-transactional one emits immediately with none; the
+    default (emit_messages=False) keeps the count-and-skip behavior."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    x = MessageTransformer(registry=SchemaRegistry(), emit_messages=True)
+    evs = []
+    evs += x.feed(100, pg.encode_relation(RELID, "public", "t", COLS))
+    evs += x.feed(110, pg.encode_begin(140, TS, 700))
+    evs += x.feed(120, pg.encode_logical_message("outbox", b'{"k":1}', msg_lsn=120))
+    evs += x.feed(130, pg.encode_insert(RELID, ["1", "a"]))
+    evs += x.feed(140, pg.encode_commit(140, 140, TS))
+    evs += x.feed(150, pg.encode_logical_message("audit", b"nt", msg_lsn=150, transactional=False))
+    ops = [(e.op, e.lsn, e.tx_id) for e in evs]
+    assert ops == [("M", 120, 700), ("I", 130, 700), ("M", 150, None)]
+    m = evs[0]
+    assert m.key == {"prefix": "outbox"}
+    assert m.after["content_hex"] == b'{"k":1}'.hex()
+    assert m.after["transactional"] == "true"
+    assert x.stats.messages_emitted == 2
+    assert x.stats.ignored_logical_message == 0
+
+    # Default keeps ignoring.
+    y = MessageTransformer(registry=SchemaRegistry())
+    assert list(y.feed(150, pg.encode_logical_message("a", b"x"))) == []
+    assert y.stats.ignored_logical_message == 1
+
+
+def test_emit_messages_streamed_buffer_and_abort():
+    """Transactional messages inside v2 stream segments buffer with the
+    DML and drain at Stream Commit under the commit's context; a
+    top-level Stream Abort discards buffered messages with the rest."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    x = MessageTransformer(registry=SchemaRegistry(), emit_messages=True)
+    evs = []
+    evs += x.feed(100, pg.encode_relation(RELID, "public", "t", COLS))
+    evs += x.feed(110, pg.encode_stream_start(900, first_segment=True))
+    evs += x.feed(120, pg.encode_logical_message("outbox", b"in-span", msg_lsn=120, xid=900))
+    evs += x.feed(130, pg.encode_insert(RELID, ["1", "a"], xid=900))
+    evs += x.feed(140, pg.encode_stream_stop())
+    assert evs == []  # nothing before the commit
+    evs += x.feed(150, pg.encode_stream_commit(900, 150, 150, TS))
+    assert [(e.op, e.lsn, e.tx_id) for e in evs] == [("M", 120, 900), ("I", 130, 900)]
+    assert all(e.commit_lsn == 150 for e in evs)
+
+    # Aborted stream: its buffered message must never surface.
+    evs2 = []
+    evs2 += x.feed(210, pg.encode_stream_start(901, first_segment=True))
+    evs2 += x.feed(220, pg.encode_logical_message("outbox", b"poison", msg_lsn=220, xid=901))
+    evs2 += x.feed(230, pg.encode_stream_stop())
+    evs2 += x.feed(240, pg.encode_stream_abort(901))
+    assert evs2 == []
+    assert x.stats.messages_emitted == 1
