@@ -47,8 +47,16 @@ class PgCdcEngine:
         spark.dataSource.register(PgCdcDataSource)
 
     # -- sources ---------------------------------------------------------
-    def stream(self, path: str, max_tx_per_batch: int = 0, num_partitions: int = 4) -> DataFrame:
-        """Streaming change-event envelope (flat schema, models.ENVELOPE_DDL)."""
+    def stream(
+        self,
+        path: str,
+        max_tx_per_batch: int = 0,
+        num_partitions: int = 4,
+        emit_messages: bool = False,
+    ) -> DataFrame:
+        """Streaming change-event envelope (flat schema, models.ENVELOPE_DDL).
+        ``emit_messages=True`` surfaces pg_logical_emit_message frames as
+        op='M' rows (the transactional-outbox pattern)."""
         reader = (
             self.spark.readStream.format("pgcdc")
             .option("path", path)
@@ -56,11 +64,16 @@ class PgCdcEngine:
         )
         if max_tx_per_batch:
             reader = reader.option("maxTxPerBatch", str(max_tx_per_batch))
+        if emit_messages:
+            reader = reader.option("emitMessages", "true")
         return reader.load()
 
-    def snapshot(self, path: str) -> DataFrame:
+    def snapshot(self, path: str, emit_messages: bool = False) -> DataFrame:
         """Batch read of the full change log (initial-sync path, S3)."""
-        return self.spark.read.format("pgcdc").option("path", path).load()
+        reader = self.spark.read.format("pgcdc").option("path", path)
+        if emit_messages:
+            reader = reader.option("emitMessages", "true")
+        return reader.load()
 
     # -- transforms -------------------------------------------------------
     @staticmethod
