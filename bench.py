@@ -141,6 +141,7 @@ NEW_OPS_R5 = [
 # `queries`.
 NEW_OPS_R6 = [
     "source_copy_bootstrap_parity",
+    "cdc_logical_messages",
 ]
 
 

@@ -932,6 +932,7 @@ def test_start_replication_negotiates_v2_and_two_phase(tmp_path):
         proto_version=3,
         streaming=True,
         two_phase=True,
+        messages=True,
     )
     tailer.start()
     n = tailer.run()
@@ -941,6 +942,7 @@ def test_start_replication_negotiates_v2_and_two_phase(tmp_path):
     opts = srv.start_options[0]
     assert "proto_version '3'" in opts
     assert "streaming 'on'" in opts and "two_phase 'on'" in opts
+    assert "messages 'on'" in opts
 
 
 def test_two_phase_frames_over_the_wire(tmp_path):
