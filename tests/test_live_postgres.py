@@ -817,3 +817,43 @@ def test_live_logical_messages_outbox(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_msg')",
         "DELETE FROM accounts WHERE id IN (90, 91)",
     )
+
+
+def test_live_publication_row_filter_and_column_list(live, tmp_path):
+    """PG15 publication features through the client: a publication with a
+    row filter (WHERE) and a column list delivers only matching rows and
+    only listed columns — the Relation message carries the narrowed
+    column set, so the decoded envelope simply has fewer fields.  No
+    client-side work should be needed; this pins that assumption."""
+    live.sql(
+        "CREATE TABLE filtered (id BIGINT PRIMARY KEY, amount NUMERIC(12,2), "
+        "secret TEXT, note TEXT)",
+        "CREATE PUBLICATION pub_filtered FOR TABLE "
+        "filtered (id, amount, note) WHERE (amount >= 100)",
+    )
+    log = str(tmp_path / "wal.replay")
+    t = WireReplicationTailer(
+        "127.0.0.1", live.port, USER, DB, "pub_filtered", "slot_filter", log,
+        password=PASSWORD, timeout=1.0,
+    )
+    t.start()
+    live.sql(
+        "INSERT INTO filtered VALUES (1, 50.00, 's1', 'below')",   # filtered out
+        "INSERT INTO filtered VALUES (2, 150.00, 's2', 'above')",  # delivered
+        "INSERT INTO filtered VALUES (3, 99.99, 's3', 'edge-below')",
+        "INSERT INTO filtered VALUES (4, 100.00, 's4', 'edge-at')",
+    )
+    _drain(t)
+    t.stop()
+    events, _ = _decode(log)
+    ins = [e for e in events if e.op == "I"]
+    assert [e.after["id"] for e in ins] == ["2", "4"]  # row filter applied
+    for e in ins:
+        assert set(e.after) == {"id", "amount", "note"}  # column list applied
+        assert "secret" not in e.after
+    assert ins[0].key == {"id": "2"}
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_filter')",
+        "DROP PUBLICATION pub_filtered",
+        "DROP TABLE filtered",
+    )
