@@ -857,3 +857,45 @@ def test_live_publication_row_filter_and_column_list(live, tmp_path):
         "DROP PUBLICATION pub_filtered",
         "DROP TABLE filtered",
     )
+
+
+def test_live_streamed_logical_message_drains_at_commit(live, tmp_path):
+    """An outbox message emitted INSIDE a transaction large enough to
+    stream (v2 segments) must buffer with the spilled changes and drain
+    under the Stream Commit's context — the streamed twin of the plain
+    outbox test."""
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    log = str(tmp_path / "wal.replay")
+    t = live.tailer(
+        "slot_smsg", log, proto_version=2, streaming=True, messages=True
+    )
+    t.start()
+    live.sql(
+        "BEGIN",
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT i + 14000, i * 0.5, 'sm_' || i FROM generate_series(1, 1500) g(i)",
+        "SELECT pg_logical_emit_message(true, 'outbox', 'streamed-payload')",
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT i + 16000, i * 0.5, 'sm2_' || i FROM generate_series(1, 1500) g(i)",
+        "COMMIT",
+    )
+    _drain(t)
+    t.stop()
+    kinds = {fr.payload[:1] for fr in scan_frames(log)}
+    assert b"S" in kinds and b"c" in kinds  # genuinely streamed
+    x = MessageTransformer(registry=SchemaRegistry(), emit_messages=True)
+    events = []
+    for fr in scan_frames(log):
+        events.extend(x.feed(fr.lsn, fr.payload))
+    msgs = [e for e in events if e.op == "M"]
+    assert [bytes.fromhex(m.after["content_hex"]) for m in msgs] == [b"streamed-payload"]
+    ins = [e for e in events if e.op == "I"]
+    assert len(ins) == 3000
+    # The message drained under the SAME commit as the tx's rows.
+    assert msgs[0].commit_lsn == ins[0].commit_lsn
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_smsg')",
+        "DELETE FROM accounts WHERE id > 13999",
+    )
