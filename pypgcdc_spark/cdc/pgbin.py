@@ -1,0 +1,142 @@
+"""Binary-format pgoutput column values → canonical text.
+
+With ``binary 'true'`` requested on START_REPLICATION (PG14+), the
+walsender sends TupleData columns in each type's binary *send* format
+('b' category) instead of text.  This module renders those bytes to the
+SAME canonical string the text mode would have delivered, so the whole
+downstream pipeline (envelope maps, Catalyst typed casts, oracles) is
+byte-identical regardless of the negotiated format — binary is purely a
+wire-efficiency choice.
+
+Formats per PostgreSQL's per-type ``*send`` functions (public docs and
+the protocol's binary-format notes):
+
+* bool — 1 byte;  int2/int4/int8 — big-endian two's complement;
+* float4/float8 — IEEE-754 big-endian (text twin: shortest round-trip,
+  which PG emits under its default ``extra_float_digits=1``);
+* numeric — int16 ndigits | int16 weight | uint16 sign | uint16 dscale |
+  ndigits × int16 base-10000 digits (sign 0xC000 = NaN);
+* date — int32 days since 2000-01-01;
+* timestamp/timestamptz — int64 µs since 2000-01-01 (rendered UTC with
+  a ``+00`` suffix for timestamptz, matching a UTC-timezone server);
+* uuid — 16 raw bytes;  bytea — rendered ``\\x`` hex like text mode;
+* text/varchar/bpchar/name/char/json/xml — UTF-8 passthrough;
+* jsonb — version byte (1) then UTF-8 JSON text.
+
+Unknown OIDs fail loudly (the module's fail-fast contract): silently
+hex-mangling a value would corrupt the replicated row.  A deployment
+hitting an exotic type simply leaves ``binary`` off — text format is
+always available.
+
+Reference parity: none — the reference (reader.py:136-141) pins text
+format and proto 1.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, timedelta
+
+_PG_EPOCH_DATE = date(2000, 1, 1)
+
+# Type OIDs (pg_type.h, stable since antiquity).
+BOOL, BYTEA, NAME, INT8, INT2, INT4 = 16, 17, 19, 20, 21, 23
+TEXT, OID, JSON, XML = 25, 26, 114, 142
+FLOAT4, FLOAT8 = 700, 701
+BPCHAR, VARCHAR, DATE, TIMESTAMP, TIMESTAMPTZ = 1042, 1043, 1082, 1114, 1184
+NUMERIC, UUID, JSONB = 1700, 2950, 3802
+
+_PASSTHROUGH = {TEXT, NAME, BPCHAR, VARCHAR, JSON, XML, 18}  # 18 = "char"
+
+
+def _float_text(v: float) -> str:
+    # PG text mode (extra_float_digits >= 1) emits the shortest string
+    # that round-trips; Python's repr is exactly that.  Specials match
+    # PG's spellings.
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
+
+
+def _numeric_text(b: bytes) -> str:
+    ndigits, weight, sign, dscale = struct.unpack_from(">hhHH", b, 0)
+    if sign == 0xC000:
+        return "NaN"
+    digits = struct.unpack_from(f">{ndigits}h", b, 8) if ndigits else ()
+    # Integral part: base-10000 digits at weights weight..0.
+    int_digits = []
+    for w in range(weight, -1, -1):
+        idx = weight - w
+        d = digits[idx] if 0 <= idx < ndigits else 0
+        int_digits.append(f"{d:04d}" if int_digits else str(d))
+    int_part = "".join(int_digits) if weight >= 0 else "0"
+    out = ("-" if sign == 0x4000 else "") + int_part
+    if dscale:
+        frac = []
+        for i in range(dscale):
+            pos = i // 4
+            idx = weight + 1 + pos
+            d = digits[idx] if 0 <= idx < ndigits else 0
+            frac.append(f"{d:04d}"[i % 4])
+        out += "." + "".join(frac)
+    return out
+
+
+def _ts_text(micros: int, tz_suffix: str = "") -> str:
+    # µs since 2000-01-01 00:00:00 (UTC for timestamptz).
+    days, rem = divmod(micros, 86_400_000_000)
+    d = _PG_EPOCH_DATE + timedelta(days=days)
+    secs, us = divmod(rem, 1_000_000)
+    h, rem_s = divmod(secs, 3600)
+    m, s = divmod(rem_s, 60)
+    base = f"{d.isoformat()} {h:02d}:{m:02d}:{s:02d}"
+    if us:
+        base += f".{us:06d}".rstrip("0")
+    return base + tz_suffix
+
+
+def to_text(type_oid: int, b: bytes) -> str:
+    """Binary send-format bytes → the canonical text rendering."""
+    if type_oid in _PASSTHROUGH:
+        return b.decode("utf-8")
+    if type_oid == BOOL:
+        return "t" if b[0] else "f"
+    if type_oid == INT2:
+        return str(struct.unpack(">h", b)[0])
+    if type_oid in (INT4, OID):
+        return str(struct.unpack(">i", b)[0])
+    if type_oid == INT8:
+        return str(struct.unpack(">q", b)[0])
+    if type_oid == FLOAT4:
+        return _float_text(struct.unpack(">f", b)[0])
+    if type_oid == FLOAT8:
+        return _float_text(struct.unpack(">d", b)[0])
+    if type_oid == NUMERIC:
+        return _numeric_text(b)
+    if type_oid == DATE:
+        return (_PG_EPOCH_DATE + timedelta(days=struct.unpack(">i", b)[0])).isoformat()
+    if type_oid == TIMESTAMP:
+        return _ts_text(struct.unpack(">q", b)[0])
+    if type_oid == TIMESTAMPTZ:
+        # Rendered in UTC with the +00 suffix a UTC-timezone server's
+        # text mode emits; binary carries UTC µs unconditionally.
+        return _ts_text(struct.unpack(">q", b)[0], "+00")
+    if type_oid == UUID:
+        h = b.hex()
+        return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    if type_oid == JSONB:
+        if not b or b[0] != 1:
+            raise ValueError(f"unsupported jsonb binary version {b[:1]!r}")
+        return b[1:].decode("utf-8")
+    if type_oid == BYTEA:
+        return "\\x" + b.hex()
+    raise ValueError(
+        f"no binary decoder for type OID {type_oid}; "
+        "run the slot without binary 'true' for this table"
+    )

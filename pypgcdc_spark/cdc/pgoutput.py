@@ -46,6 +46,7 @@ _S_INT64 = struct.Struct(">q")
 # TupleData column categories (protocol byte values).
 COL_NULL = "n"
 COL_UNCHANGED_TOAST = "u"
+COL_BINARY = "b"  # binary send-format value (START_REPLICATION binary 'true')
 COL_TEXT = "t"
 
 
@@ -122,8 +123,9 @@ class ColumnData(NamedTuple):
     column of every replicated row, and tuple.__new__ is ~4× cheaper
     than a frozen-dataclass __init__ — same attribute API, immutable."""
 
-    category: str  # 'n' | 'u' | 't'
+    category: str  # 'n' | 'u' | 't' | 'b'
     value: Optional[str] = None  # text payload when category == 't'
+    binary: Optional[bytes] = None  # raw send-format bytes when 'b'
 
 
 class TupleData(NamedTuple):
@@ -355,9 +357,13 @@ def _read_tuple_data(r: _Reader) -> TupleData:
     cols: List[ColumnData] = []
     append = cols.append
     for _ in range(n):
+        if pos >= blen:
+            raise ValueError("truncated TupleData: column category missing")
         cat = buf[pos]
         pos += 1
         if cat == 116:  # 't' text payload
+            if pos + 4 > blen:
+                raise ValueError("truncated TupleData: text length header cut")
             (length,) = _S_INT32.unpack_from(buf, pos)
             pos += 4
             if length < 0 or pos + length > blen:
@@ -369,6 +375,18 @@ def _read_tuple_data(r: _Reader) -> TupleData:
                     f"{blen - pos} remain"
                 )
             append(ColumnData(COL_TEXT, buf[pos : pos + length].decode("utf-8")))
+            pos += length
+        elif cat == 98:  # 'b' binary send-format payload
+            if pos + 4 > blen:
+                raise ValueError("truncated TupleData: binary length header cut")
+            (length,) = _S_INT32.unpack_from(buf, pos)
+            pos += 4
+            if length < 0 or pos + length > blen:
+                raise ValueError(
+                    f"truncated TupleData column: declared {length} bytes, "
+                    f"{blen - pos} remain"
+                )
+            append(ColumnData(COL_BINARY, None, bytes(buf[pos : pos + length])))
             pos += length
         elif cat == 110:  # 'n' null
             append(_COL_NULL_MARKER)
@@ -645,13 +663,20 @@ def decode_message(buf: bytes, streamed: bool = False):
     if not buf:
         raise ValueError("empty pgoutput message")
     kind = chr(buf[0])
-    dec = _STREAMABLE.get(kind)
-    if dec is not None:
-        return dec(buf, streamed)
-    dec = _DECODERS.get(kind)
-    if dec is None:
-        raise ValueError(f"unknown pgoutput message type {kind!r}")
-    return dec(buf)
+    try:
+        dec = _STREAMABLE.get(kind)
+        if dec is not None:
+            return dec(buf, streamed)
+        dec = _DECODERS.get(kind)
+        if dec is None:
+            raise ValueError(f"unknown pgoutput message type {kind!r}")
+        return dec(buf)
+    except struct.error as e:
+        # A short fixed-width field read is the same defect class as a
+        # short variable-length one: surface it as the module's uniform
+        # fail-fast error (struct.error is NOT a ValueError, and would
+        # otherwise escape onDecodeError handling entirely).
+        raise ValueError(f"truncated pgoutput message {kind!r}: {e}") from None
 
 
 # ---------------------------------------------------------------------------

@@ -54,11 +54,18 @@ from pypgcdc_spark.cdc.registry import SchemaRegistry
 
 def _tuple_to_dict(td: pg.TupleData, schema: TableSchema) -> Dict[str, Optional[str]]:
     """Positional zip of wire columns with registered definitions
-    (reference T2, ``reader.py:52-58``) + TOAST sentinel (Q6)."""
+    (reference T2, ``reader.py:52-58``) + TOAST sentinel (Q6).  A 'b'
+    (binary send-format) column renders to the SAME canonical text the
+    text mode would deliver (``cdc.pgbin``), so downstream is agnostic
+    to the negotiated wire format."""
     out: Dict[str, Optional[str]] = {}
     for cdef, cdata in zip(schema.column_definitions, td.columns):
         if cdata.category == pg.COL_TEXT:
             out[cdef.name] = cdata.value
+        elif cdata.category == pg.COL_BINARY:
+            from pypgcdc_spark.cdc import pgbin
+
+            out[cdef.name] = pgbin.to_text(cdef.type_id, cdata.binary)
         elif cdata.category == pg.COL_UNCHANGED_TOAST:
             out[cdef.name] = TOAST_UNCHANGED
         else:

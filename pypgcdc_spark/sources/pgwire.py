@@ -505,14 +505,16 @@ class ReplicationClient:
         streaming: bool = False,
         two_phase: bool = False,
         messages: bool = False,
+        binary: bool = False,
     ) -> None:
         """``streaming=True`` requests v2 in-progress transaction streams
         (requires proto_version ≥ 2; PG14+); ``two_phase=True`` requests
         prepared-transaction decoding (proto_version ≥ 3; PG15+);
         ``messages=True`` requests pg_logical_emit_message 'M' frames
-        (PG14+) — the transactional-outbox surface.  The codec and
-        transformer handle all three (cdc/pgoutput.py,
-        cdc/transform.py) — the reference pins proto_version '1' and can
+        (PG14+) — the transactional-outbox surface; ``binary=True``
+        requests binary send-format tuples (PG14+), which decode to the
+        same canonical text (cdc/pgbin.py).  The codec and transformer
+        handle all four — the reference pins proto_version '1' and can
         request none (reader.py:136-141)."""
         lsn = f"{start_lsn >> 32:X}/{start_lsn & 0xFFFFFFFF:X}"
         opts = [
@@ -525,6 +527,8 @@ class ReplicationClient:
             opts.append("two_phase 'on'")
         if messages:
             opts.append("messages 'on'")
+        if binary:
+            opts.append("binary 'true'")
         sql = f"START_REPLICATION SLOT {slot} LOGICAL {lsn} ({', '.join(opts)})"
         write_message(self.sock, b"Q", sql.encode() + b"\x00")
         t, b = read_message(self.sock)
@@ -772,6 +776,7 @@ class WireReplicationTailer:
         streaming: bool = False,
         two_phase: bool = False,
         messages: bool = False,
+        binary: bool = False,
         sslmode: str = "disable",
         ssl_context=None,
         timeout: float = 10.0,
@@ -791,6 +796,7 @@ class WireReplicationTailer:
         self.streaming = streaming
         self.two_phase = two_phase
         self.messages = messages
+        self.binary = binary
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
 
@@ -832,6 +838,7 @@ class WireReplicationTailer:
             streaming=self.streaming,
             two_phase=self.two_phase,
             messages=self.messages,
+            binary=self.binary,
         )
         try:
             self.client.start_replication(

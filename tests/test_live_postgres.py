@@ -899,3 +899,39 @@ def test_live_streamed_logical_message_drains_at_commit(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_smsg')",
         "DELETE FROM accounts WHERE id > 13999",
     )
+
+
+def test_live_binary_format_tuples_match_text(live, tmp_path):
+    """``binary 'true'`` against real Postgres: the same workload tailed
+    through a binary-format slot and a text-format slot must decode to
+    IDENTICAL envelopes — bigint, numeric, timestamptz, jsonb and text
+    all render through cdc.pgbin to the text-mode canonical strings."""
+    logs, tailers = {}, {}
+    for mode, binary in (("text", False), ("bin", True)):
+        log = str(tmp_path / f"wal_{mode}.replay")
+        t = live.tailer(f"slot_{mode}fmt", log, binary=binary)
+        t.start()  # both slots exist BEFORE the workload commits
+        logs[mode], tailers[mode] = log, t
+    live.sql(
+        "INSERT INTO accounts (id, balance, name, meta) VALUES "
+        "(95, 12345.67, 'binrow', '{\"k\": [1, 2]}')",
+        "UPDATE accounts SET balance = 0.05 WHERE id = 95",
+    )
+    for mode in ("text", "bin"):
+        _drain(tailers[mode])
+        tailers[mode].stop()
+    text_events, _ = _decode(logs["text"])
+    bin_events, _ = _decode(logs["bin"])
+    assert [e.op for e in bin_events] == [e.op for e in text_events]
+    for te, be in zip(text_events, bin_events):
+        assert be.after == te.after and be.key == te.key
+    ins = next(e for e in bin_events if e.op == "I")
+    assert ins.after["balance"] == "12345.67"
+    assert ins.after["meta"] == '{"k": [1, 2]}'
+    upd = next(e for e in bin_events if e.op == "U")
+    assert upd.after["balance"] == "0.05"
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_textfmt')",
+        "SELECT pg_drop_replication_slot('slot_binfmt')",
+        "DELETE FROM accounts WHERE id = 95",
+    )

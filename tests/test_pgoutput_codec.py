@@ -171,3 +171,98 @@ def test_truncated_logical_message_raises():
     m = pg.encode_logical_message("pfx", b"payload-bytes", msg_lsn=500)
     with pytest.raises(ValueError, match="truncated logical message"):
         pg.decode_logical_message(m[:-5])
+
+
+def test_binary_tuple_column_decodes():
+    """'b' TupleData columns (binary 'true') carry raw send-format bytes
+    with the same bounds-checked framing as text columns."""
+    import struct
+
+    td = (
+        struct.pack(">h", 3)
+        + b"b" + struct.pack(">i", 8) + struct.pack(">q", 42)
+        + b"t" + struct.pack(">i", 2) + b"hi"
+        + b"n"
+    )
+    buf = b"I" + struct.pack(">i", 7) + b"N" + td
+    m = pg.decode_insert(buf)
+    cols = m.new_tuple.columns
+    assert cols[0].category == "b" and cols[0].binary == struct.pack(">q", 42)
+    assert cols[1].category == "t" and cols[1].value == "hi"
+    assert cols[2].category == "n"
+    with pytest.raises(ValueError, match="truncated TupleData"):
+        pg.decode_insert(buf[:-4])
+
+
+def test_pgbin_to_text_golden():
+    """Binary send formats -> the exact text-mode renderings."""
+    import struct
+    import uuid as _uuid
+
+    from pypgcdc_spark.cdc import pgbin
+
+    assert pgbin.to_text(pgbin.BOOL, b"\x01") == "t"
+    assert pgbin.to_text(pgbin.BOOL, b"\x00") == "f"
+    assert pgbin.to_text(pgbin.INT2, struct.pack(">h", -7)) == "-7"
+    assert pgbin.to_text(pgbin.INT4, struct.pack(">i", 123456)) == "123456"
+    assert pgbin.to_text(pgbin.INT8, struct.pack(">q", -9_007_199_254_740_993)) == "-9007199254740993"
+    assert pgbin.to_text(pgbin.FLOAT8, struct.pack(">d", 1.5)) == "1.5"
+    assert pgbin.to_text(pgbin.FLOAT8, struct.pack(">d", 3.0)) == "3"
+    assert pgbin.to_text(pgbin.FLOAT4, struct.pack(">f", float("nan"))) == "NaN"
+    # numeric 150.00 = digits [150] weight 0 dscale 2 -> "150.00"
+    num = struct.pack(">hhHH", 1, 0, 0, 2) + struct.pack(">h", 150)
+    assert pgbin.to_text(pgbin.NUMERIC, num) == "150.00"
+    # numeric -12345.6789: base-10000 digits [1, 2345, 6789] weight 1
+    num2 = struct.pack(">hhHH", 3, 1, 0x4000, 4) + struct.pack(">3h", 1, 2345, 6789)
+    assert pgbin.to_text(pgbin.NUMERIC, num2) == "-12345.6789"
+    # numeric 0.05: digits [500] weight -1 dscale 2
+    num3 = struct.pack(">hhHH", 1, -1, 0, 2) + struct.pack(">h", 500)
+    assert pgbin.to_text(pgbin.NUMERIC, num3) == "0.05"
+    assert pgbin.to_text(pgbin.DATE, struct.pack(">i", 0)) == "2000-01-01"
+    assert pgbin.to_text(pgbin.DATE, struct.pack(">i", 8766)) == "2024-01-01"
+    us = 8766 * 86_400_000_000 + 3_600_000_000 + 1_500_000  # 01:00:01.5
+    assert pgbin.to_text(pgbin.TIMESTAMPTZ, struct.pack(">q", us)) == "2024-01-01 01:00:01.5+00"
+    assert pgbin.to_text(pgbin.TIMESTAMP, struct.pack(">q", 0)) == "2000-01-01 00:00:00"
+    u = _uuid.UUID("12345678-1234-5678-1234-567812345678")
+    assert pgbin.to_text(pgbin.UUID, u.bytes) == str(u)
+    assert pgbin.to_text(pgbin.JSONB, b"\x01" + b'{"a": 1}') == '{"a": 1}'
+    assert pgbin.to_text(pgbin.BYTEA, b"\xde\xad") == "\\xdead"
+    assert pgbin.to_text(pgbin.TEXT, "héllo".encode()) == "héllo"
+    with pytest.raises(ValueError, match="no binary decoder"):
+        pgbin.to_text(600, b"")  # polygon — run without binary instead
+
+
+def test_binary_tuple_through_transform():
+    """A binary-format Insert renders the same envelope a text-format one
+    does (wire format is invisible downstream)."""
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    reg = SchemaRegistry()
+    reg.register_relation(
+        pg.decode_relation(
+            pg.encode_relation(
+                88001, "public", "accts",
+                [(True, "id", pgbin.INT8, -1), (False, "balance", pgbin.NUMERIC, -1),
+                 (False, "name", pgbin.TEXT, -1)],
+            )
+        ),
+        lsn=1,
+    )
+    td = (
+        struct.pack(">h", 3)
+        + b"b" + struct.pack(">i", 8) + struct.pack(">q", 5)
+        + b"b" + struct.pack(">i", 10)
+        + struct.pack(">hhHH", 1, 0, 0, 2) + struct.pack(">h", 150)
+        + b"t" + struct.pack(">i", 5) + b"alice"
+    )
+    x = MessageTransformer(registry=reg)
+    from datetime import datetime, timezone
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    list(x.feed(10, pg.encode_begin(30, ts, 9)))
+    (ev,) = x.feed(20, b"I" + struct.pack(">i", 88001) + b"N" + td)
+    assert ev.after == {"id": "5", "balance": "150.00", "name": "alice"}
+    assert ev.key == {"id": "5"}
