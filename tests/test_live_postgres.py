@@ -916,6 +916,13 @@ def test_live_binary_format_tuples_match_text(live, tmp_path):
         "INSERT INTO accounts (id, balance, name, meta) VALUES "
         "(95, 12345.67, 'binrow', '{\"k\": [1, 2]}')",
         "UPDATE accounts SET balance = 0.05 WHERE id = 95",
+        # Edge values: numeric scale extremes, negatives, zero, explicit
+        # microsecond timestamptz, NULLs, unicode text.
+        "INSERT INTO accounts (id, balance, name, meta, created) VALUES "
+        "(96, -9999999999.99, 'ünïcode — τ', NULL, "
+        "'2024-06-01T12:30:45.123456Z')",
+        "INSERT INTO accounts (id, balance, name) VALUES (97, 0.00, NULL)",
+        "UPDATE accounts SET balance = -0.01 WHERE id = 97",
     )
     for mode in ("text", "bin"):
         _drain(tailers[mode])
@@ -933,5 +940,5 @@ def test_live_binary_format_tuples_match_text(live, tmp_path):
     live.sql(
         "SELECT pg_drop_replication_slot('slot_textfmt')",
         "SELECT pg_drop_replication_slot('slot_binfmt')",
-        "DELETE FROM accounts WHERE id = 95",
+        "DELETE FROM accounts WHERE id IN (95, 96, 97)",
     )
