@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-tx-per-batch", type=int, default=0)
     ap.add_argument("--cpus", type=int, default=0)
     ap.add_argument("--show-envelope", action="store_true", help="print the envelope and exit")
+    ap.add_argument(
+        "--emit-messages",
+        action="store_true",
+        help="surface pg_logical_emit_message frames as op='M' rows (outbox)",
+    )
     args = ap.parse_args(argv)
 
     if not args.log:
@@ -44,7 +49,9 @@ def main(argv=None) -> int:
     engine = PgCdcEngine(spark)
 
     if args.show_envelope:
-        engine.snapshot(args.log).orderBy("lsn").show(100, truncate=False)
+        engine.snapshot(args.log, emit_messages=args.emit_messages).orderBy(
+            "lsn"
+        ).show(100, truncate=False)
         return 0
 
     if not args.out:
