@@ -550,12 +550,16 @@ def test_live_tls_scram_plus_channel_binding(live, tmp_path):
     )
 
 
-def test_live_spark_end_to_end_materialize(live, tmp_path, spark):
+@pytest.mark.parametrize("binary", [False, True], ids=["text", "binary"])
+def test_live_spark_end_to_end_materialize(live, tmp_path, spark, binary):
     """The full engine path on live changes: wire tailer -> replay log ->
     pgcdc DataSource -> DeleteAwareMerger materialized current state ==
-    the live table queried directly."""
+    the live table queried directly.  Runs in both wire formats — with
+    ``binary 'true'`` the executor-side decode renders canonical text
+    (cdc.pgbin) before the same typed casts, so the materialized state
+    is identical."""
     log = str(tmp_path / "wal.replay")
-    t = live.tailer("slot_spark", log)
+    t = live.tailer("slot_spark", log, binary=binary)
     t.start()
     live.sql(
         "INSERT INTO accounts (id, balance, meta, name) VALUES "
