@@ -1044,6 +1044,12 @@ class WireReplicationTailer:
                                 appended = {
                                     c: k for c, k in appended.items() if c > flushed
                                 }
+                                # fsync BEFORE acking: once Postgres sees
+                                # the flush LSN it recycles WAL, so an
+                                # OS-buffered tail lost in a crash would
+                                # be unrecoverable.  One fsync per ack
+                                # advance, not per unit.
+                                writer.sync()
                                 self.client.send_standby_status(
                                     flushed, flushed, flushed
                                 )

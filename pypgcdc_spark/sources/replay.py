@@ -57,6 +57,14 @@ class ReplayLogWriter:
         """Make appended frames visible to a concurrent log tailer."""
         self._f.flush()
 
+    def sync(self) -> None:
+        """flush + fsync: frames survive a machine crash.  The tailer
+        calls this BEFORE forwarding a flush LSN to Postgres — once the
+        server sees the ack it recycles WAL, so an OS-buffered log tail
+        lost in a crash would be unrecoverable."""
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
     def truncate(self, pos: int) -> None:
         """Cut the log back to ``pos`` (O_APPEND writes continue at the
         new end).  Concurrent readers never see the removed span as
