@@ -43,7 +43,7 @@ _PG_EPOCH_DATE = date(2000, 1, 1)
 BOOL, BYTEA, NAME, INT8, INT2, INT4 = 16, 17, 19, 20, 21, 23
 TEXT, OID, JSON, XML = 25, 26, 114, 142
 FLOAT4, FLOAT8 = 700, 701
-BPCHAR, VARCHAR, DATE, TIMESTAMP, TIMESTAMPTZ = 1042, 1043, 1082, 1114, 1184
+BPCHAR, VARCHAR, DATE, TIME, TIMESTAMP, TIMESTAMPTZ = 1042, 1043, 1082, 1083, 1114, 1184
 NUMERIC, UUID, JSONB = 1700, 2950, 3802
 
 _PASSTHROUGH = {TEXT, NAME, BPCHAR, VARCHAR, JSON, XML, 18}  # 18 = "char"
@@ -121,6 +121,13 @@ def to_text(type_oid: int, b: bytes) -> str:
         return _numeric_text(b)
     if type_oid == DATE:
         return (_PG_EPOCH_DATE + timedelta(days=struct.unpack(">i", b)[0])).isoformat()
+    if type_oid == TIME:
+        us_total = struct.unpack(">q", b)[0]
+        secs, us = divmod(us_total, 1_000_000)
+        h, rem = divmod(secs, 3600)
+        m, s_ = divmod(rem, 60)
+        out = f"{h:02d}:{m:02d}:{s_:02d}"
+        return out + (f".{us:06d}".rstrip("0") if us else "")
     if type_oid == TIMESTAMP:
         return _ts_text(struct.unpack(">q", b)[0])
     if type_oid == TIMESTAMPTZ:

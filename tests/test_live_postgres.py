@@ -946,3 +946,49 @@ def test_live_binary_format_tuples_match_text(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_binfmt')",
         "DELETE FROM accounts WHERE id IN (95, 96, 97)",
     )
+
+
+def test_live_binary_format_full_type_matrix(live, tmp_path):
+    """Every pgbin-supported OID against REAL server binary bytes: a
+    wide typed table tailed through binary and text slots must decode
+    identically — validating the hand-derived send-format renderings
+    (numeric, date, time, timestamps, uuid, bytea, float specials,
+    bool, smallint) against PostgreSQL's own."""
+    live.sql(
+        "CREATE TABLE typed (id BIGINT PRIMARY KEY, b BOOLEAN, si SMALLINT, "
+        "i INT, f4 REAL, f8 DOUBLE PRECISION, n NUMERIC(20,5), d DATE, "
+        "t TIME, ts TIMESTAMP, tz TIMESTAMPTZ, u UUID, by BYTEA, s TEXT, "
+        "j JSON, jb JSONB)",
+        "CREATE PUBLICATION pub_typed FOR TABLE typed",
+    )
+    logs, tailers = {}, {}
+    for mode, binary in (("text", False), ("bin", True)):
+        log = str(tmp_path / f"typed_{mode}.replay")
+        t = WireReplicationTailer(
+            "127.0.0.1", live.port, USER, DB, "pub_typed", f"slot_typed_{mode}",
+            log, password=PASSWORD, timeout=1.0, binary=binary,
+        )
+        t.start()
+        logs[mode], tailers[mode] = log, t
+    live.sql(
+        "INSERT INTO typed VALUES "
+        "(1, true, -32768, 2147483647, 0.5, -2.5e-10, -98765.43210, "
+        "'1999-12-31', '23:59:59.999999', '2024-02-29T23:59:59.000001', "
+        "'1970-01-01T00:00:00.5Z', 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', "
+        "'\\xdeadbeef', 'plain — τέχνη', '{\"x\":1}', '{\"y\": [true, null]}')",
+        "INSERT INTO typed (id, f8, n) VALUES (2, 'NaN', 'NaN')",
+    )
+    for mode in ("text", "bin"):
+        _drain(tailers[mode])
+        tailers[mode].stop()
+    te, _ = _decode(logs["text"])
+    be, _ = _decode(logs["bin"])
+    assert len(be) == len(te) == 2
+    for a, b in zip(te, be):
+        assert b.after == a.after, f"binary != text: {b.after} vs {a.after}"
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_typed_text')",
+        "SELECT pg_drop_replication_slot('slot_typed_bin')",
+        "DROP PUBLICATION pub_typed",
+        "DROP TABLE typed",
+    )

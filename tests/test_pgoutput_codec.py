@@ -266,3 +266,13 @@ def test_binary_tuple_through_transform():
     (ev,) = x.feed(20, b"I" + struct.pack(">i", 88001) + b"N" + td)
     assert ev.after == {"id": "5", "balance": "150.00", "name": "alice"}
     assert ev.key == {"id": "5"}
+
+
+def test_pgbin_time_golden():
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    us = (13 * 3600 + 5 * 60 + 7) * 1_000_000 + 250_000
+    assert pgbin.to_text(pgbin.TIME, struct.pack(">q", us)) == "13:05:07.25"
+    assert pgbin.to_text(pgbin.TIME, struct.pack(">q", 0)) == "00:00:00"
