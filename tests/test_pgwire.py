@@ -1489,3 +1489,68 @@ def test_reconnect_dedup_sweep_every_drop_point(tmp_path, drop_partial):
         got = [(fr.lsn, fr.payload) for fr in scan_frames(log)]
         assert got == frames, f"drop at {cut} (partial={drop_partial}): log diverged"
         assert n == len(frames)
+
+
+def test_tailer_memory_flat_through_a_huge_open_transaction(tmp_path):
+    """The O(1)-memory claim, measured: 100k frames of ONE open (never
+    committed) transaction stream through run() — write-through means
+    Python heap growth stays flat (bounded well below the ~10 MB the
+    frames occupy) while the log file absorbs every byte."""
+    import gc
+    import tracemalloc
+
+    from pypgcdc_spark.cdc import pgoutput as pgc
+    from pypgcdc_spark.sources.pgwire import WireReplicationTailer, XLogData
+
+    n_frames = 100_000
+    relid = 50001
+    ins = pgc.encode_insert(relid, ["1", "x" * 80])  # ~100 B/frame
+
+    class StubClient:
+        """Duck-typed ReplicationClient: one huge open tx, then done."""
+
+        def read_stream(self):
+            yield XLogData(10, 10, 1_000_000, pgc.encode_relation(
+                relid, "public", "big", [(True, "id", 23, -1), (False, "v", 25, -1)]
+            ))
+            yield XLogData(
+                20, 20, 1_000_000, pgc.encode_begin(
+                    99999999, __import__("datetime").datetime(
+                        2024, 1, 1, tzinfo=__import__("datetime").timezone.utc
+                    ), 777,
+                )
+            )
+            for i in range(n_frames):
+                yield XLogData(100 + i, 100 + i, 1_000_000, ins)
+            # no commit: the unit stays open; clean CopyDone ends the run
+
+        def send_standby_status(self, *a):
+            pass
+
+        def close(self):
+            pass
+
+    log = str(tmp_path / "huge.log")
+    t = WireReplicationTailer("h", 1, "u", "d", "p", "s", log)
+    t.client = StubClient()
+    t._fresh_stream = True
+    gc.collect()
+    tracemalloc.start()
+    base = tracemalloc.get_traced_memory()[0]
+    n = t.run()
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert n == n_frames + 2
+    payload_bytes = n_frames * len(ins)
+    # Peak heap growth must be a small fraction of the streamed volume.
+    assert peak - base < payload_bytes / 4, (peak - base, payload_bytes)
+    # ...and the bytes all landed on disk (header 20B per frame).
+    assert os.path.getsize(log) == (n_frames + 2) * 20 + 2 * 0 + sum(
+        len(p) for p in (
+            [ins] * n_frames
+            + [pgc.encode_relation(relid, "public", "big",
+                                   [(True, "id", 23, -1), (False, "v", 25, -1)])]
+            + [pgc.encode_begin(99999999, __import__("datetime").datetime(
+                2024, 1, 1, tzinfo=__import__("datetime").timezone.utc), 777)]
+        )
+    )
