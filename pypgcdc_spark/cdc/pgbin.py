@@ -44,7 +44,7 @@ BOOL, BYTEA, NAME, INT8, INT2, INT4 = 16, 17, 19, 20, 21, 23
 TEXT, OID, JSON, XML = 25, 26, 114, 142
 FLOAT4, FLOAT8 = 700, 701
 BPCHAR, VARCHAR, DATE, TIME, TIMESTAMP, TIMESTAMPTZ = 1042, 1043, 1082, 1083, 1114, 1184
-NUMERIC, UUID, JSONB = 1700, 2950, 3802
+INTERVAL, NUMERIC, UUID, JSONB = 1186, 1700, 2950, 3802
 
 _PASSTHROUGH = {TEXT, NAME, BPCHAR, VARCHAR, JSON, XML, 18}  # 18 = "char"
 
@@ -101,6 +101,34 @@ def _ts_text(micros: int, tz_suffix: str = "") -> str:
     return base + tz_suffix
 
 
+def _interval_text(micros: int, days: int, months: int) -> str:
+    # Default IntervalStyle=postgres: "[N year[s]] [N mon[s]] [N day[s]]
+    # [-]HH:MM:SS[.ffffff]", components omitted when zero, time shown
+    # whenever nonzero — or alone when everything is zero.
+    years, mons = divmod(abs(months), 12)
+    if months < 0:
+        years, mons = -years, -mons
+    parts = []
+    # PG pluralizes on the SIGNED value: "1 day" but "-1 days".
+    if years:
+        parts.append(f"{years} year" + ("s" if years != 1 else ""))
+    if mons:
+        parts.append(f"{mons} mon" + ("s" if mons != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if days != 1 else ""))
+    if micros or not parts:
+        sign = "-" if micros < 0 else ""
+        us_abs = abs(micros)
+        secs, us = divmod(us_abs, 1_000_000)
+        h, rem = divmod(secs, 3600)
+        m, s_ = divmod(rem, 60)
+        t = f"{sign}{h:02d}:{m:02d}:{s_:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
 def to_text(type_oid: int, b: bytes) -> str:
     """Binary send-format bytes → the canonical text rendering."""
     if type_oid in _PASSTHROUGH:
@@ -134,6 +162,8 @@ def to_text(type_oid: int, b: bytes) -> str:
         # Rendered in UTC with the +00 suffix a UTC-timezone server's
         # text mode emits; binary carries UTC µs unconditionally.
         return _ts_text(struct.unpack(">q", b)[0], "+00")
+    if type_oid == INTERVAL:
+        return _interval_text(*struct.unpack(">qii", b))
     if type_oid == UUID:
         h = b.hex()
         return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"

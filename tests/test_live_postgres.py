@@ -958,7 +958,7 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "CREATE TABLE typed (id BIGINT PRIMARY KEY, b BOOLEAN, si SMALLINT, "
         "i INT, f4 REAL, f8 DOUBLE PRECISION, n NUMERIC(20,5), d DATE, "
         "t TIME, ts TIMESTAMP, tz TIMESTAMPTZ, u UUID, by BYTEA, s TEXT, "
-        "j JSON, jb JSONB)",
+        "j JSON, jb JSONB, iv INTERVAL)",
         "CREATE PUBLICATION pub_typed FOR TABLE typed",
     )
     logs, tailers = {}, {}
@@ -975,15 +975,18 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "(1, true, -32768, 2147483647, 0.5, -2.5e-10, -98765.43210, "
         "'1999-12-31', '23:59:59.999999', '2024-02-29T23:59:59.000001', "
         "'1970-01-01T00:00:00.5Z', 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', "
-        "'\\xdeadbeef', 'plain — τέχνη', '{\"x\":1}', '{\"y\": [true, null]}')",
+        "'\\xdeadbeef', 'plain — τέχνη', '{\"x\":1}', '{\"y\": [true, null]}', "
+        "'1 year 2 months 3 days 04:05:06.789')",
         "INSERT INTO typed (id, f8, n) VALUES (2, 'NaN', 'NaN')",
+        "INSERT INTO typed (id, iv) VALUES "
+        "(3, '-1 hour'), (4, '-2 months -1 day'), (5, '0')",
     )
     for mode in ("text", "bin"):
         _drain(tailers[mode])
         tailers[mode].stop()
     te, _ = _decode(logs["text"])
     be, _ = _decode(logs["bin"])
-    assert len(be) == len(te) == 2
+    assert len(be) == len(te) == 5
     for a, b in zip(te, be):
         assert b.after == a.after, f"binary != text: {b.after} vs {a.after}"
     live.sql(

@@ -276,3 +276,19 @@ def test_pgbin_time_golden():
     us = (13 * 3600 + 5 * 60 + 7) * 1_000_000 + 250_000
     assert pgbin.to_text(pgbin.TIME, struct.pack(">q", us)) == "13:05:07.25"
     assert pgbin.to_text(pgbin.TIME, struct.pack(">q", 0)) == "00:00:00"
+
+
+def test_pgbin_interval_golden():
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    def iv(us, d, m):
+        return pgbin.to_text(pgbin.INTERVAL, struct.pack(">qii", us, d, m))
+
+    assert iv(4 * 3600_000_000 + 5 * 60_000_000 + 6_789_000, 3, 14) == \
+        "1 year 2 mons 3 days 04:05:06.789"
+    assert iv(0, 0, 0) == "00:00:00"
+    assert iv(-3_600_000_000, 0, 0) == "-01:00:00"
+    assert iv(0, -1, -2) == "-2 mons -1 days"  # PG pluralizes signed -1
+    assert iv(0, 1, 1) == "1 mon 1 day"
