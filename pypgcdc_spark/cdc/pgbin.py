@@ -46,6 +46,27 @@ FLOAT4, FLOAT8 = 700, 701
 BPCHAR, VARCHAR, DATE, TIME, TIMESTAMP, TIMESTAMPTZ = 1042, 1043, 1082, 1083, 1114, 1184
 INTERVAL, NUMERIC, UUID, JSONB = 1186, 1700, 2950, 3802
 
+# Array OIDs → element OIDs (the common set; pg_type's typarray pairs).
+ARRAY_ELEM = {
+    1000: 16,  # bool[]
+    1001: 17,  # bytea[]
+    1005: 21,  # int2[]
+    1007: 23,  # int4[]
+    1016: 20,  # int8[]
+    1009: 25,  # text[]
+    1015: 1043,  # varchar[]
+    1021: 700,  # float4[]
+    1022: 701,  # float8[]
+    1182: 1082,  # date[]
+    1115: 1114,  # timestamp[]
+    1185: 1184,  # timestamptz[]
+    1187: 1186,  # interval[]
+    1231: 1700,  # numeric[]
+    2951: 2950,  # uuid[]
+    199: 114,  # json[]
+    3807: 3802,  # jsonb[]
+}
+
 _PASSTHROUGH = {TEXT, NAME, BPCHAR, VARCHAR, JSON, XML, 18}  # 18 = "char"
 
 
@@ -129,8 +150,67 @@ def _interval_text(micros: int, days: int, months: int) -> str:
     return " ".join(parts)
 
 
+_ARRAY_QUOTE_TRIGGERS = set('{},"\\ \t\n\r')
+
+
+def _array_elem_text(elem_oid: int, raw: bytes) -> str:
+    """One array element in text-array syntax: the element's own text
+    rendering, quoted/escaped when it contains structural characters,
+    whitespace, is empty, or spells NULL (array-literal quoting rules)."""
+    v = to_text(elem_oid, raw)
+    if (
+        not v
+        or v.upper() == "NULL"
+        or any(c in _ARRAY_QUOTE_TRIGGERS for c in v)
+    ):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return v
+
+
+def _array_text(elem_oid: int, b: bytes) -> str:
+    """array_send wire format → the text-array literal text mode emits:
+    int32 ndim | int32 hasnull | int32 elem_oid | ndim × (int32 dim,
+    int32 lbound) | per element int32 len (-1 = NULL) + bytes.
+    Multidimensional arrays nest; non-default lower bounds render the
+    ``[l:u]=`` prefix exactly like text mode."""
+    ndim, _hasnull, wire_elem = struct.unpack_from(">iii", b, 0)
+    if ndim == 0:
+        return "{}"
+    dims, lbounds = [], []
+    pos = 12
+    for _ in range(ndim):
+        d, lb = struct.unpack_from(">ii", b, pos)
+        dims.append(d)
+        lbounds.append(lb)
+        pos += 8
+
+    def read_elem():
+        nonlocal pos
+        (ln,) = struct.unpack_from(">i", b, pos)
+        pos += 4
+        if ln == -1:
+            return "NULL"
+        raw = b[pos : pos + ln]
+        pos += ln
+        return _array_elem_text(wire_elem or elem_oid, raw)
+
+    def level(d: int) -> str:
+        if d == ndim - 1:
+            return "{" + ",".join(read_elem() for _ in range(dims[d])) + "}"
+        return "{" + ",".join(level(d + 1) for _ in range(dims[d])) + "}"
+
+    out = level(0)
+    if any(lb != 1 for lb in lbounds):
+        spec = "".join(f"[{lb}:{lb + d - 1}]" for lb, d in zip(lbounds, dims))
+        out = spec + "=" + out
+    return out
+
+
 def to_text(type_oid: int, b: bytes) -> str:
     """Binary send-format bytes → the canonical text rendering."""
+    elem = ARRAY_ELEM.get(type_oid)
+    if elem is not None:
+        return _array_text(elem, b)
     if type_oid in _PASSTHROUGH:
         return b.decode("utf-8")
     if type_oid == BOOL:

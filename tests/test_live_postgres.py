@@ -958,7 +958,7 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "CREATE TABLE typed (id BIGINT PRIMARY KEY, b BOOLEAN, si SMALLINT, "
         "i INT, f4 REAL, f8 DOUBLE PRECISION, n NUMERIC(20,5), d DATE, "
         "t TIME, ts TIMESTAMP, tz TIMESTAMPTZ, u UUID, by BYTEA, s TEXT, "
-        "j JSON, jb JSONB, iv INTERVAL)",
+        "j JSON, jb JSONB, iv INTERVAL, ia INT[], ta TEXT[], na NUMERIC[])",
         "CREATE PUBLICATION pub_typed FOR TABLE typed",
     )
     logs, tailers = {}, {}
@@ -980,13 +980,20 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "INSERT INTO typed (id, f8, n) VALUES (2, 'NaN', 'NaN')",
         "INSERT INTO typed (id, iv) VALUES "
         "(3, '-1 hour'), (4, '-2 months -1 day'), (5, '0')",
+        # Arrays: quoting triggers (comma, quote, backslash, space,
+        # empty string, the word NULL, an SQL NULL), multidim, empty.
+        "INSERT INTO typed (id, ia, ta, na) VALUES "
+        "(6, ARRAY[1, -2, NULL], "
+        "ARRAY['plain', 'has space', 'com,ma', 'qu\"ote', 'back\\slash', "
+        "'', 'NULL', NULL, '{brace}'], ARRAY[1.50, -0.05]), "
+        "(7, '{}', ARRAY[['a','b'],['c','d']], NULL)",
     )
     for mode in ("text", "bin"):
         _drain(tailers[mode])
         tailers[mode].stop()
     te, _ = _decode(logs["text"])
     be, _ = _decode(logs["bin"])
-    assert len(be) == len(te) == 5
+    assert len(be) == len(te) == 7
     for a, b in zip(te, be):
         assert b.after == a.after, f"binary != text: {b.after} vs {a.after}"
     live.sql(

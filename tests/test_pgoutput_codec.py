@@ -292,3 +292,33 @@ def test_pgbin_interval_golden():
     assert iv(-3_600_000_000, 0, 0) == "-01:00:00"
     assert iv(0, -1, -2) == "-2 mons -1 days"  # PG pluralizes signed -1
     assert iv(0, 1, 1) == "1 mon 1 day"
+
+
+def test_pgbin_array_golden():
+    """array_send binary -> text-array literal: quoting triggers, NULLs,
+    multidim nesting, empty arrays, non-default lower bounds."""
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    def arr(elem_oid, dims, lbounds, elems):
+        out = struct.pack(">iii", len(dims), 1, elem_oid)
+        for d, lb in zip(dims, lbounds):
+            out += struct.pack(">ii", d, lb)
+        for e in elems:
+            if e is None:
+                out += struct.pack(">i", -1)
+            else:
+                out += struct.pack(">i", len(e)) + e
+        return out
+
+    i8 = lambda v: struct.pack(">q", v)  # noqa: E731
+    assert pgbin.to_text(1016, arr(20, [3], [1], [i8(1), i8(-2), None])) == "{1,-2,NULL}"
+    assert pgbin.to_text(
+        1009, arr(25, [4], [1], [b"plain", b"has space", b'qu"ote', b""])
+    ) == '{plain,"has space","qu\\"ote",""}'
+    assert pgbin.to_text(
+        1009, arr(25, [2, 2], [1, 1], [b"a", b"b", b"c", b"d"])
+    ) == "{{a,b},{c,d}}"
+    assert pgbin.to_text(1007, struct.pack(">iii", 0, 0, 23)) == "{}"
+    assert pgbin.to_text(1016, arr(20, [2], [0], [i8(7), i8(8)])) == "[0:1]={7,8}"
