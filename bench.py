@@ -142,6 +142,7 @@ NEW_OPS_R5 = [
 NEW_OPS_R6 = [
     "source_copy_bootstrap_parity",
     "cdc_logical_messages",
+    "source_binary_tuple_parity",
 ]
 
 

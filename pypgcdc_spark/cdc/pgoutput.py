@@ -685,7 +685,10 @@ def decode_message(buf: bytes, streamed: bool = False):
 
 
 def _enc_tuple(values: List[Optional[str]], toast_unchanged: Optional[set] = None) -> bytes:
-    """Encode a TupleData. ``None`` -> 'n'; index in ``toast_unchanged`` -> 'u'."""
+    """Encode a TupleData. ``None`` -> 'n'; index in ``toast_unchanged`` ->
+    'u'; a ``bytes`` value -> a 'b' binary send-format column (callers
+    supply protocol-true send bytes — fixture synthesis for the binary
+    decode path)."""
     toast_unchanged = toast_unchanged or set()
     out = [struct.pack(">h", len(values))]
     for i, v in enumerate(values):
@@ -693,6 +696,8 @@ def _enc_tuple(values: List[Optional[str]], toast_unchanged: Optional[set] = Non
             out.append(b"u")
         elif v is None:
             out.append(b"n")
+        elif isinstance(v, bytes):
+            out.append(b"b" + struct.pack(">i", len(v)) + v)
         else:
             enc = v.encode("utf-8")
             out.append(b"t" + struct.pack(">i", len(enc)) + enc)

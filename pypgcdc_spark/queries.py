@@ -59,6 +59,8 @@ EXTENDED = frozenset(
         # envelope rows via emitMessages — source-path variant of the
         # primary apply family.
         "cdc_logical_messages",
+        # Binary wire-format decode parity (round 6, session 3).
+        "source_binary_tuple_parity",
         # Protocol v2 streamed-tx replay, two-phase replay + LSN-span typed
         # views (round 5): source-path variants of the already-primary
         # apply family.
