@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import struct
 from datetime import date, timedelta
+from fractions import Fraction
 
 _PG_EPOCH_DATE = date(2000, 1, 1)
 
@@ -70,25 +71,148 @@ ARRAY_ELEM = {
 _PASSTHROUGH = {TEXT, NAME, BPCHAR, VARCHAR, JSON, XML, 18}  # 18 = "char"
 
 
-def _float_text(v: float) -> str:
-    # PG text mode (extra_float_digits >= 1) emits the shortest string
-    # that round-trips; Python's repr is exactly that.  Specials match
-    # PG's spellings.
+def _parse_sig(s: str) -> tuple:
+    """'1.5e-07' / '123.456' / '100.0' → (digits, exp): the shortest
+    significand digits (no leading/trailing zeros) and the decimal
+    exponent of the first digit (printf %e convention)."""
+    if "e" in s:
+        m, e = s.split("e")
+        exp = int(e)
+    else:
+        m, exp = s, 0
+    ip, _, fp = m.partition(".")
+    full = ip + fp
+    stripped = full.lstrip("0")
+    if not stripped:
+        return "0", 0
+    sig_start = len(full) - len(stripped)
+    exp += len(ip) - 1 - sig_start
+    return stripped.rstrip("0") or "0", exp
+
+
+def _fmt_ryu(neg: bool, digits: str, exp: int, sci_at: int) -> str:
+    """Render shortest digits like PG's Ryu to_chars (d2s.c/f2s.c):
+    fixed notation for -4 <= exp < sci_at, else d[.ddd]e±XX with a
+    two-digit-minimum signed exponent.  Fixed integers get no '.0'."""
+    sign = "-" if neg else ""
+    if -4 <= exp < sci_at:
+        if exp >= len(digits) - 1:
+            return sign + digits + "0" * (exp - len(digits) + 1)
+        if exp >= 0:
+            return sign + digits[: exp + 1] + "." + digits[exp + 1 :]
+        return sign + "0." + "0" * (-exp - 1) + digits
+    mant = digits if len(digits) == 1 else digits[0] + "." + digits[1:]
+    return f"{sign}{mant}e{'+' if exp >= 0 else '-'}{abs(exp):02d}"
+
+
+def _interval(a: float, single: bool):
+    """Exact rounding interval of a positive finite float: the open
+    interval between the midpoints to its neighbors.  PG's Ryu port
+    emits the shortest decimal STRICTLY inside it (bounds excluded),
+    so a decimal landing exactly on a midpoint needs one more digit
+    even when round-half-even would recover the value."""
+    if single:
+        bits = struct.unpack(">I", struct.pack(">f", a))[0]
+        prv = struct.unpack(">f", struct.pack(">I", bits - 1))[0]
+        nxt = struct.unpack(">f", struct.pack(">I", bits + 1))[0]
+    else:
+        bits = struct.unpack(">Q", struct.pack(">d", a))[0]
+        prv = struct.unpack(">d", struct.pack(">Q", bits - 1))[0]
+        nxt = struct.unpack(">d", struct.pack(">Q", bits + 1))[0]
+    fa = Fraction(a)
+    lo = (Fraction(prv) + fa) / 2
+    if nxt == float("inf"):
+        hi = fa + (fa - Fraction(prv)) / 2
+    else:
+        hi = (fa + Fraction(nxt)) / 2
+    return lo, hi
+
+
+def _dec_fraction(cand: str) -> Fraction:
+    m, _, e = cand.partition("e")
+    return Fraction(m) * Fraction(10) ** int(e)
+
+
+def _shortest_sci(a: float, single: bool, start_prec: int, max_prec: int) -> str:
+    """Shortest correctly-rounded ``%.<p>e`` string of positive finite
+    ``a`` whose exact decimal value lies strictly inside a's rounding
+    interval — byte-identical digits to PG's Ryu output (verified
+    against live PG 15 on randomized bit patterns, including
+    boundary-tie cases like 0xce05cb84 → '-5.6117683e+08' where the
+    7-digit form round-trips under half-even but PG emits 8)."""
+    prec = start_prec
+    cand = f"{a:.{prec}e}"
+    lo, hi = _interval(a, single)
+    while not (lo < _dec_fraction(cand) < hi) and prec < max_prec:
+        prec += 1
+        cand = f"{a:.{prec}e}"
+    return cand
+
+
+def _float8_text(v: float) -> str:
+    # PG renders float8 via Ryu shortest digits (d2s.c), switching to
+    # scientific notation when the decimal exponent is < -4 or >= 15
+    # (verified against live PG 15: 1e15 → '1e+15',
+    # 999999999999999 → fixed, 0.00001 → '1e-05').  Python's repr
+    # gives the shortest half-even digits as the starting precision.
     if v != v:
         return "NaN"
     if v == float("inf"):
         return "Infinity"
     if v == float("-inf"):
         return "-Infinity"
-    if v == int(v) and abs(v) < 1e16:
-        return str(int(v))
-    return repr(v)
+    neg = struct.pack(">d", v)[0] & 0x80 != 0
+    if v == 0.0:
+        return "-0" if neg else "0"
+    a = abs(v)
+    digits, _ = _parse_sig(repr(a))
+    s = _shortest_sci(a, single=False, start_prec=len(digits) - 1, max_prec=16)
+    digits, exp = _parse_sig(s)
+    return _fmt_ryu(neg, digits, exp, 15)
+
+
+def _float4_text(b: bytes) -> str:
+    # FLOAT4 must round-trip at SINGLE precision: the shortest decimal
+    # that re-packs to the same 4 bytes (0.1::real → '0.1', not the
+    # double-widened '0.10000000149011612').  Notation switch per
+    # f2s.c: scientific when the decimal exponent is < -4 or >= 6
+    # (verified live: 1000000::real → '1e+06', 999999::real → fixed,
+    # 16777217::real → '1.6777216e+07').
+    v = struct.unpack(">f", b)[0]
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    neg = b[0] & 0x80 != 0
+    if v == 0.0:
+        return "-0" if neg else "0"
+    a = abs(v)
+    start = 8
+    for prec in range(9):
+        try:
+            # Rounding up near FLT_MAX can exceed the format's range.
+            if struct.unpack(">f", struct.pack(">f", float(f"{a:.{prec}e}")))[0] == a:
+                start = prec
+                break
+        except OverflowError:
+            continue
+    s = _shortest_sci(a, single=True, start_prec=start, max_prec=8)
+    digits, exp = _parse_sig(s)
+    return _fmt_ryu(neg, digits, exp, 6)
 
 
 def _numeric_text(b: bytes) -> str:
     ndigits, weight, sign, dscale = struct.unpack_from(">hhHH", b, 0)
     if sign == 0xC000:
         return "NaN"
+    if sign == 0xD000:  # PG14+ numeric +Infinity
+        return "Infinity"
+    if sign == 0xF000:  # PG14+ numeric -Infinity
+        return "-Infinity"
+    if sign not in (0x0000, 0x4000):
+        raise ValueError(f"unrecognized numeric sign word 0x{sign:04X}")
     digits = struct.unpack_from(f">{ndigits}h", b, 8) if ndigits else ()
     # Integral part: base-10000 digits at weights weight..0.
     int_digits = []
@@ -150,7 +274,9 @@ def _interval_text(micros: int, days: int, months: int) -> str:
     return " ".join(parts)
 
 
-_ARRAY_QUOTE_TRIGGERS = set('{},"\\ \t\n\r')
+# \v and \f included: PG's array_isspace treats them as whitespace, so
+# an element containing them must be quoted or its re-parse would trim.
+_ARRAY_QUOTE_TRIGGERS = set('{},"\\ \t\n\r\x0b\x0c')
 
 
 def _array_elem_text(elem_oid: int, raw: bytes) -> str:
@@ -222,9 +348,9 @@ def to_text(type_oid: int, b: bytes) -> str:
     if type_oid == INT8:
         return str(struct.unpack(">q", b)[0])
     if type_oid == FLOAT4:
-        return _float_text(struct.unpack(">f", b)[0])
+        return _float4_text(b)
     if type_oid == FLOAT8:
-        return _float_text(struct.unpack(">d", b)[0])
+        return _float8_text(struct.unpack(">d", b)[0])
     if type_oid == NUMERIC:
         return _numeric_text(b)
     if type_oid == DATE:

@@ -325,7 +325,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
             try:
                 for fn in os.listdir(d):
                     if fn.startswith("reg-") and fn.endswith(".json"):
-                        if int(fn[4:-5]) < rev:
+                        if fn[4:-5].isdigit() and int(fn[4:-5]) < rev:
                             os.remove(os.path.join(d, fn))
             except OSError:
                 pass  # GC is best-effort; correctness never depends on it

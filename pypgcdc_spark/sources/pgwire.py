@@ -113,6 +113,7 @@ class ScramClient:
         password: str,
         nonce: Optional[str] = None,
         cbind_data: Optional[bytes] = None,
+        tls_active: bool = False,
     ):
         self.password = password
         # Per RFC 5802 the server ignores the authzid/username here (pg
@@ -123,9 +124,18 @@ class ScramClient:
         # (the tls-server-end-point hash of the server certificate) the
         # gs2 header advertises binding and the final message's c=
         # carries gs2-header + binding data — SCRAM-SHA-256-PLUS.
-        # Without it, 'n,,' / c=biws (plain SCRAM-SHA-256).
+        # Without it but over TLS, gs2 flag 'y' (RFC 5802 §6 downgrade
+        # detection, like libpq): "I support channel binding but you
+        # didn't offer it" — a -PLUS-capable server seeing 'y' rejects
+        # the exchange, catching a MITM that stripped -PLUS from the
+        # mechanism list.  Plaintext: 'n,,'.
         self.cbind_data = cbind_data
-        self.gs2 = "p=tls-server-end-point,," if cbind_data is not None else "n,,"
+        if cbind_data is not None:
+            self.gs2 = "p=tls-server-end-point,,"
+        elif tls_active:
+            self.gs2 = "y,,"
+        else:
+            self.gs2 = "n,,"
         self.client_first = self.gs2 + self.client_first_bare
         self._auth_message: Optional[str] = None
         self._server_signature: Optional[bytes] = None
@@ -336,7 +346,12 @@ class ReplicationClient:
                 mech = b"SCRAM-SHA-256-PLUS"
             elif b"SCRAM-SHA-256" not in mechanisms:
                 raise ProtocolError(f"no supported SASL mechanism in {mechanisms}")
-            scram = ScramClient(self.user, self.password, cbind_data=cbind)
+            scram = ScramClient(
+                self.user,
+                self.password,
+                cbind_data=cbind,
+                tls_active=bool(self._tls),
+            )
             first = scram.first_message()
             write_message(
                 self.sock,

@@ -269,3 +269,129 @@ def test_truncated_logical_message_raises():
     assert pg.decode_message(whole).content == b"hello world"
     with pytest.raises(ValueError, match="truncated logical message"):
         pg.decode_message(whole[:-4])
+
+
+# -- round-7 ADVICE regressions (pgbin float/numeric parity, SCRAM gs2,
+#    registry-snapshot GC robustness) -----------------------------------
+
+
+def test_pgbin_float4_single_precision_shortest():
+    """FLOAT4 binary must render the shortest SINGLE-precision string
+    (0.1::real → '0.1', not the double-widened 0.10000000149011612) and
+    mirror PG Ryu's notation switch (scientific at decimal exponent < -4
+    or >= 6).  Every pinned value verified against live PG 15 text mode."""
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    f4 = lambda v: pgbin.to_text(pgbin.FLOAT4, struct.pack(">f", v))
+    assert f4(0.1) == "0.1"
+    assert f4(16777216.0) == "1.6777216e+07"
+    assert f4(1000000.0) == "1e+06"  # exp 6 → scientific
+    assert f4(999999.0) == "999999"  # exp 5 → fixed
+    assert f4(0.0001) == "0.0001"  # exp -4 → fixed
+    assert f4(1e-5) == "1e-05"  # exp -5 → scientific
+    assert f4(-0.0) == "-0"
+    assert f4(2.0) == "2"  # no trailing '.0'
+    assert f4(-2.5e-10) == "-2.5e-10"
+    assert f4(3.4028235e38) == "3.4028235e+38"  # FLT_MAX
+    assert f4(1e-45) == "1e-45"  # min subnormal
+    # Boundary-tie: the 7-digit form round-trips under half-even but PG's
+    # Ryu excludes interval bounds and emits 8 digits.
+    assert pgbin.to_text(pgbin.FLOAT4, bytes.fromhex("ce05cb84")) == "-5.6117683e+08"
+
+
+def test_pgbin_float8_ryu_notation():
+    """FLOAT8 keeps shortest-round-trip digits but must switch notation
+    where PG does (scientific at decimal exponent < -4 or >= 15), which
+    differs from Python repr (switches at 16)."""
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    f8 = lambda v: pgbin.to_text(pgbin.FLOAT8, struct.pack(">d", v))
+    assert f8(1e15) == "1e+15"  # Python repr: '1000000000000000.0'
+    assert f8(999999999999999.0) == "999999999999999"
+    assert f8(1e16) == "1e+16"
+    assert f8(0.00001) == "1e-05"
+    assert f8(0.0001) == "0.0001"
+    assert f8(-0.0) == "-0"
+    assert f8(0.1) == "0.1"
+    assert f8(123456789012345.6) == "123456789012345.6"
+    assert f8(1.5e-7) == "1.5e-07"
+    assert f8(1e100) == "1e+100"
+    assert f8(0.30000000000000004) == "0.30000000000000004"
+
+
+def test_pgbin_numeric_infinity_and_unknown_sign():
+    """PG14+ numeric ±Infinity (sign 0xD000/0xF000) must render PG's
+    spellings, and an unrecognized sign word must raise (fail-loud),
+    never silently decode as '0'."""
+    import struct
+
+    import pytest as _pytest
+
+    from pypgcdc_spark.cdc import pgbin
+
+    hdr = lambda sign: struct.pack(">hhHH", 0, 0, sign, 0)
+    assert pgbin.to_text(pgbin.NUMERIC, hdr(0xD000)) == "Infinity"
+    assert pgbin.to_text(pgbin.NUMERIC, hdr(0xF000)) == "-Infinity"
+    assert pgbin.to_text(pgbin.NUMERIC, hdr(0xC000)) == "NaN"
+    with _pytest.raises(ValueError, match="sign word"):
+        pgbin.to_text(pgbin.NUMERIC, hdr(0xA000))
+
+
+def test_pgbin_array_quotes_vertical_tab_and_formfeed():
+    """PG's array_isspace includes \\v and \\f: elements containing them
+    must be quoted or a re-parse of the literal would trim them."""
+    import struct
+
+    from pypgcdc_spark.cdc import pgbin
+
+    def text_array(*elems):
+        body = struct.pack(">iii", 1, 0, pgbin.TEXT) + struct.pack(">ii", len(elems), 1)
+        for e in elems:
+            raw = e.encode()
+            body += struct.pack(">i", len(raw)) + raw
+        return body
+
+    out = pgbin.to_text(1009, text_array("a\x0bb", "c\x0cd", "plain"))
+    assert out == '{"a\x0bb","c\x0cd",plain}'
+
+
+def test_scram_gs2_flag_y_when_tls_without_plus():
+    """Over TLS without a server -PLUS offer the gs2 flag must be 'y,,'
+    (RFC 5802 downgrade detection): a -PLUS-capable server then rejects
+    a MITM-stripped mechanism list.  Plaintext stays 'n,,'; an actual
+    binding stays 'p='."""
+    from pypgcdc_spark.sources.pgwire import ScramClient
+
+    plain = ScramClient("u", "pw", tls_active=False)
+    assert plain.gs2 == "n,,"
+    tls_no_plus = ScramClient("u", "pw", tls_active=True)
+    assert tls_no_plus.gs2 == "y,,"
+    assert tls_no_plus.client_first.startswith("y,,n=,r=")
+    bound = ScramClient("u", "pw", cbind_data=b"\x01\x02", tls_active=True)
+    assert bound.gs2 == "p=tls-server-end-point,,"
+
+
+def test_registry_snapshot_gc_tolerates_stray_files(tmp_path):
+    """A stray reg-*.json with a non-numeric middle must not crash the
+    best-effort snapshot GC in commit()."""
+    import json
+    import os
+
+    from pypgcdc_spark.sources.pgcdc import PgCdcStreamReader
+
+    log = str(tmp_path / "log.replay")
+    write_reference_workload(log)
+    reader = PgCdcStreamReader({"path": log, "database": "replay"})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    d = reader._registry_dir()
+    os.makedirs(d, exist_ok=True)
+    for fn in ("reg-abc.json", "reg-.json", "reg-00000001.json.tmp"):
+        with open(os.path.join(d, fn), "w") as f:
+            json.dump({}, f)
+    reader.commit(end)  # must not raise on the stray names
+    assert os.path.exists(os.path.join(d, "reg-abc.json"))

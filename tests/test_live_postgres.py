@@ -958,7 +958,8 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "CREATE TABLE typed (id BIGINT PRIMARY KEY, b BOOLEAN, si SMALLINT, "
         "i INT, f4 REAL, f8 DOUBLE PRECISION, n NUMERIC(20,5), d DATE, "
         "t TIME, ts TIMESTAMP, tz TIMESTAMPTZ, u UUID, by BYTEA, s TEXT, "
-        "j JSON, jb JSONB, iv INTERVAL, ia INT[], ta TEXT[], na NUMERIC[])",
+        "j JSON, jb JSONB, iv INTERVAL, ia INT[], ta TEXT[], na NUMERIC[], "
+        "nu NUMERIC)",
         "CREATE PUBLICATION pub_typed FOR TABLE typed",
     )
     logs, tailers = {}, {}
@@ -987,15 +988,31 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "ARRAY['plain', 'has space', 'com,ma', 'qu\"ote', 'back\\slash', "
         "'', 'NULL', NULL, '{brace}'], ARRAY[1.50, -0.05]), "
         "(7, '{}', ARRAY[['a','b'],['c','d']], NULL)",
+        # Non-dyadic floats (single-precision shortest round-trip +
+        # Ryu notation switches), numeric ±Infinity (PG14+ sign words),
+        # and array elements with \v/\f (array_isspace quoting).
+        "INSERT INTO typed (id, f4, f8, nu) VALUES "
+        "(8, 0.1, 0.1, 'Infinity'), "
+        "(9, 16777217, 1e15, '-Infinity'), "
+        "(10, 1234567, 1e-5, NULL), "
+        "(11, -561176832, 123456789012345.6, NULL)",
+        "INSERT INTO typed (id, ta) VALUES "
+        "(12, ARRAY[E'a\\vb', E'c\\fd'])",
     )
     for mode in ("text", "bin"):
         _drain(tailers[mode])
         tailers[mode].stop()
     te, _ = _decode(logs["text"])
     be, _ = _decode(logs["bin"])
-    assert len(be) == len(te) == 7
+    assert len(be) == len(te) == 12
     for a, b in zip(te, be):
         assert b.after == a.after, f"binary != text: {b.after} vs {a.after}"
+    by_id = {e.after["id"]: e.after for e in be}
+    # Pin the single-precision renderings against the server's own text.
+    assert by_id["8"]["f4"] == "0.1" and by_id["8"]["nu"] == "Infinity"
+    assert by_id["9"]["f4"] == "1.6777216e+07" and by_id["9"]["f8"] == "1e+15"
+    assert by_id["9"]["nu"] == "-Infinity"
+    assert by_id["11"]["f4"] == "-5.6117683e+08"
     live.sql(
         "SELECT pg_drop_replication_slot('slot_typed_text')",
         "SELECT pg_drop_replication_slot('slot_typed_bin')",
