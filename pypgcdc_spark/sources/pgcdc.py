@@ -172,6 +172,23 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # latestOffset could emit a cut BELOW the checkpointed start offset
         # (offsets going backwards, stale re-acks — ADVICE r1).
         self._offset_floor = 0
+        # Highest offset durably ACKED via commit().  Distinct from the
+        # offer floor above: latestOffset bumps `_offset_floor` to the
+        # NEXT batch's cut before Spark commits the previous one, so
+        # guarding commit() against the offer floor silently dropped
+        # EVERY ack (found by the round-7 soak: confirmed_flush never
+        # advanced, WAL retention grew unbounded).
+        self._acked_pos = 0
+        # Fingerprint of the scanned prefix's trailing bytes.  The live
+        # tailer may TRUNCATE AND REWRITE the open log tail (resend
+        # dedup after a reconnect, torn-tail discipline at session
+        # start) — closed units are immutable, the open unit is not.
+        # The incremental scan advances through open-unit frames to keep
+        # scanner state, so without this check a truncate-regrow between
+        # two polls would leave `_scanned_pos` pointing mid-frame into
+        # rewritten bytes: the source then either reads garbage or
+        # stalls forever (also found by the round-7 fault-injection soak).
+        self._fp = (0, b"")
 
     # -- driver-side scanning -------------------------------------------
     def _scan_forward(self) -> None:
@@ -180,6 +197,20 @@ class PgCdcStreamReader(DataSourceStreamReader):
         Relation messages into the driver registry (schema inference,
         reference T6 reader.py:243-302, here at frame-header cost)."""
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        if self._scanned_pos and self._tail_rewritten(size):
+            # The tailer truncated/rewrote the open tail.  Rewind to the
+            # open unit's start — the last closed boundary, where scanner
+            # state is by construction empty — and rebuild from there.
+            # Closed units below it are immutable, so `_pending` stays
+            # valid; re-fed R frames are idempotent (new version only on
+            # change).
+            rewind = self._scanner.range_start
+            if rewind is None:
+                rewind = 0  # closed region changed: full defensive rescan
+                self._pending = []  # floor still guards re-offers
+            self._scanner = replay.TxBoundaryScanner()
+            self._scanned_pos = rewind
+            self._fp = (0, b"")
         if size <= self._scanned_pos:
             return
         # Prefix scan: boundary detection touches ≤38 payload bytes per
@@ -203,6 +234,26 @@ class PgCdcStreamReader(DataSourceStreamReader):
             # frame; the persistent scanner keeps any open span's state,
             # so advancing past it never loses frames.
             self._scanned_pos = fr.end_pos
+        self._capture_fp()
+
+    def _capture_fp(self) -> None:
+        n = min(32, self._scanned_pos)
+        if n <= 0:
+            self._fp = (0, b"")
+            return
+        with open(self.path, "rb") as f:
+            f.seek(self._scanned_pos - n)
+            self._fp = (self._scanned_pos, f.read(n))
+
+    def _tail_rewritten(self, size: int) -> bool:
+        if size < self._scanned_pos:
+            return True
+        pos, blob = self._fp
+        if not blob or pos != self._scanned_pos:
+            return False
+        with open(self.path, "rb") as f:
+            f.seek(pos - len(blob))
+            return f.read(len(blob)) != blob
 
     def _safe_cut(self) -> int:
         """Highest byte position an offset may land on right now: the
@@ -304,11 +355,23 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # (reference reader.py:161-163 / stores.py:83, quirk Q7 fixed: the
         # acked value is the commit *end* LSN).
         pos = int(end["pos"])
-        if pos < self._offset_floor:
+        if self._acked_pos == 0:
+            # Fresh reader (restart): seed the high-water from the ack
+            # sidecar so a replayed batch's re-ack can't rewind it.
+            try:
+                with open(self.path + ".ack") as f:
+                    self._acked_pos = int(json.load(f).get("pos", 0))
+            except (OSError, ValueError):
+                pass
+        if pos <= self._acked_pos:
             # Stale re-ack from a pre-restart batch replay: the flush
-            # position (like walsender flush_lsn) must never move backwards.
+            # position (like walsender flush_lsn) must never move
+            # backwards.  Guarded by the ACK high-water mark, NOT the
+            # offer floor — latestOffset has already bumped the floor to
+            # the next cut by the time Spark commits this batch, so a
+            # floor comparison rejects every live ack.
             return
-        self._offset_floor = pos
+        self._acked_pos = pos
         # Atomic replace: the live tailer polls this file between frames
         # (pgwire run()), so an in-place write could be read torn.
         tmp = self.path + ".ack.tmp"

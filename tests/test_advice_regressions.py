@@ -395,3 +395,121 @@ def test_registry_snapshot_gc_tolerates_stray_files(tmp_path):
             json.dump({}, f)
     reader.commit(end)  # must not raise on the stray names
     assert os.path.exists(os.path.join(d, "reg-abc.json"))
+
+
+def test_tail_truncate_rewrite_does_not_wedge_reader(tmp_path):
+    """The live tailer TRUNCATES AND REWRITES the open log tail (resend
+    dedup after a reconnect; torn-tail discipline at session start).
+    The reader's incremental scan has already advanced through those
+    open-tail frames — it must detect the rewrite, rewind to the last
+    closed boundary, and keep producing offsets.  Before the round-7 fix
+    the source stalled forever mid-frame (found by the fault-injection
+    soak: micro-batches stopped while the log kept growing)."""
+    import os
+
+    log = str(tmp_path / "churn.log")
+    w = ReplayLogWriter(log)
+    w.append(10, pg.encode_relation(INTEGRATION_RELID, "public", "integration", INTEGRATION_COLS))
+    w.append(20, pg.encode_begin(40, _TS, 101))
+    w.append(30, pg.encode_insert(INTEGRATION_RELID, _row(1, 1)))
+    w.append(40, pg.encode_commit(40, 40, _TS))
+    tail_start = w.pos  # last closed boundary — the tailer's truncate point
+    # open tx 102: Begin + 2 inserts, no commit (a resend in flight)
+    w.append(50, pg.encode_begin(80, _TS, 102))
+    w.append(60, pg.encode_insert(INTEGRATION_RELID, _row(2, 2)))
+    w.append(70, pg.encode_insert(INTEGRATION_RELID, _row(3, 3)))
+    w.close()
+
+    r = PgCdcStreamReader({"path": log})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()  # scans INTO the open tail
+    assert [t[0] for t in _drain(r, o0, o1)] == ["I"]
+
+    # Tailer behavior: duplicate detected → truncate back to the unit
+    # start, then the real traffic lands (same tx shorter, plus another).
+    with open(log, "r+b") as f:
+        f.truncate(tail_start)
+    w2 = ReplayLogWriter(log)
+    w2.append(50, pg.encode_begin(65, _TS, 102))
+    w2.append(60, pg.encode_insert(INTEGRATION_RELID, _row(2, 2)))
+    w2.append(65, pg.encode_commit(65, 65, _TS))
+    w2.append(80, pg.encode_begin(100, _TS, 103))
+    w2.append(90, pg.encode_insert(INTEGRATION_RELID, _row(4, 4)))
+    w2.append(100, pg.encode_commit(100, 100, _TS))
+    w2.close()
+
+    o2 = r.latestOffset()
+    assert int(o2["pos"]) == os.path.getsize(log), "cut must cover the rewrite"
+    batch2 = _drain(r, o1, o2)
+    assert [t[0] for t in batch2] == ["I", "I"]
+    assert {t[2] for t in batch2} == {102, 103}
+
+    # Torn-tail sequence: a crash leaves a MID-FRAME tear the reader
+    # polls across; the next tailer session truncates back to the unit
+    # start and the server resends the whole transaction.
+    unit_start = os.path.getsize(log)
+    w3 = ReplayLogWriter(log)
+    w3.append(110, pg.encode_begin(130, _TS, 104))
+    w3.append(120, pg.encode_insert(INTEGRATION_RELID, _row(5, 5)))
+    w3.close()
+    o3 = r.latestOffset()  # scans the new open tail
+    with open(log, "r+b") as f:
+        f.truncate(os.path.getsize(log) - 7)  # crash mid-write: torn frame
+    o4 = r.latestOffset()  # poll across the tear: must not wedge or crash
+    assert int(o4["pos"]) == int(o3["pos"])  # nothing new closed
+    with open(log, "r+b") as f:
+        f.truncate(unit_start)  # session seed-scan: drop the torn unit
+    w4 = ReplayLogWriter(log)
+    w4.append(110, pg.encode_begin(130, _TS, 104))
+    w4.append(120, pg.encode_insert(INTEGRATION_RELID, _row(5, 5)))
+    w4.append(130, pg.encode_commit(130, 130, _TS))
+    w4.close()
+    o5 = r.latestOffset()
+    batch3 = _drain(r, o4, o5)
+    assert [t[0] for t in batch3] == ["I"]
+    assert {t[2] for t in batch3} == {104}
+
+
+def test_streaming_query_writes_ack_sidecar(spark, tmp_path):
+    """The REAL streaming engine must land acks in `<log>.ack`: Spark
+    calls commit() on the runner's reader one batch behind the offer
+    cursor, so guarding commit against the offer floor (as the original
+    code did) silently drops EVERY live ack — confirmed_flush never
+    advances and WAL retention grows without bound.  Unit tests that
+    invoke commit() by hand never catch this; this test drives the
+    actual query engine."""
+    import json
+    import os
+
+    log = str(tmp_path / "ackflow.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    for i in range(4):
+        w.tx([pg.encode_insert(INTEGRATION_RELID, _row(i, i))])
+    w.close()
+
+    from pypgcdc_spark.api import PgCdcEngine
+
+    engine = PgCdcEngine(spark)
+    q = (
+        engine.stream(log, max_tx_per_batch=1)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # commit(N) fires when batch N+1 runs; append more so the tail
+        # batches get acked too.
+        w2 = WorkloadWriter(log)
+        for i in range(4, 7):
+            w2.tx([pg.encode_insert(INTEGRATION_RELID, _row(i, i))])
+        w2.close()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    ack_path = log + ".ack"
+    assert os.path.exists(ack_path), "streaming engine never acked a batch"
+    ack = json.load(open(ack_path))
+    assert ack["pos"] > 0 and ack["lsn"] > 0

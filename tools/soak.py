@@ -1,0 +1,685 @@
+"""Long-run streaming soak with fault injection (round-7 task 1).
+
+Live PostgreSQL → wire tailer → replay log → pgcdc DataSource →
+DeleteAwareMerger materialized state, run continuously for the requested
+wall-clock under a randomized fault schedule:
+
+* socket kills mid-stream (the tailer's in-run reconnect + close-LSN
+  resend dedup path);
+* hard session ends with optional TORN-TAIL truncation of the replay
+  log before a fresh tailer resumes (the process-crash restart path:
+  seed scan, torn-tail truncate, resend dedup);
+* consumer pauses: the Spark streaming query is stopped while the
+  server keeps writing, then restarted from its checkpoint (the
+  lagging-consumer / checkpoint-recovery path — slot lag is sampled
+  throughout);
+* mid-stream ALTER TABLE (relation resend / registry versioning),
+  v2 streamed transactions (> logical_decoding_work_mem), two-phase
+  COMMIT/ROLLBACK PREPARED, and logical messages interleaved with
+  plain DML.
+
+Success criteria (recorded in the report JSON):
+* final materialized state == live server table == clean batch replay
+  of the accumulated log (hash over (id, balance, payload, updated));
+* measured-FLAT curves for checkpoint dir size, offset sidecar size,
+  driver RSS, and per-batch latency (slope of a linear fit over the
+  second half of the run, plus first/last-decile means).
+
+Usage::
+
+    python tools/soak.py --minutes 62 --out SOAK_r7.json
+    python tools/soak.py --minutes 3 --out /tmp/soak_smoke.json   # smoke
+
+The cluster/tailer plumbing reuses the live-test harness
+(tests/test_live_postgres.py) so the soak runs the exact code paths the
+point tests pin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import random
+import socket as socket_mod
+import sys
+import threading
+import time
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+from test_live_postgres import DB, PASSWORD, USER, LivePg  # noqa: E402
+
+from pypgcdc_spark.cdc.models import ColumnDefinition, TableSchema  # noqa: E402
+from pypgcdc_spark.sources.pgwire import (  # noqa: E402
+    ProtocolError,
+    WireReplicationTailer,
+)
+
+SOAK_SCHEMA = TableSchema(
+    db="replay",
+    namespace="public",
+    table="soak",
+    relation_id=0,
+    column_definitions=[
+        ColumnDefinition("id", True, 20, "int8"),
+        ColumnDefinition(
+            "balance", False, 1700, "numeric", atttypmod=((12 << 16) | 2) + 4
+        ),
+        ColumnDefinition("payload", False, 25, "text"),
+        ColumnDefinition("updated", False, 1184, "timestamptz"),
+    ],
+)
+
+ID_RANGE = 20_000  # keeps the materialized state (and merger cost) bounded
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def dir_size(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def file_size(path: str) -> int:
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def lsn_int(text: str) -> int:
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+class TailerLoop(threading.Thread):
+    """Runs tailer sessions until stop().  Each session is one tailer
+    instance with a random in-run reconnect budget; when the budget is
+    exhausted (fault thread kills sockets) the session ends like a
+    process crash and the next session resumes fresh — optionally after
+    a torn-tail truncation of the replay log."""
+
+    def __init__(self, live: LivePg, slot: str, log: str, rng: random.Random):
+        super().__init__(daemon=True)
+        self.live = live
+        self.slot = slot
+        self.log = log
+        self.rng = rng
+        self.stop_event = threading.Event()
+        self.in_final_drain = False
+        self.current: WireReplicationTailer | None = None
+        self.sessions = 0
+        self.reconnects = 0
+        self.torn_tails = 0
+        self.final_drain_frames = -1
+        self.errors: list[str] = []
+
+    def _new_tailer(self) -> WireReplicationTailer:
+        return self.live.tailer(
+            self.slot,
+            self.log,
+            proto_version=3,  # two_phase needs >=3 on PG15
+            streaming=True,
+            two_phase=True,
+            messages=True,
+            binary=True,
+        )
+
+    def _maybe_tear_tail(self) -> None:
+        # Simulate a crash that lost the last OS-buffered bytes: chop a
+        # few bytes off the log so the next session's seed scan sees a
+        # torn frame and must truncate back to the last closed unit.
+        if self.sessions and self.rng.random() < 0.5 and file_size(self.log) > 200:
+            cut = self.rng.randint(1, 80)
+            with open(self.log, "r+b") as f:
+                f.truncate(max(file_size(self.log) - cut, 0))
+            self.torn_tails += 1
+
+    def run(self) -> None:
+        while not self.stop_event.is_set():
+            self._maybe_tear_tail()
+            t = self._new_tailer()
+            self.current = t
+            self.sessions += 1
+            budget = self.rng.randint(1, 4)
+            try:
+                t.start()
+                t.run(max_idle=None, max_reconnects=budget)
+            except (ProtocolError, OSError) as e:
+                if not self.stop_event.is_set():
+                    self.errors.append(f"{type(e).__name__}: {e}"[:200])
+            finally:
+                self.reconnects += t.reconnects
+                try:
+                    t.stop()
+                except Exception:
+                    pass
+        # Final drain session: catch anything the last kill dropped.
+        self.in_final_drain = True
+        t = self._new_tailer()
+        self.current = t
+        try:
+            t.start()
+            self.final_drain_frames = t.run(max_idle=6, max_reconnects=10)
+        except (ProtocolError, OSError) as e:
+            self.errors.append(f"final drain: {type(e).__name__}: {e}"[:200])
+        finally:
+            try:
+                t.stop()
+            except Exception:
+                pass
+
+    def kill_socket(self) -> None:
+        t = self.current
+        if t is None:
+            return
+        try:
+            sock = t.client.sock
+            if sock is not None:
+                sock.shutdown(socket_mod.SHUT_RDWR)
+        except (OSError, AttributeError):
+            pass
+
+    def stop(self) -> None:
+        self.stop_event.set()
+        # Kill the live session's socket until the loop notices, but do
+        # NOT touch the final drain session — it must pull the tail.
+        for _ in range(60):
+            if not self.is_alive() or self.in_final_drain:
+                return
+            self.kill_socket()
+            time.sleep(0.5)
+
+
+class Workload(threading.Thread):
+    """Continuous randomized traffic on one persistent connection."""
+
+    def __init__(self, live: LivePg, rng: random.Random):
+        super().__init__(daemon=True)
+        self.live = live
+        self.rng = rng
+        self.stop_event = threading.Event()
+        self.conn = None
+        self.txs = 0
+        self.journal: list = []  # (wall_time, kind, ids_touched)
+        self.counts = {
+            "dml": 0,
+            "big": 0,
+            "twophase_commit": 0,
+            "twophase_rollback": 0,
+            "message": 0,
+            "alter": 0,
+            "truncate_aux": 0,
+        }
+        self.alter_cols = 0
+        self.errors: list[str] = []
+
+    def _sql(self, *stmts: str) -> None:
+        if self.conn is None:
+            self.conn = self.live.sql_conn()
+        for s in stmts:
+            self.conn.simple_query(s)
+        self.txs += 1
+
+    def _step(self) -> None:
+        r = self.rng.random()
+        rng = self.rng
+        if r < 0.70:
+            n_up = rng.randint(3, 15)
+            stmts = []
+            touched = []
+            for _ in range(n_up):
+                i = rng.randrange(ID_RANGE)
+                b = rng.randrange(0, 10_000_000) / 100.0
+                touched.append(i)
+                stmts.append(
+                    f"INSERT INTO soak VALUES ({i}, {b:.2f}, 'p{rng.randrange(1 << 30):x}', "
+                    f"now()) ON CONFLICT (id) DO UPDATE SET balance = EXCLUDED.balance, "
+                    f"payload = EXCLUDED.payload, updated = EXCLUDED.updated"
+                )
+            for _ in range(rng.randint(0, 3)):
+                stmts.append(f"DELETE FROM soak WHERE id = {rng.randrange(ID_RANGE)}")
+            self._sql("BEGIN", *stmts, "COMMIT")
+            self.journal.append((time.time(), "dml", touched))
+            self.counts["dml"] += 1
+        elif r < 0.80:
+            # Big tx > logical_decoding_work_mem (64kB): v2 stream spans.
+            lo = rng.randrange(1 << 40)
+            self._sql(
+                "BEGIN",
+                "INSERT INTO soak_big SELECT g, repeat('x', 120) || g FROM "
+                f"generate_series({lo}, {lo + 1500}) g",
+                f"DELETE FROM soak_big WHERE k >= {lo}",
+                "COMMIT",
+            )
+            self.counts["big"] += 1
+        elif r < 0.88:
+            gid = f"soak_{self.txs}_{rng.randrange(1 << 30):x}"
+            i = rng.randrange(ID_RANGE)
+            b = rng.randrange(0, 10_000_000) / 100.0
+            self._sql(
+                "BEGIN",
+                f"INSERT INTO soak VALUES ({i}, {b:.2f}, '2pc', now()) "
+                "ON CONFLICT (id) DO UPDATE SET balance = EXCLUDED.balance, "
+                "payload = EXCLUDED.payload, updated = EXCLUDED.updated",
+                f"PREPARE TRANSACTION '{gid}'",
+            )
+            time.sleep(0.05)
+            if rng.random() < 0.85:
+                self._sql(f"COMMIT PREPARED '{gid}'")
+                self.counts["twophase_commit"] += 1
+            else:
+                self._sql(f"ROLLBACK PREPARED '{gid}'")
+                self.counts["twophase_rollback"] += 1
+        elif r < 0.93:
+            self._sql(
+                "SELECT pg_logical_emit_message(true, 'soak_outbox', "
+                f"'evt-{self.txs}')"
+            )
+            self.counts["message"] += 1
+        elif r < 0.97:
+            self.alter_cols += 1
+            self._sql(
+                f"ALTER TABLE soak_alter ADD COLUMN c{self.alter_cols} INT DEFAULT 0",
+                f"INSERT INTO soak_alter (id, c{self.alter_cols}) VALUES "
+                f"({self.alter_cols}, {self.alter_cols})",
+            )
+            self.counts["alter"] += 1
+        else:
+            self._sql("TRUNCATE soak_alter")
+            self.counts["truncate_aux"] += 1
+
+    def run(self) -> None:
+        while not self.stop_event.is_set():
+            try:
+                self._step()
+            except Exception as e:
+                self.errors.append(f"{type(e).__name__}: {e}"[:200])
+                try:
+                    if self.conn is not None:
+                        self.conn.close()
+                except Exception:
+                    pass
+                self.conn = None
+                time.sleep(0.5)
+            time.sleep(self.rng.uniform(0.05, 0.25))
+        try:
+            if self.conn is not None:
+                self.conn.close()
+        except Exception:
+            pass
+
+
+def state_hash(rows) -> str:
+    """Canonical hash over (id, balance, payload, updated_epoch_us)."""
+    canon = sorted(rows)
+    h = hashlib.sha256()
+    for r in canon:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def server_rows(live: LivePg):
+    out = live.sql(
+        "SELECT id::text, balance::text, payload, "
+        "COALESCE(((extract(epoch from updated) * 1e6)::bigint)::text, '') "
+        "FROM soak ORDER BY id"
+    )
+    return [
+        (int(i), str(Decimal(b)) if b is not None else None, p, int(u) if u else None)
+        for i, b, p, u in out
+    ]
+
+
+def spark_rows(df):
+    from pyspark.sql import functions as F
+
+    out = []
+    rows = df.select(
+        "id", "balance", "payload", F.unix_micros("updated").alias("us")
+    ).collect()
+    for r in rows:
+        bal = str(Decimal(str(r["balance"]))) if r["balance"] is not None else None
+        out.append((r["id"], bal, r["payload"], r["us"]))
+    return out
+
+
+def linear_slope_per_hour(samples, key):
+    """Least-squares slope of samples[key] over the SECOND HALF of the
+    run, in units/hour — the flatness metric."""
+    pts = [(s["t"], s[key]) for s in samples if key in s]
+    pts = pts[len(pts) // 2 :]
+    if len(pts) < 3:
+        return None
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    den = sum((p[0] - mx) ** 2 for p in pts)
+    if den == 0:
+        return None
+    slope = sum((p[0] - mx) * (p[1] - my) for p in pts) / den
+    return slope * 3600.0
+
+
+def decile_means(samples, key):
+    vals = [s[key] for s in samples if key in s]
+    if len(vals) < 10:
+        return None, None
+    k = max(len(vals) // 10, 1)
+    return sum(vals[:k]) / k, sum(vals[-k:]) / k
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=62.0)
+    ap.add_argument("--out", default="SOAK_r7.json")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    rng = random.Random(args.seed)
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="soak_")
+    log = os.path.join(work, "wal.replay")
+    target = os.path.join(work, "soak_state")
+    ckpt = os.path.join(work, "ckpt")
+
+    t_boot = time.time()
+    live = LivePg()
+    live.sql(
+        "CREATE TABLE soak (id BIGINT PRIMARY KEY, balance NUMERIC(12,2), "
+        "payload TEXT, updated TIMESTAMPTZ)",
+        "CREATE TABLE soak_big (k BIGINT, v TEXT)",
+        "ALTER TABLE soak_big REPLICA IDENTITY FULL",
+        "CREATE TABLE soak_alter (id BIGINT PRIMARY KEY)",
+        "CREATE PUBLICATION pypgcdc_pub FOR TABLE soak, soak_big, soak_alter",
+    )
+
+    from pypgcdc_spark.api import PgCdcEngine
+    from pypgcdc_spark.session import get_spark
+
+    spark = get_spark("soak_r7", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = PgCdcEngine(spark)
+
+    tailer_loop = TailerLoop(live, "slot_soak", log, rng)
+    tailer_loop.start()
+    # A logical slot only delivers transactions committing AFTER its
+    # consistent point — traffic must not start until the slot exists
+    # (the production analog is bootstrap-from-exported-snapshot).
+    for _ in range(120):
+        if live.sql(
+            "SELECT 1 FROM pg_replication_slots WHERE slot_name = 'slot_soak'"
+        ):
+            break
+        time.sleep(0.5)
+    workload = Workload(live, random.Random(args.seed + 1))
+    workload.start()
+
+    # wait for the log to exist so the source has a path to tail
+    for _ in range(120):
+        if file_size(log) > 0:
+            break
+        time.sleep(0.5)
+
+    def start_query():
+        return engine.materialize(
+            engine.stream(log, max_tx_per_batch=200),
+            SOAK_SCHEMA,
+            target,
+            checkpoint=ckpt,
+            drain=False,
+        )
+
+    query = start_query()
+    mon = live.sql_conn()  # persistent monitoring connection
+
+    samples = []
+    faults = {"socket_kill": 0, "consumer_pause": 0}
+    fault_log: list = []
+    query_exceptions: list[str] = []
+    query_restarts = 0
+    last_batch_id = -1
+    batch_durations = []
+    deadline = time.time() + args.minutes * 60.0
+    t0 = time.time()
+    next_kill = t0 + rng.uniform(15, 35)
+    next_pause = t0 + rng.uniform(240, 420)
+    paused_until = None
+
+    while time.time() < deadline:
+        now = time.time()
+        # -- fault schedule -------------------------------------------
+        if now >= next_kill:
+            tailer_loop.kill_socket()
+            faults["socket_kill"] += 1
+            fault_log.append((now, "socket_kill"))
+            next_kill = now + rng.uniform(15, 45)
+        if paused_until is None and now >= next_pause:
+            try:
+                query.stop()
+                query.awaitTermination(30)
+            except Exception:
+                pass
+            paused_until = now + rng.uniform(20, 35)
+            faults["consumer_pause"] += 1
+        if paused_until is not None and now >= paused_until:
+            query = start_query()
+            query_restarts += 1
+            paused_until = None
+        # -- sampling --------------------------------------------------
+        sample = {"t": round(now - t0, 1)}
+        try:
+            exc = query.exception()
+            if exc is not None:
+                query_exceptions.append(str(exc)[:500])
+                query = start_query()
+                query_restarts += 1
+        except Exception as e:
+            query_exceptions.append(f"exception() probe failed: {e}"[:200])
+        try:
+            lp = query.lastProgress
+            if lp:
+                bid = lp["batchId"]
+                dur = lp.get("durationMs", {}).get("triggerExecution")
+                sample["batch_id"] = bid
+                if dur is not None and bid != last_batch_id:
+                    batch_durations.append((now - t0, dur))
+                    sample["batch_ms"] = dur
+                last_batch_id = bid
+        except Exception:
+            pass
+        sample["ckpt_bytes"] = dir_size(ckpt)
+        sample["ack_bytes"] = file_size(log + ".ack")
+        sample["registry_bytes"] = dir_size(log + ".registry.d")
+        sample["log_bytes"] = file_size(log)
+        sample["rss_mb"] = round(rss_mb(), 1)
+        try:
+            row = mon.simple_query(
+                "SELECT pg_current_wal_lsn()::text, confirmed_flush_lsn::text, "
+                "restart_lsn::text FROM pg_replication_slots WHERE slot_name = 'slot_soak'"
+            )[0]
+            sample["slot_lag_bytes"] = lsn_int(row[0]) - lsn_int(row[1])
+            sample["slot_retained_bytes"] = lsn_int(row[0]) - lsn_int(row[2])
+        except Exception:
+            try:
+                mon.close()
+            except Exception:
+                pass
+            mon = live.sql_conn()
+        samples.append(sample)
+        time.sleep(5.0)
+
+    # -- shutdown + final drain ---------------------------------------
+    workload.stop_event.set()
+    workload.join(timeout=30)
+    if paused_until is not None:
+        query = start_query()
+        query_restarts += 1
+    # resolve any still-pending prepared txs so the final state is settled
+    try:
+        pending = live.sql("SELECT gid FROM pg_prepared_xacts")
+        for (gid,) in pending:
+            live.sql(f"COMMIT PREPARED '{gid}'")
+            workload.counts["twophase_commit"] += 1
+    except Exception:
+        pass
+    tailer_loop.stop()
+    tailer_loop.join(timeout=120)
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(60)
+
+    # -- verification ---------------------------------------------------
+    # forensics: did the log capture everything the server committed?
+    from pypgcdc_spark.sources.replay import TxBoundaryScanner, scan_frames
+
+    wal_now = lsn_int(live.sql("SELECT pg_current_wal_lsn()::text")[0][0])
+    flush_now = live.confirmed_flush("slot_soak")
+    seed = TxBoundaryScanner()
+    log_max_close = 0
+    for fr in scan_frames(log, prefix_bytes=64):
+        if seed.feed(fr) is not None:
+            log_max_close = max(log_max_close, fr.lsn)
+    truth = server_rows(live)
+    got = spark_rows(spark.read.parquet(target))
+    replayed = spark_rows(
+        PgCdcEngine.typed_view(engine.snapshot(log), SOAK_SCHEMA)
+    )
+    h_truth, h_got, h_replay = (
+        state_hash(truth),
+        state_hash(got),
+        state_hash(replayed),
+    )
+    diffs = {}
+    if h_got != h_truth or h_replay != h_truth:
+        ts, gs, rs = set(truth), set(got), set(replayed)
+        diffs = {
+            "materialized_only": sorted(gs - ts)[:20],
+            "server_only_vs_materialized": sorted(ts - gs)[:20],
+            "replay_only": sorted(rs - ts)[:20],
+            "server_only_vs_replay": sorted(ts - rs)[:20],
+        }
+        # correlate: which workload tx touched the diverging ids, and
+        # which faults happened around it?
+        bad_ids = {r[0] for r in (ts - gs) | (gs - ts)}
+        hits = [
+            (i, round(t - t0, 1), kind, sorted(set(ids) & bad_ids))
+            for i, (t, kind, ids) in enumerate(workload.journal)
+            if set(ids) & bad_ids
+        ]
+        diffs["journal_hits"] = hits[-10:]
+        diffs["journal_len"] = len(workload.journal)
+        diffs["fault_times"] = [
+            (round(t - t0, 1), k) for t, k in fault_log
+        ]
+    n_batches = last_batch_id + 1 if last_batch_id >= 0 else 0
+
+    report = {
+        "minutes": args.minutes,
+        "seed": args.seed,
+        "boot_to_done_sec": round(time.time() - t_boot, 1),
+        "micro_batches": n_batches,
+        "tailer_sessions": tailer_loop.sessions,
+        "final_drain_frames": tailer_loop.final_drain_frames,
+        "lsn_forensics": {
+            "server_wal": wal_now,
+            "confirmed_flush": flush_now,
+            "log_max_close": log_max_close,
+            "flush_minus_log_max": flush_now - log_max_close,
+        },
+        "tailer_in_run_reconnects": tailer_loop.reconnects,
+        "torn_tails_injected": tailer_loop.torn_tails,
+        "faults": faults,
+        "query_restarts_from_checkpoint": query_restarts,
+        "workload_txs": workload.txs,
+        "workload_mix": workload.counts,
+        "workload_errors": workload.errors[:10],
+        "tailer_errors": tailer_loop.errors[:10],
+        "query_exceptions": query_exceptions[:10],
+        "server_rows": len(truth),
+        "state_rows": len(got),
+        "hash_server": h_truth,
+        "hash_materialized": h_got,
+        "hash_clean_replay": h_replay,
+        "match_materialized_vs_server": h_got == h_truth,
+        "match_replay_vs_server": h_replay == h_truth,
+        "diffs": diffs,
+        "flatness": {
+            k: {
+                "slope_per_hour_2nd_half": linear_slope_per_hour(samples, k),
+                "decile_means_first_last": decile_means(samples, k),
+            }
+            for k in (
+                "ckpt_bytes",
+                "ack_bytes",
+                "registry_bytes",
+                "rss_mb",
+                "slot_lag_bytes",
+                "batch_ms",
+            )
+        },
+        "batch_ms_p50_p95": _pcts([d for _, d in batch_durations]),
+        "samples_every_5s": samples[:: max(len(samples) // 120, 1)],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    print(
+        json.dumps(
+            {
+                k: report[k]
+                for k in (
+                    "micro_batches",
+                    "tailer_sessions",
+                    "torn_tails_injected",
+                    "faults",
+                    "query_restarts_from_checkpoint",
+                    "workload_txs",
+                    "server_rows",
+                    "match_materialized_vs_server",
+                    "match_replay_vs_server",
+                )
+            }
+        )
+    )
+    ok = report["match_materialized_vs_server"] and report["match_replay_vs_server"]
+    try:
+        live.stop()
+    except Exception:
+        pass
+    spark.stop()
+    return 0 if ok else 1
+
+
+def _pcts(vals):
+    if not vals:
+        return None
+    s = sorted(vals)
+    return {
+        "p50": s[len(s) // 2],
+        "p95": s[min(int(len(s) * 0.95), len(s) - 1)],
+        "n": len(s),
+    }
+
+
+if __name__ == "__main__":
+    sys.exit(main())
