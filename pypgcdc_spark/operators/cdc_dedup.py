@@ -70,14 +70,18 @@ class SignatureIndexMaintainer:
         self.path = f"{work_dir}/sig_state"
         self._has_state = False
 
-    def _read_state(self, buckets) -> DataFrame:
+    def _read_state(self, batch_buckets: DataFrame) -> DataFrame:
+        """State rows of the touched buckets only, via a broadcast join
+        with the batch's bucket set (runtime partition pruning — the
+        driver never collects bucket ids, same idiom as the IVM
+        maintainers)."""
         mh_cols = ", ".join(f"mh{s} LONG" for s in range(N_MINHASH))
         schema = f"doc_id LONG, lsn LONG, deleted BOOLEAN, {mh_cols}"
         if not self._has_state:
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.parquet(self.path)
-            .filter(F.col("bucket").isin(list(buckets)))
+            .join(F.broadcast(batch_buckets), "bucket")
             .drop("bucket")
         )
 
@@ -86,9 +90,9 @@ class SignatureIndexMaintainer:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
-        touched = [r[0] for r in batch_df.select(bucket.alias("b")).distinct().collect()]
-        if not touched:
+        if batch_df.isEmpty():
             return
+        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (
@@ -96,7 +100,7 @@ class SignatureIndexMaintainer:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        old = self._read_state(touched)
+        old = self._read_state(batch_buckets)
 
         # Out-of-order guard: a batch version older than the stored one
         # (including a tombstone's LSN) must not win.
@@ -310,12 +314,14 @@ class PostingsIndexMaintainer:
 
     _SCHEMA = "doc_id LONG, lsn LONG, deleted BOOLEAN, t STRING, f LONG, dl LONG"
 
-    def _read_state(self, buckets) -> DataFrame:
+    def _read_state(self, batch_buckets: DataFrame) -> DataFrame:
+        """Touched-bucket state via broadcast-join runtime pruning (no
+        driver collect of bucket ids — IVM-maintainer idiom)."""
         if not self._has_state:
             return self.spark.createDataFrame([], self._SCHEMA)
         return (
             self.spark.read.parquet(self.path)
-            .filter(F.col("bucket").isin(list(buckets)))
+            .join(F.broadcast(batch_buckets), "bucket")
             .drop("bucket")
         )
 
@@ -324,9 +330,9 @@ class PostingsIndexMaintainer:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
-        touched = [r[0] for r in batch_df.select(bucket.alias("b")).distinct().collect()]
-        if not touched:
+        if batch_df.isEmpty():
             return
+        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (
@@ -334,7 +340,7 @@ class PostingsIndexMaintainer:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        old = self._read_state(touched)
+        old = self._read_state(batch_buckets)
         prior = old.groupBy("doc_id").agg(F.max("lsn").alias("old_lsn"))
         fresh = (
             latest.join(prior, "doc_id", "left")
