@@ -814,6 +814,31 @@ class WireReplicationTailer:
         self.binary = binary
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
+        # Lagging-consumer telemetry (the classic CDC production
+        # incident is a slot retaining WAL because the consumer fell
+        # behind): `server_wal_end` tracks the newest WAL position the
+        # walsender has advertised (every XLogData / keepalive carries
+        # it), `flushed_lsn` the last position acked back.  Their gap is
+        # the WAL the slot is still holding for this consumer.
+        self.server_wal_end = 0
+        self.flushed_lsn = 0
+
+    def lag_bytes(self) -> int:
+        """WAL bytes between the server's advertised end and the last
+        acked flush — the slot's retention debt for this consumer.
+        Backpressure knobs: the Spark side bounds per-batch work with
+        ``maxTxPerBatch`` (more batches → more acks → tighter lag), and
+        the ack cadence is one sidecar read per arriving frame plus one
+        proactive status per idle tick."""
+        return max(self.server_wal_end - self.flushed_lsn, 0)
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "server_wal_end": self.server_wal_end,
+            "flushed_lsn": self.flushed_lsn,
+            "lag_bytes": self.lag_bytes(),
+            "reconnects": self.reconnects,
+        }
 
     def prepare(self) -> Optional[str]:
         """Connect and ensure the slot exists WITHOUT starting the
@@ -953,6 +978,7 @@ class WireReplicationTailer:
                     ack = json.load(f)
                 seed_pos = int(ack.get("pos", 0))
                 floor = int(ack.get("lsn", 0))
+                self.flushed_lsn = max(self.flushed_lsn, floor)
             seed = TxBoundaryScanner()
             last_end, unit_frames = seed_pos, 0
             # Prefix scan: boundary detection needs ≤38 payload bytes.
@@ -1019,6 +1045,8 @@ class WireReplicationTailer:
                             # activity would livelock any max_idle drain
                             # (keepalives arrive about once per tick).
                             idle = 0
+                            if msg.wal_end > self.server_wal_end:
+                                self.server_wal_end = msg.wal_end
                             ts = datetime.fromtimestamp(
                                 msg.send_time_us / 1e6, tz=timezone.utc
                             )
@@ -1044,8 +1072,13 @@ class WireReplicationTailer:
                                 appended[msg.wal_start] = unit_frames + 1
                                 unit_start = writer.pos
                                 unit_frames = 0
-                        elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:
-                            self.client.send_standby_status(flushed, flushed, flushed)
+                        elif isinstance(msg, PrimaryKeepalive):
+                            if msg.wal_end > self.server_wal_end:
+                                self.server_wal_end = msg.wal_end
+                            if msg.reply_requested:
+                                self.client.send_standby_status(
+                                    flushed, flushed, flushed
+                                )
                         if os.path.exists(ack_path):
                             try:
                                 with open(ack_path) as f:
@@ -1054,6 +1087,7 @@ class WireReplicationTailer:
                                 lsn = 0  # torn concurrent write; next poll wins
                             if lsn and lsn > flushed:
                                 flushed = lsn
+                                self.flushed_lsn = max(self.flushed_lsn, lsn)
                                 # Units committed at/below the flush are
                                 # never replayed by a resume — prune.
                                 appended = {

@@ -1019,3 +1019,58 @@ def test_live_binary_format_full_type_matrix(live, tmp_path):
         "DROP PUBLICATION pub_typed",
         "DROP TABLE typed",
     )
+
+
+def test_live_lagging_consumer_slot_retention(live, tmp_path):
+    """The classic CDC production incident: when the consumer lags, the
+    slot retains WAL.  Pins (a) the tailer's lag metric — server WAL end
+    vs acked flush — grows while acks are withheld, (b) an ack bounds it
+    again, and (c) pg_replication_slots shows the retention window
+    shrink (restart_lsn advances) after the ack reaches the server —
+    bounded recovery, not unbounded WAL growth."""
+    import json as _json
+
+    log = str(tmp_path / "wal_lag.replay")
+    t = live.tailer("slot_lag", log)
+    t.start()
+    # Phase 1: server writes, consumer NEVER acks.
+    live.sql(
+        "INSERT INTO accounts (id, balance, name) "
+        "SELECT g, 1.00, 'lag' || g FROM generate_series(3000000, 3002000) g"
+    )
+    _drain(t)
+    lag_unacked = t.lag_bytes()
+    assert lag_unacked > 50_000, f"lag metric must see retained WAL: {lag_unacked}"
+    assert t.stats()["flushed_lsn"] == 0
+
+    restart_before = live.sql(
+        "SELECT restart_lsn::text FROM pg_replication_slots "
+        "WHERE slot_name = 'slot_lag'"
+    )[0][0]
+
+    # Phase 2: the consumer catches up — ack everything logged.
+    frames = list(scan_frames(log))
+    with open(log + ".ack", "w") as f:
+        _json.dump({"pos": frames[-1].end_pos, "lsn": frames[-1].lsn}, f)
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (3009999, 1.00, 'tick')")
+    _drain(t)  # forwards the ack, receives the tick
+    t.stop()
+    lag_acked = t.lag_bytes()
+    assert lag_acked < lag_unacked / 4, (
+        f"ack must collapse the lag: {lag_unacked} -> {lag_acked}"
+    )
+    assert t.stats()["flushed_lsn"] >= frames[-1].lsn
+
+    # Server side: the slot's retention window must have moved forward.
+    # (restart_lsn advances lazily on server internals; confirmed_flush
+    # is the hard guarantee.)
+    assert live.confirmed_flush("slot_lag") >= frames[-1].lsn
+    restart_after = live.sql(
+        "SELECT restart_lsn::text FROM pg_replication_slots "
+        "WHERE slot_name = 'slot_lag'"
+    )[0][0]
+    assert restart_after >= restart_before  # never regresses
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_lag')",
+        "DELETE FROM accounts WHERE id >= 3000000",
+    )
