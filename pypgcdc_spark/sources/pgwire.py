@@ -795,6 +795,7 @@ class WireReplicationTailer:
         sslmode: str = "disable",
         ssl_context=None,
         timeout: float = 10.0,
+        negotiate: bool = True,
     ):
         self._conn_args = (host, port, user, database, password)
         self._conn_kwargs = {
@@ -812,6 +813,14 @@ class WireReplicationTailer:
         self.two_phase = two_phase
         self.messages = messages
         self.binary = binary
+        # Version-aware option negotiation (what the real logical-rep
+        # subscriber does via walrcv_server_version): clamp the request
+        # to what the connected server's pgoutput supports instead of
+        # letting START_REPLICATION fail.  `negotiate=False` sends the
+        # request verbatim (the server's protocol-true error surfaces).
+        self.negotiate = negotiate
+        self.negotiated: Optional[Dict[str, object]] = None
+        self.downgraded: List[str] = []
         self.snapshot_name: Optional[str] = None
         self.reconnects = 0
         # Lagging-consumer telemetry (the classic CDC production
@@ -856,7 +865,8 @@ class WireReplicationTailer:
         )
         if not exists:
             info = self.client.create_replication_slot(
-                self.slot_name, two_phase=self.two_phase
+                self.slot_name,
+                two_phase=bool(self._effective_options()["two_phase"]),
             )
             self.snapshot_name = info["snapshot_name"]
             return self.snapshot_name
@@ -873,13 +883,7 @@ class WireReplicationTailer:
         # stream — the server will NOT resend, so the tail must be
         # adopted, not truncated.
         self._fresh_stream = True
-        kw = dict(
-            proto_version=self.proto_version,
-            streaming=self.streaming,
-            two_phase=self.two_phase,
-            messages=self.messages,
-            binary=self.binary,
-        )
+        kw = self._effective_options()
         try:
             self.client.start_replication(
                 self.slot_name, self.publication_name, lsn, **kw
@@ -890,12 +894,71 @@ class WireReplicationTailer:
             # Slot missing: create it (exported snapshot = consistent
             # initial-sync point, reference S2/S3) and retry.
             info = self.client.create_replication_slot(
-                self.slot_name, two_phase=self.two_phase
+                self.slot_name, two_phase=bool(kw["two_phase"])
             )
             self.snapshot_name = info["snapshot_name"]
             self.client.start_replication(
                 self.slot_name, self.publication_name, lsn, **kw
             )
+
+    def server_major_version(self) -> int:
+        """Major version from the ParameterStatus handshake (0 when the
+        server did not advertise one)."""
+        m = re.match(r"(\d+)", self.client.parameters.get("server_version", ""))
+        return int(m.group(1)) if m else 0
+
+    def _effective_options(self) -> Dict[str, object]:
+        """Requested pgoutput options clamped to the connected server's
+        capabilities — the support matrix pgoutput has shipped:
+
+        ========  =========  ======================================
+        server    max proto  options accepted
+        ========  =========  ======================================
+        10–13     1          proto_version, publication_names
+        14        2          + binary, messages, streaming
+        15        3          + two_phase
+        16+       4          (+ parallel streaming, not requested)
+        ========  =========  ======================================
+
+        Features set the protocol FLOOR (two_phase→3, streaming→2), the
+        server caps it.  Dropped requests land in ``self.downgraded``;
+        the final request in ``self.negotiated``."""
+        kw: Dict[str, object] = dict(
+            proto_version=self.proto_version,
+            streaming=self.streaming,
+            two_phase=self.two_phase,
+            messages=self.messages,
+            binary=self.binary,
+        )
+        self.downgraded = []
+        major = self.server_major_version()
+        if not self.negotiate or major == 0:
+            self.negotiated = kw
+            return kw
+
+        def drop(opt: str) -> None:
+            if kw[opt]:
+                kw[opt] = False
+                self.downgraded.append(opt)
+
+        if major < 14:
+            drop("streaming")
+            drop("messages")
+            drop("binary")
+        if major < 15:
+            drop("two_phase")
+        max_proto = 1 if major < 14 else 2 if major == 14 else 3 if major == 15 else 4
+        want = int(kw["proto_version"])
+        if kw["two_phase"]:
+            want = max(want, 3)
+        if kw["streaming"]:
+            want = max(want, 2)
+        eff = min(want, max_proto)
+        if eff < int(kw["proto_version"]):
+            self.downgraded.append(f"proto_version {kw['proto_version']}->{eff}")
+        kw["proto_version"] = eff
+        self.negotiated = kw
+        return kw
 
     def run(
         self,

@@ -72,6 +72,7 @@ class FakeWalsender(threading.Thread):
         tls_ctx=None,
         cert_der=None,
         copy_drop_after=None,
+        server_version="16.0",
     ):
         super().__init__(daemon=True)
         # TLS: an ssl.SSLContext makes the server answer SSLRequest with
@@ -89,6 +90,11 @@ class FakeWalsender(threading.Thread):
             self._cb_hash = tls_server_end_point(cert_der)
         self.copy_drop_after = copy_drop_after
         self._copy_attempts = 0
+        # Emulated server version: advertised via ParameterStatus AND
+        # enforced on START_REPLICATION options with protocol-true errors
+        # (pgoutput's actual capability history: proto 1 only before 14;
+        # binary/messages/streaming at 14/proto 2; two_phase at 15/proto 3).
+        self.server_version = server_version
         self.sasl_mechs = []  # mechanism each client picked
         self.auth = auth
         self.frames = list(frames)  # [(lsn, payload)]
@@ -291,9 +297,45 @@ class FakeWalsender(threading.Thread):
         raise ProtocolError("auth failed (sent to client)")
 
     def _ready(self, conn):
-        write_message(conn, b"S", b"server_version\x0016.0\x00")
+        write_message(
+            conn, b"S", b"server_version\x00" + self.server_version.encode() + b"\x00"
+        )
         write_message(conn, b"K", struct.pack(">ii", 1234, 5678))
         write_message(conn, b"Z", b"I")
+
+    def _start_options_error(self, opts: str):
+        """Protocol-true validation of START_REPLICATION pgoutput options
+        for the emulated server version (messages per pgoutput.c)."""
+        import re as _re
+
+        major = int(self.server_version.split(".")[0])
+        pairs = dict(_re.findall(r"(\w+) '([^']*)'", opts))
+        max_proto = 1 if major < 14 else 2 if major == 14 else 3 if major == 15 else 4
+        allowed = {"proto_version", "publication_names"}
+        if major >= 14:
+            allowed |= {"binary", "messages", "streaming"}
+        if major >= 15:
+            allowed |= {"two_phase"}
+        for k in pairs:
+            if k not in allowed:
+                return f"unrecognized pgoutput option: {k}"
+        proto = int(pairs.get("proto_version", "1"))
+        if proto > max_proto:
+            return (
+                f"client sent proto_version={proto} but we only support "
+                f"protocol {max_proto} or lower"
+            )
+        if pairs.get("two_phase") in ("on", "true", "1") and proto < 3:
+            return (
+                f"requested proto_version={proto} does not support "
+                "two-phase commit, need 3 or higher"
+            )
+        if pairs.get("streaming") in ("on", "true", "1") and proto < 2:
+            return (
+                f"requested proto_version={proto} does not support "
+                "streaming of large transactions, need 2 or higher"
+            )
+        return None
 
     def _send_rows(self, conn, cols, rows):
         body = struct.pack(">h", len(cols))
@@ -400,8 +442,18 @@ class FakeWalsender(threading.Thread):
                     continue
                 hi, lo = sql.split()[4].split("/")
                 start_lsn = (int(hi, 16) << 32) | int(lo, 16)
+                optstr = sql[sql.index("(") :] if "(" in sql else ""
+                err = self._start_options_error(optstr)
+                if err is not None:
+                    write_message(
+                        conn,
+                        b"E",
+                        b"SERROR\x00C22023\x00M" + err.encode() + b"\x00\x00",
+                    )
+                    write_message(conn, b"Z", b"I")
+                    continue
                 self.start_requests.append(start_lsn)
-                self.start_options.append(sql[sql.index("(") :] if "(" in sql else "")
+                self.start_options.append(optstr)
                 write_message(conn, b"W", struct.pack(">bh", 0, 0))
                 return self._stream(conn, start_lsn)
             else:
@@ -1553,4 +1605,150 @@ def test_tailer_memory_flat_through_a_huge_open_transaction(tmp_path):
             + [pgc.encode_begin(99999999, __import__("datetime").datetime(
                 2024, 1, 1, tzinfo=__import__("datetime").timezone.utc), 777)]
         )
+    )
+
+
+# -- PG version compatibility matrix (round-7 task 2) -----------------------
+#
+# The reference's own matrix is PG 12.9/13.6 (docker-compose.yaml:3-26);
+# the live module here proves 15.18.  These tests close the gap for the
+# versions no binaries exist for: the fake walsender emulates each
+# server's pgoutput capability set with protocol-true errors, and pins
+# BOTH halves of the story — clear failure when negotiation is off, and
+# graceful downgrade (the real subscriber's walrcv_server_version clamp)
+# when it is on.
+
+
+def _version_tailer(tmp_path, srv, negotiate, log_name):
+    return WireReplicationTailer(
+        "127.0.0.1",
+        srv.port,
+        USER,
+        DB,
+        "pub1",
+        "slot1",
+        str(tmp_path / log_name),
+        proto_version=3,
+        streaming=True,
+        two_phase=True,
+        messages=True,
+        binary=True,
+        negotiate=negotiate,
+    )
+
+
+def test_pre14_server_rejects_v2_options_clearly(tmp_path):
+    """negotiate=False against an emulated PG 13: the server's
+    protocol-true rejection must surface unmasked (no retry loop, no
+    slot side effects) — the 'clear failure' half of the story."""
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True, server_version="13.6")
+    srv.start()
+    t = _version_tailer(tmp_path, srv, negotiate=False, log_name="pg13_fail.log")
+    with pytest.raises(ProtocolError, match="pgoutput option|proto_version"):
+        t.start()
+    t.stop()
+
+
+def test_negotiation_downgrades_to_v1_for_pg13(tmp_path):
+    """negotiate=True (default) against emulated PG 13: everything v2+
+    is dropped, proto_version clamps to 1, and the stream WORKS — the
+    graceful-downgrade half.  The downgrades are observable."""
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True, server_version="13.6")
+    srv.start()
+    log = str(tmp_path / "pg13_ok.log")
+    t = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log,
+        proto_version=3, streaming=True, two_phase=True, messages=True,
+        binary=True,
+    )
+    t.start()
+    n = t.run()
+    t.stop()
+    srv.join(10)
+    assert srv.error is None
+    assert n > 0
+    opts = srv.start_options[-1]
+    assert "proto_version '1'" in opts
+    for feat in ("streaming", "two_phase", "messages", "binary"):
+        assert feat not in opts
+    assert set(t.downgraded) >= {"streaming", "two_phase", "messages", "binary"}
+    assert t.server_major_version() == 13
+    # The downgraded stream still decodes end-to-end.
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    xform = MessageTransformer(registry=SchemaRegistry())
+    events = []
+    for fr in scan_frames(log):
+        events.extend(xform.feed(fr.lsn, fr.payload))
+    assert [e.op for e in events] == ["I", "U", "D", "I"]
+
+
+def test_negotiation_pg14_keeps_v2_drops_two_phase(tmp_path):
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True, server_version="14.11")
+    srv.start()
+    log = str(tmp_path / "pg14.log")
+    t = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log,
+        proto_version=3, streaming=True, two_phase=True, messages=True,
+        binary=True,
+    )
+    t.start()
+    assert t.run() > 0
+    t.stop()
+    srv.join(10)
+    opts = srv.start_options[-1]
+    assert "proto_version '2'" in opts
+    assert "streaming 'on'" in opts
+    assert "messages 'on'" in opts
+    assert "binary 'true'" in opts or "binary 'on'" in opts
+    assert "two_phase" not in opts
+    assert t.downgraded == ["two_phase", "proto_version 3->2"]
+
+
+def test_negotiation_pg15_two_phase_raises_proto_floor(tmp_path):
+    """Requesting two_phase with proto_version=2 on PG 15 must clamp UP
+    to proto 3 (the server rejects 2 + two_phase: 'need 3 or higher') —
+    the exact footgun the round-7 soak hit on the live server."""
+    frames, _ = _workload_frames(tmp_path)
+    srv = FakeWalsender(auth="trust", frames=frames, slot_exists=True, server_version="15.18")
+    srv.start()
+    log = str(tmp_path / "pg15.log")
+    t = WireReplicationTailer(
+        "127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log,
+        proto_version=2, streaming=True, two_phase=True,
+    )
+    t.start()
+    assert t.run() > 0
+    t.stop()
+    srv.join(10)
+    opts = srv.start_options[-1]
+    assert "proto_version '3'" in opts
+    assert "two_phase 'on'" in opts
+    assert t.downgraded == []
+
+
+def test_fake_server_enforces_protocol_true_errors(tmp_path):
+    """The emulation itself: each rejected option produces pgoutput's
+    actual error shape (verified wording against live PG 15, which
+    rejected proto 2 + two_phase with 'need 3 or higher')."""
+    srv = FakeWalsender(auth="trust", frames=[], slot_exists=True, server_version="13.6")
+    assert "unrecognized pgoutput option: two_phase" == srv._start_options_error(
+        "(proto_version '1', publication_names 'p', two_phase 'on')"
+    )
+    assert "we only support protocol 1 or lower" in srv._start_options_error(
+        "(proto_version '2', publication_names 'p')"
+    )
+    srv15 = FakeWalsender(auth="trust", frames=[], slot_exists=True, server_version="15.18")
+    assert "need 3 or higher" in srv15._start_options_error(
+        "(proto_version '2', publication_names 'p', two_phase 'on')"
+    )
+    assert srv15._start_options_error(
+        "(proto_version '3', publication_names 'p', two_phase 'on')"
+    ) is None
+    assert "need 2 or higher" in srv15._start_options_error(
+        "(proto_version '1', publication_names 'p', streaming 'on')"
     )
