@@ -41,7 +41,7 @@ payload decode happens executor-side, parallel across transactions
 (``numPartitions`` splits each batch at tx boundaries — already more
 parallel than the reference's single thread).  A production deployment
 points the same reader at a live replication socket (one tailer writes the
-log; see ``postgres_live.py``), making the log both the replay buffer and
+log; see ``pgwire.WireReplicationTailer``), making the log both the replay buffer and
 the at-least-once boundary.
 """
 
