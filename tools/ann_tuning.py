@@ -1,0 +1,307 @@
+"""ANN recall/cost tuning curves (round-7 task 7).
+
+The IVF paths ship hash-gated at fixed ``nlist``/``nprobe``; a 100 TB
+deployment needs the tuning story: how recall@k trades against probe
+cost as the two knobs move, measured at a stress scale.
+
+Method:
+
+* corpus = sf0.1 embeddings (2 000 × 64) replicated ``--repl`` times
+  with deterministic per-(vector, replica, dim) perturbation — distinct,
+  reproducible vectors (identical replicas would collapse the metric:
+  every copy ties with its original);
+* ground truth = exact cosine top-k per query (numpy, the same math the
+  ``ann_topk_pandas`` kernel runs executor-side);
+* for each nlist: train MLlib KMeans centroids once (index build,
+  reported separately — it amortizes over every query);
+* for each nprobe ≤ nlist: the exact Spark dataflow `ann_ivf_kmeans`
+  ships (assign → probe nearest lists → exact re-rank) parameterized,
+  measuring query wall, recall@k vs truth, and scanned-candidate
+  fraction (the probe cost that rules at 100 TB — wall clock at toy
+  scale is dominated by fixed job overhead);
+* PQ sweep: subquantizer count m ∈ {8, 16, 32} (compression 64→m bytes)
+  with ADC scoring, recall@k of the top-k after exact re-rank of the
+  PQ top-4k shortlist.
+
+Output: ``ANN_TUNING_r7.json`` with the full grid; SCALE.md cites the
+chosen defaults.
+
+Usage: python tools/ann_tuning.py [--repl 50] [--queries 50] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build_corpus(spark, repl: int):
+    """Replicated + perturbed corpus as a cached DataFrame."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n = emb.count()
+    parts = []
+    for i in range(repl):
+        if i == 0:
+            parts.append(emb.select("vec_id", "embedding"))
+            continue
+        # Deterministic ±2% jitter per (vec_id, replica, dim): xxhash64
+        # of the triple, mapped to [-0.02, 0.02].
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(4001)
+                        )
+                        / 100000.0
+                        - 0.02
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(16, "vec_id").localCheckpoint(eager=True)
+
+
+def exact_truth(corpus_np, ids, q_ids, k):
+    """Exact cosine top-k (excluding self) for each query id."""
+    norms = np.linalg.norm(corpus_np, axis=1)
+    unit = corpus_np / norms[:, None]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    truth = {}
+    for q in q_ids:
+        qi = idx_of[q]
+        sims = unit @ unit[qi]
+        sims[qi] = -np.inf
+        top = np.argpartition(-sims, k)[:k]
+        top = top[np.argsort(-sims[top], kind="stable")]
+        truth[q] = [int(ids[t]) for t in top]
+    return truth
+
+
+def ivf_query(spark, corpus, cent_df, n_probe, q_ids, k):
+    """The shipped IVF dataflow, parameterized: assign -> probe -> exact
+    re-rank.  Returns {query_id: [cand ids]} and the candidate count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.operators.similarity import _cosine
+
+    scored_vc = corpus.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "cent_id",
+        _cosine(F.col("embedding"), F.col("ce")).alias("cos"),
+    )
+    assign = scored_vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias("cent_id")
+    )
+    q_set = list(map(int, q_ids))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probes = (
+        scored_vc.filter(F.col("vec_id").isin(q_set))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    n_cand = cand.count()
+    embs = corpus.select("vec_id", "embedding")
+    q_emb = embs.filter(F.col("vec_id").isin(q_set)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    scored = (
+        cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("eq"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    rows = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r["cand_id"])
+    return got, n_cand
+
+
+def pq_recall(corpus_np, ids, q_ids, k, m, shortlist_mult=4):
+    """PQ-ADC recall: split dims into m subspaces, 256-way k-means-lite
+    codebooks (seeded sample medoids), ADC scores, exact re-rank of the
+    top shortlist."""
+    n, dim = corpus_np.shape
+    sub = dim // m
+    rng = np.random.RandomState(7)
+    codebooks = []
+    codes = np.empty((n, m), dtype=np.uint8)
+    def _assign(block, cb):
+        # squared distances via |x|^2 - 2 x.c + |c|^2 (matmul form: no
+        # n x 256 x sub tensor at 100k-vector scale)
+        d = (
+            (block**2).sum(1)[:, None]
+            - 2.0 * block @ cb.T
+            + (cb**2).sum(1)[None, :]
+        )
+        return d.argmin(1)
+
+    for s in range(m):
+        block = corpus_np[:, s * sub : (s + 1) * sub]
+        seed_idx = rng.choice(n, size=256, replace=False)
+        cb = block[seed_idx].copy()
+        # two Lloyd refinements keep it cheap and deterministic
+        for _ in range(2):
+            a = _assign(block, cb)
+            for c in range(256):
+                mask = a == c
+                if mask.any():
+                    cb[c] = block[mask].mean(0)
+        codes[:, s] = _assign(block, cb)
+        codebooks.append(cb)
+    norms = np.linalg.norm(corpus_np, axis=1)
+    unit = corpus_np / norms[:, None]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    truth = exact_truth(corpus_np, ids, q_ids, k)
+    hit = total = 0
+    for q in q_ids:
+        qi = idx_of[q]
+        qv = corpus_np[qi]
+        # ADC: per-subspace dot-product lookup tables
+        score = np.zeros(n)
+        for s in range(m):
+            lut = codebooks[s] @ qv[s * sub : (s + 1) * sub]
+            score += lut[codes[:, s]]
+        score /= norms  # cosine up to the query's own norm (constant)
+        score[qi] = -np.inf
+        short = np.argpartition(-score, k * shortlist_mult)[: k * shortlist_mult]
+        sims = unit[short] @ unit[qi]
+        top = short[np.argsort(-sims, kind="stable")][:k]
+        got = [int(ids[t]) for t in top]
+        hit += len(set(got) & set(truth[q]))
+        total += k
+    return hit / total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repl", type=int, default=50)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default="ANN_TUNING_r7.json")
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.session import get_spark
+
+    spark = get_spark("ann_tuning", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = build_corpus(spark, args.repl)
+    n_total = corpus.count()
+    pdf = corpus.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    corpus_np = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q_ids = [int(v) for v in ids[: args.queries]]
+    truth = exact_truth(corpus_np, ids, q_ids, args.k)
+
+    feats = corpus.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    ).localCheckpoint(eager=True)
+
+    grid = []
+    for nlist in (16, 32, 64, 128, 256):
+        t0 = time.perf_counter()
+        model = KMeans(k=nlist, seed=42, featuresCol="features").fit(feats)
+        build_sec = round(time.perf_counter() - t0, 2)
+        cent = spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+            "cent_id INT, ce ARRAY<DOUBLE>",
+        )
+        for nprobe in (1, 2, 4, 8, 16, 32):
+            if nprobe > nlist:
+                continue
+            t1 = time.perf_counter()
+            got, n_cand = ivf_query(spark, corpus, cent, nprobe, q_ids, args.k)
+            wall = round(time.perf_counter() - t1, 2)
+            hit = sum(
+                len(set(got.get(q, [])) & set(truth[q])) for q in q_ids
+            )
+            grid.append(
+                {
+                    "nlist": nlist,
+                    "nprobe": nprobe,
+                    "recall_at_k": round(hit / (len(q_ids) * args.k), 4),
+                    "scanned_fraction": round(n_cand / (len(q_ids) * n_total), 4),
+                    "query_wall_sec": wall,
+                    "index_build_sec": build_sec,
+                }
+            )
+            print(json.dumps(grid[-1]))
+
+    pq = []
+    for m in (8, 16, 32):
+        t0 = time.perf_counter()
+        r = pq_recall(corpus_np, ids, q_ids, args.k, m)
+        pq.append(
+            {
+                "m_subquantizers": m,
+                "bytes_per_vector": m,
+                "compression_x": round(64 * 4 / m, 1),
+                "recall_at_k_after_rerank": round(r, 4),
+                "wall_sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+        print(json.dumps(pq[-1]))
+
+    # Default pick: cheapest (nlist, nprobe) reaching >= 0.95 recall by
+    # scanned fraction, tie-broken by recall.
+    ok = [g for g in grid if g["recall_at_k"] >= 0.95]
+    pick = min(ok, key=lambda g: (g["scanned_fraction"], -g["recall_at_k"])) if ok else None
+    report = {
+        "corpus_vectors": int(n_total),
+        "replication": args.repl,
+        "queries": len(q_ids),
+        "k": args.k,
+        "ivf_grid": grid,
+        "pq_grid": pq,
+        "default_pick": pick,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("default:", json.dumps(pick))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
