@@ -266,7 +266,7 @@ class Workload(threading.Thread):
             self._sql(
                 "BEGIN",
                 "INSERT INTO soak_big SELECT g, repeat('x', 120) || g FROM "
-                f"generate_series({lo}, {lo + 1500}) g",
+                f"generate_series({lo}, {lo + 800}) g",
                 f"DELETE FROM soak_big WHERE k >= {lo}",
                 "COMMIT",
             )
@@ -486,6 +486,7 @@ def main() -> int:
             query = start_query()
             query_restarts += 1
             paused_until = None
+            next_pause = now + rng.uniform(240, 420)
         # -- sampling --------------------------------------------------
         sample = {"t": round(now - t0, 1)}
         try:
@@ -544,7 +545,17 @@ def main() -> int:
     except Exception:
         pass
     tailer_loop.stop()
-    tailer_loop.join(timeout=120)
+    # The final drain resends everything after confirmed_flush — wait
+    # for it COMPLETELY, then for the log to quiesce, before draining
+    # Spark; otherwise verification races the still-growing log.
+    tailer_loop.join(timeout=1800)
+    stable = file_size(log)
+    for _ in range(30):
+        time.sleep(2)
+        cur = file_size(log)
+        if cur == stable:
+            break
+        stable = cur
     query.processAllAvailable()
     query.stop()
     query.awaitTermination(60)
