@@ -78,7 +78,17 @@ class TxRangePartition(InputPartition):
 
 
 def _read_range(part: TxRangePartition) -> Iterator[Tuple]:
-    registry = SchemaRegistry.loads(part.registry_json)
+    # `registry_json` is either inline JSON (legacy / empty-registry) or
+    # a `file:` reference to the persisted revision snapshot.  Shipping a
+    # reference keeps partition payloads O(1): under heavy DDL the full
+    # registry JSON grows with Σ(version × width) and serializing it
+    # into every partition of every micro-batch made batch latency climb
+    # with schema history (diagnosed by the round-7 soak's ALTER storm).
+    if part.registry_json.startswith("file:"):
+        with open(part.registry_json[5:]) as f:
+            registry = SchemaRegistry.loads(f.read())
+    else:
+        registry = SchemaRegistry.loads(part.registry_json)
     registry.database = part.database
     xform = MessageTransformer(registry=registry, emit_messages=part.emit_messages)
     for fr in replay.scan_frames(part.path, part.start_pos, part.end_pos):
@@ -289,14 +299,23 @@ class PgCdcStreamReader(DataSourceStreamReader):
         os.replace(tmp, final)  # atomic: readers never see a torn snapshot
         self._persisted_rev = rev
 
-    def _registry_json_at(self, rev: int) -> str:
+    def _registry_ref_at(self, rev: int) -> str:
+        """O(1) registry reference for partition payloads: a ``file:``
+        pointer to the persisted revision snapshot.  Inline JSON only
+        for the empty registry (rev 0) — shipping the full JSON per
+        partition per batch scales with schema history (the round-7
+        soak's ALTER storm drove batch latency up with it)."""
         if rev <= 0:
             return SchemaRegistry(self.database).dumps()
-        if rev == self._registry.revision:
-            return self._registry.dumps()
         p = os.path.join(self._registry_dir(), f"reg-{rev:08d}.json")
-        with open(p) as f:
-            return f.read()
+        if not os.path.exists(p):
+            # Defensive: revision never persisted (shouldn't happen —
+            # _offset() persists before naming it); fall back to inline.
+            if rev == self._registry.revision:
+                return self._registry.dumps()
+            with open(p) as f:  # raise the natural FileNotFoundError
+                return f.read()
+        return "file:" + p
 
     def _offset(self, pos: int) -> dict:
         self._persist_registry()
@@ -335,7 +354,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # anything at or below it.
         self._offset_floor = max(self._offset_floor, int(start["pos"]))
         ref = self._offset_registry_ref(end) or self._offset_registry_ref(start)
-        registry_json = ref if isinstance(ref, str) else self._registry_json_at(ref)
+        registry_json = ref if isinstance(ref, str) else self._registry_ref_at(ref)
         return _plan_partitions(
             self.path,
             int(start["pos"]),

@@ -513,3 +513,43 @@ def test_streaming_query_writes_ack_sidecar(spark, tmp_path):
     assert os.path.exists(ack_path), "streaming engine never acked a batch"
     ack = json.load(open(ack_path))
     assert ack["pos"] > 0 and ack["lsn"] > 0
+
+
+def test_partition_payload_o1_under_schema_churn(tmp_path):
+    """Partition payloads must reference the persisted registry snapshot
+    (``file:`` pointer), not embed its JSON: under heavy DDL the full
+    registry grows with schema history, and serializing it into every
+    partition of every micro-batch made batch latency climb over a
+    1-hour soak (ALTER storm).  Decode through the reference must still
+    type rows by the version in force."""
+    log = str(tmp_path / "churny.log")
+    w = ReplayLogWriter(log)
+    # 40 schema versions of one relation (widening), one insert per rev.
+    for k in range(40):
+        cols = [(True, "id", 20, -1)] + [
+            (False, f"c{j}", 23, -1) for j in range(k + 1)
+        ]
+        w.append(10 + k * 10, pg.encode_relation(900, "public", "churny", cols))
+        w.append(
+            12 + k * 10,
+            pg.encode_begin(15 + k * 10, _TS, 500 + k),
+        )
+        w.append(
+            13 + k * 10,
+            pg.encode_insert(900, [str(k)] + [str(j) for j in range(k + 1)]),
+        )
+        w.append(15 + k * 10, pg.encode_commit(15 + k * 10, 15 + k * 10, _TS))
+    w.close()
+
+    r = PgCdcStreamReader({"path": log})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    parts = r.partitions(o0, o1)
+    assert parts, "expected partitions"
+    for p in parts:
+        assert p.registry_json.startswith("file:"), p.registry_json[:60]
+        assert len(p.registry_json) < 512  # O(1) reference, not the JSON
+    rows = []
+    for p in parts:
+        rows.extend(r.read(p))
+    assert len(rows) == 40  # every insert decodes through the snapshot
