@@ -346,14 +346,193 @@ def ann_topk_pandas(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERI
     )
 
 
-def ann_ivf_kmeans(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
-    """IVF-flat with MLlib-KMeans-trained centroids — the production
-    variant of ``ann_ivf_flat`` (which seed-picks centroids so its DuckDB
-    oracle can derive the identical index).  Same query shape: assign →
-    probe nearest lists → exact re-rank; trained centroids tighten the
-    lists so recall at equal nprobe improves.  Not oracle-registered
-    (KMeans centroids are JVM-iteration artifacts); recall vs the exact
-    brute force is pinned in tests."""
+IVF_ITERS = 2  # Lloyd iterations for the trained-IVF index (oracle-unrolled)
+
+
+def _ivf_trained_centroids(spark, emb):
+    """Train the IVF coarse quantizer: fixed-point Lloyd's k-means
+    (k=N_CENTROIDS, IVF_ITERS iterations, seeds = the k lowest vec_ids) —
+    the exact kernel of ``operators/clustering.py`` so the DuckDB oracle
+    can replay the training bit-for-bit.  Returns the scaled-vector frame
+    and the trained centroid literals (bounded k×DIM metadata)."""
+    from pypgcdc_spark.operators.clustering import _assign, _scaled, _update
+
+    vectors = emb.select(
+        "vec_id", _scaled(F.col("embedding")).alias("v"), "label"
+    ).localCheckpoint(eager=True)
+    seeds = vectors.orderBy("vec_id").limit(N_CENTROIDS).select("vec_id", "v").collect()
+    cents = [
+        (cid, list(r.v)) for cid, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
+    ]
+    for _ in range(IVF_ITERS):
+        cents = _update(_assign(vectors, cents))
+    return vectors, cents
+
+
+def _ivf_kmeans_ctes():
+    """Unrolled-SQL twin of ``_ivf_trained_centroids`` + final assignment
+    (``ka2``) — the clustering.py oracle discipline at k=N_CENTROIDS."""
+    from pypgcdc_spark.operators.clustering import SCALE, _sql_assign, _sql_update
+
+    return f"""
+    -- Trained IVF index: {IVF_ITERS} unrolled fixed-point Lloyd
+    -- iterations (k={N_CENTROIDS} lists, 1e-4 quantized, exact integer
+    -- distances, ties -> smallest cid), seeds = the {N_CENTROIDS} lowest
+    -- vec_ids.
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS v
+      FROM embeddings),
+    cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM vecs ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    {_sql_assign('vecs', 'cent0', 'ka0')},
+    {_sql_update('ka0', 'cent1')},
+    {_sql_assign('vecs', 'cent1', 'ka1')},
+    {_sql_update('ka1', 'cent2')},
+    {_sql_assign('vecs', 'cent2', 'ka2')}"""
+
+
+def _ivf_kmeans_oracle():
+    from pypgcdc_spark.operators.clustering import _SQL_DIST
+
+    return f"""
+    {_ivf_kmeans_ctes()},
+    -- Queries probe their {N_PROBE} nearest trained lists (exact integer
+    -- centroid distance, ties -> smallest cid), candidates re-rank on
+    -- exact full-precision cosine; in_exact_topk marks overlap with the
+    -- brute-force top-{TOP_K} so IVF recall rides in the hashed output.
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM vecs t CROSS JOIN cent2 c WHERE t.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN ka2 a USING (cid)
+      WHERE p.query_id <> a.vec_id),
+    ex AS (
+      SELECT query_id, cand_id, q.embedding[i]::DOUBLE AS x, c.embedding[i]::DOUBLE AS y
+      FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                JOIN embeddings c ON cand.cand_id = c.vec_id,
+           unnest(generate_series(1, {_DIM})) t(i)),
+    cos AS (SELECT query_id, cand_id,
+                   ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+            FROM ex GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM cos),
+    exq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings
+            WHERE vec_id < {N_QUERIES}),
+    exc AS (SELECT vec_id AS cand_id, embedding AS ec FROM embeddings),
+    expand AS (SELECT query_id, cand_id, eq[i]::DOUBLE AS x, ec[i]::DOUBLE AS y
+               FROM exq, exc, unnest(generate_series(1, {_DIM})) t(i)
+               WHERE query_id <> cand_id),
+    ecos AS (SELECT query_id, cand_id,
+                    ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 4) AS cosine
+             FROM expand GROUP BY 1, 2),
+    etop AS (SELECT query_id, cand_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY cosine DESC, cand_id ASC)
+                              AS rank
+                   FROM ecos)
+             WHERE rank <= {TOP_K})
+    SELECT r.query_id, r.cand_id, r.cosine, r.rank,
+           (e.cand_id IS NOT NULL) AS in_exact_topk
+    FROM ranked r LEFT JOIN etop e USING (query_id, cand_id)
+    WHERE r.rank <= {TOP_K}
+    """
+
+
+@query("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans(spark, sf_dir):
+    """The production IVF shape: a *trained* coarse quantizer (Lloyd's
+    k-means, the exact fixed-point kernel of ``operators/clustering.py``)
+    instead of ``ann_ivf_flat``'s seed-picked centroids — trained lists
+    are tighter, so recall at equal nprobe improves (`ANN_TUNING_r8.json`
+    curves the nlist×nprobe trade-off at 100k vectors; SCALE.md's
+    production defaults — nlist≈√N, nprobe from the curve — describe this
+    operator).  ``in_exact_topk`` joins the full-precision brute-force
+    top-k back in so IVF recall is part of the hashed gate output (the
+    ``ann_scalar_quantized`` pattern).
+
+    Determinism: training is scaled-integer exact (1e-4 fixed point,
+    integer distance sums, argmin ties → smallest cid, fixed 2
+    iterations), so the DuckDB oracle replays the identical index — a
+    trained-ANN index inside the correctness gate.
+
+    Scale shape: centroids are k×DIM ints of driver metadata; assignment
+    is the map-side Arrow argmin kernel (no vector shuffles); per
+    iteration only k×DIM partial sums shuffle; the probe is a broadcast
+    equi-join on list id, cost ∝ nprobe/nlist of the corpus."""
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    from pypgcdc_spark.operators.clustering import _assign
+
+    vectors, cents = _ivf_trained_centroids(spark, emb)
+    assign = _assign(vectors, cents).select("vec_id", "cid")
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid INT, cvec ARRAY<BIGINT>"
+    )
+    # Probe ranking: exact integer d2 to every trained centroid — only
+    # the N_QUERIES query vectors fan out ×nlist.
+    d2 = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    probes = (
+        vectors.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    embs = emb.select("vec_id", "embedding")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    scored = (
+        cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("eq"), F.col("embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    qtop = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    etop = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(True).alias("_hit")
+    )
+    return qtop.join(etop, ["query_id", "cand_id"], "left").select(
+        "query_id",
+        "cand_id",
+        "cosine",
+        "rank",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_topk"),
+    )
+
+
+def ann_ivf_kmeans_mllib(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF-flat with MLlib-KMeans-trained centroids — the same index/query
+    shape as the gated ``ann_ivf_kmeans`` with MLlib's float Lloyd's in
+    place of the fixed-point kernel (float centroids are JVM-iteration
+    artifacts, so this variant is recall-pinned in tests rather than
+    oracle-registered; ``tools/ann_tuning.py`` tunes this dataflow)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window

@@ -158,6 +158,10 @@ EXTENDED = frozenset(
         # Product-quantized ADC k-NN (codebook twin of the scalar-
         # quantized row; same family).
         "ann_product_quantized",
+        # Trained-coarse-quantizer IVF (the production shape SCALE.md's
+        # nlist/nprobe defaults describe; training replayed bit-for-bit
+        # by the unrolled fixed-point Lloyd oracle).
+        "ann_ivf_kmeans",
         # Integrity/validation dashboard (anti-join + agg shapes all
         # primary-evidenced).
         "audit_data_quality",

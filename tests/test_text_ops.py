@@ -82,16 +82,25 @@ def test_time_rollup_grains_are_consistent(spark, sf_dir):
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
-    """The production (KMeans-trained) IVF variant must match or beat the
-    seed-pick variant's recall against exact brute force."""
-    from pypgcdc_spark.operators.similarity import ann_ivf_kmeans
+    """Both trained-IVF variants (gated fixed-point Lloyd + MLlib float)
+    must clear a recall floor against exact brute force, and the gated
+    one's in_exact_topk column must agree with the recomputed overlap."""
+    from pypgcdc_spark.operators.similarity import ann_ivf_kmeans_mllib
 
     exact = {
         (r.query_id, r.cand_id)
         for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()
     }
-    km = {(r.query_id, r.cand_id) for r in ann_ivf_kmeans(spark, sf_dir).collect()}
+    gated = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    km = {(r.query_id, r.cand_id) for r in gated}
     assert len(km & exact) / len(exact) >= 0.5
+    for r in gated:
+        assert r.in_exact_topk == ((r.query_id, r.cand_id) in exact)
+    ml = {
+        (r.query_id, r.cand_id)
+        for r in ann_ivf_kmeans_mllib(spark, sf_dir).collect()
+    }
+    assert len(ml & exact) / len(exact) >= 0.5
 
 
 def _write_docs(spark, tmp_path, texts):
