@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pypgcdc_spark.functions.text_kernels import distinct_shingles, hash32
 from pypgcdc_spark.operators.dedup import MINHASH_PRIME, N_MINHASH, minhash_signatures_wide
 from pypgcdc_spark.operators.retrieval import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
+from pypgcdc_spark.operators.state_prune import prune_buckets, touched_buckets
 from pypgcdc_spark.queries import load, query
 
 UPDATE_MOD, UPDATE_REM = 7, 3  # doc_id % 7 == 3 → text revised
@@ -70,19 +71,19 @@ class SignatureIndexMaintainer:
         self.path = f"{work_dir}/sig_state"
         self._has_state = False
 
-    def _read_state(self, batch_buckets: DataFrame) -> DataFrame:
-        """State rows of the touched buckets only, via a broadcast join
-        with the batch's bucket set (runtime partition pruning — the
-        driver never collects bucket ids, same idiom as the IVM
-        maintainers)."""
+    def _read_state(self, bucket_ids: list) -> DataFrame:
+        """State rows of the touched buckets only, via a static ``isin``
+        partition filter from the batch's collected bucket ids (bounded
+        metadata, ≤ n_buckets ints).  A broadcast join looked collect-free
+        but relied on dynamic partition pruning, which does not fire on
+        this plan shape — the full state parquet was scanned every batch
+        (ADVICE r7; see ``state_prune.py``)."""
         mh_cols = ", ".join(f"mh{s} LONG" for s in range(N_MINHASH))
         schema = f"doc_id LONG, lsn LONG, deleted BOOLEAN, {mh_cols}"
         if not self._has_state:
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.parquet(self.path)
-            .join(F.broadcast(batch_buckets), "bucket")
-            .drop("bucket")
+        return prune_buckets(self.spark.read.parquet(self.path), bucket_ids).drop(
+            "bucket"
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -92,7 +93,7 @@ class SignatureIndexMaintainer:
 
         if batch_df.isEmpty():
             return
-        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
+        batch_buckets = touched_buckets(batch_df, bucket)
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (
@@ -314,15 +315,14 @@ class PostingsIndexMaintainer:
 
     _SCHEMA = "doc_id LONG, lsn LONG, deleted BOOLEAN, t STRING, f LONG, dl LONG"
 
-    def _read_state(self, batch_buckets: DataFrame) -> DataFrame:
-        """Touched-bucket state via broadcast-join runtime pruning (no
-        driver collect of bucket ids — IVM-maintainer idiom)."""
+    def _read_state(self, bucket_ids: list) -> DataFrame:
+        """Touched-bucket state via a static ``isin`` partition filter
+        (bounded collected bucket ids; DPP does not fire on the
+        broadcast-join shape — see ``state_prune.py``)."""
         if not self._has_state:
             return self.spark.createDataFrame([], self._SCHEMA)
-        return (
-            self.spark.read.parquet(self.path)
-            .join(F.broadcast(batch_buckets), "bucket")
-            .drop("bucket")
+        return prune_buckets(self.spark.read.parquet(self.path), bucket_ids).drop(
+            "bucket"
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -332,7 +332,7 @@ class PostingsIndexMaintainer:
 
         if batch_df.isEmpty():
             return
-        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
+        batch_buckets = touched_buckets(batch_df, bucket)
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (

@@ -19,9 +19,10 @@ to three Spark actions):
   ``MERGE INTO`` target (Delta/Iceberg bucket clustering); parquet +
   dynamic overwrite is the dependency-free stand-in with the same I/O
   shape.
-* Reads prune to the touched buckets via a broadcast join with the
-  batch's bucket set (runtime partition pruning) — the driver never
-  collects bucket ids.
+* Reads prune to the touched buckets via a static ``isin`` partition
+  filter from the batch's collected bucket ids — bounded metadata
+  (≤ n_buckets ints).  DPP does not fire on the broadcast-join
+  alternative, which silently scanned all of state (state_prune.py).
 * The whole delta step evaluates as ONE full-outer join W of the
   batch's newest-per-key rows against the old bucket state, which
   materializes exactly once (``localCheckpoint`` — also severing
@@ -66,14 +67,18 @@ class BucketedViewMaintainer:
 
     # -- state accessors ------------------------------------------------
 
-    def _read_keys(self, batch_buckets) -> DataFrame:
+    def _read_keys(self, bucket_ids: list) -> DataFrame:
         if not self._has_keys:
             return self.spark.createDataFrame([], KEY_SCHEMA)
-        # Runtime partition pruning: only the touched buckets are scanned.
-        return (
-            self.spark.read.parquet(self.key_path)
-            .join(F.broadcast(batch_buckets), "bucket")
-            .drop("bucket")
+        # Static partition pruning from the batch's collected bucket ids
+        # (bounded metadata): only the touched buckets are listed and
+        # scanned.  The broadcast-join idiom this replaces depended on
+        # dynamic partition pruning, which does not fire on this plan
+        # shape (ADVICE r7; see state_prune.py).
+        from pypgcdc_spark.operators.state_prune import prune_buckets
+
+        return prune_buckets(self.spark.read.parquet(self.key_path), bucket_ids).drop(
+            "bucket"
         )
 
     def _read_agg(self) -> DataFrame:
@@ -111,7 +116,9 @@ class BucketedViewMaintainer:
 
     def _apply(self, batch_df: DataFrame) -> None:
         bucket = F.pmod(F.col("user_id"), F.lit(self.n_buckets)).cast("int")
-        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
+        from pypgcdc_spark.operators.state_prune import touched_buckets
+
+        batch_buckets = touched_buckets(batch_df, bucket)
 
         # The whole per-key reconciliation is ONE aggregation, not a
         # groupBy + full-outer join: old state rows and batch rows stack

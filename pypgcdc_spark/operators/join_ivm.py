@@ -171,9 +171,9 @@ class JoinViewMaintainer:
       ``(tbl, bucket)``; a batch commits with a single
       dynamic-partition-overwrite write of narrow projections of the
       checkpointed W — only the touched partitions are replaced;
-    * state reads prune buckets via a broadcast join with the batch's
-      bucket set (runtime partition pruning), so the driver never
-      collects bucket ids;
+    * state reads prune buckets via a static ``isin`` partition filter
+      from the batch's collected bucket ids (bounded metadata; DPP does
+      not fire on the broadcast-join shape — state_prune.py);
     * the maintained aggregate is priorities × counters — metadata-sized
       — so it lives as driver rows (one bounded collect per batch), not
       as per-batch parquet versions;
@@ -197,12 +197,16 @@ class JoinViewMaintainer:
 
     def _read_part(self, tbl: str, cols: str, batch_buckets=None) -> DataFrame:
         """One logical table out of the unified state dataset, bucket-
-        pruned at runtime by the batch's bucket set (no driver collect)."""
+        pruned by a static ``isin`` partition filter from the batch's
+        collected bucket ids (bounded metadata; DPP does not fire on the
+        broadcast-join shape — ADVICE r7, see state_prune.py)."""
         if not self._has_state:
             return self.spark.createDataFrame([], cols)
         df = self.spark.read.parquet(f"{self.work}/state").filter(F.col("tbl") == tbl)
         if batch_buckets is not None:
-            df = df.join(F.broadcast(batch_buckets), "bucket")
+            from pypgcdc_spark.operators.state_prune import prune_buckets
+
+            df = prune_buckets(df, batch_buckets)
         return df.select(*[c.split()[0] for c in cols.split(", ")])
 
     def _read_agg(self) -> DataFrame:
@@ -240,7 +244,9 @@ class JoinViewMaintainer:
                 conf.set(k, v)
 
     def _apply(self, batch_df: DataFrame, bucket) -> None:
-        batch_buckets = batch_df.select(bucket.alias("bucket")).distinct()
+        from pypgcdc_spark.operators.state_prune import touched_buckets
+
+        batch_buckets = touched_buckets(batch_df, bucket)
         a_old = self._read_part("A", self.A_COLS, batch_buckets)
         b_old = self._read_part("B", self.B_COLS, batch_buckets)
 

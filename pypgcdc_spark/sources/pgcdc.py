@@ -26,7 +26,13 @@ Offset model (reference K2/K3, ``reader.py:139,161-163``):
   table schemas restore without rescanning and later versions never
   retype old ranges — the reference instead re-learns from Relation
   messages and silently caches stale schemas (Q4).  Pre-r6 offsets
-  embedding ``"registry"`` JSON still resolve (back-compat);
+  embedding ``"registry"`` JSON still resolve (back-compat).
+  **Shared-filesystem requirement**: like the replay log itself,
+  ``<path>.registry.d`` must be visible to executors (shared storage on
+  a real cluster) — partition payloads reference snapshots by ``file:``
+  pointer.  Small snapshots (≤4 KB) are embedded inline instead, so the
+  common few-tables deployment never depends on the sidecar dir for
+  checkpoint replay;
 * ``commit(end)`` durably acks the offset to ``<path>.ack`` — the replay
   analog of ``send_feedback(flush_lsn)``; a live backend forwards it to
   the walsender so Postgres can recycle WAL.
@@ -189,7 +195,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # EVERY ack (found by the round-7 soak: confirmed_flush never
         # advanced, WAL retention grew unbounded).
         self._acked_pos = 0
-        # Fingerprint of the scanned prefix's trailing bytes.  The live
+        # Fingerprint of the LAST FRAME the scan pass consumed.  The live
         # tailer may TRUNCATE AND REWRITE the open log tail (resend
         # dedup after a reconnect, torn-tail discipline at session
         # start) — closed units are immutable, the open unit is not.
@@ -198,7 +204,18 @@ class PgCdcStreamReader(DataSourceStreamReader):
         # two polls would leave `_scanned_pos` pointing mid-frame into
         # rewritten bytes: the source then either reads garbage or
         # stalls forever (also found by the round-7 fault-injection soak).
-        self._fp = (0, b"")
+        # The fingerprint is captured FROM THE SCAN PASS ITSELF (the last
+        # frame's header identity + payload prefix, bytes the scanner
+        # actually fed) — a post-scan re-read of the file had a TOCTOU
+        # window where a rewrite landing between scan and capture was
+        # fingerprinted as the new bytes and never detected (ADVICE r7);
+        # and identity covers the frame header (lsn/send_time/len), so a
+        # same-length rewrite whose trailing bytes coincide is still
+        # caught as long as it carries a different LSN (the tailer's
+        # close-LSN dedup makes equal-LSN equal-payload frames the same
+        # data).  Tuple: (scanned_pos, frame_start, lsn, send_time_us,
+        # payload_len, payload_prefix).
+        self._fp = None
 
     # -- driver-side scanning -------------------------------------------
     def _scan_forward(self) -> None:
@@ -220,13 +237,14 @@ class PgCdcStreamReader(DataSourceStreamReader):
                 self._pending = []  # floor still guards re-offers
             self._scanner = replay.TxBoundaryScanner()
             self._scanned_pos = rewind
-            self._fp = (0, b"")
+            self._fp = None
         if size <= self._scanned_pos:
             return
         # Prefix scan: boundary detection touches ≤38 payload bytes per
         # frame (full read only for rare 'R' frames), so the driver's
         # cost per frame is flat no matter how wide the replicated rows
         # are — executors read full payloads for their own ranges only.
+        last = None
         for fr in replay.scan_frames(self.path, self._scanned_pos, prefix_bytes=64):
             if fr.payload[:1] == b"R":
                 from pypgcdc_spark.cdc import pgoutput as pg
@@ -244,26 +262,51 @@ class PgCdcStreamReader(DataSourceStreamReader):
             # frame; the persistent scanner keeps any open span's state,
             # so advancing past it never loses frames.
             self._scanned_pos = fr.end_pos
-        self._capture_fp()
-
-    def _capture_fp(self) -> None:
-        n = min(32, self._scanned_pos)
-        if n <= 0:
-            self._fp = (0, b"")
-            return
-        with open(self.path, "rb") as f:
-            f.seek(self._scanned_pos - n)
-            self._fp = (self._scanned_pos, f.read(n))
+            last = fr
+        if last is not None:
+            # Same read pass as the scan — no TOCTOU window between what
+            # the scanner consumed and what the fingerprint records.
+            self._fp = (
+                self._scanned_pos,
+                last.start_pos,
+                last.lsn,
+                last.send_time_us,
+                last.end_pos - last.start_pos - replay._HDR.size,
+                last.payload[:16],
+            )
 
     def _tail_rewritten(self, size: int) -> bool:
         if size < self._scanned_pos:
             return True
-        pos, blob = self._fp
-        if not blob or pos != self._scanned_pos:
+        if self._fp is None or self._fp[0] != self._scanned_pos:
             return False
+        pos, fstart, lsn, us, n, pfx = self._fp
         with open(self.path, "rb") as f:
-            f.seek(pos - len(blob))
-            return f.read(len(blob)) != blob
+            f.seek(fstart)
+            hdr = f.read(replay._HDR.size)
+            if len(hdr) < replay._HDR.size:
+                return True
+            l2, u2, n2 = replay._HDR.unpack(hdr)
+            if (l2, u2, n2) != (lsn, us, n):
+                return True
+            got = f.read(min(16, n2))
+            return got != pfx[: len(got)]
+
+    def _log_identity(self) -> str:
+        """Generation stamp for sidecars: the first frame's header bytes
+        (lsn|send_time|len) in hex.  A recreated log starts with a new
+        first frame (send_time differs even when LSNs repeat), so stale
+        sidecars from a previous generation are detectable.  Cached —
+        the first frame of THIS generation is immutable (only the open
+        tail is ever rewritten, and a generation change forces a new
+        reader via the size/fingerprint rewind)."""
+        if not getattr(self, "_log_id", ""):
+            try:
+                with open(self.path, "rb") as f:
+                    self._log_id = f.read(replay._HDR.size).hex()
+            except OSError:
+                return ""
+        return self._log_id or ""
 
     def _safe_cut(self) -> int:
         """Highest byte position an offset may land on right now: the
@@ -299,15 +342,31 @@ class PgCdcStreamReader(DataSourceStreamReader):
         os.replace(tmp, final)  # atomic: readers never see a torn snapshot
         self._persisted_rev = rev
 
+    # ``file:`` references REQUIRE executors to share the driver's
+    # filesystem for `<log>.registry.d` (same assumption the replay log
+    # path itself already carries; on a real cluster both live on shared
+    # storage — NFS/DBFS/object store via fuse).  Because snapshots are
+    # additionally commit-time GC'd, small registries are embedded
+    # INLINE instead: checkpoint replay then never depends on a snapshot
+    # file at all until the registry genuinely outgrows the inline
+    # budget (many relations × versions), which is also when shipping it
+    # per-partition starts hurting batch latency (round-7 soak).
+    _INLINE_REGISTRY_BYTES = 4096
+
     def _registry_ref_at(self, rev: int) -> str:
         """O(1) registry reference for partition payloads: a ``file:``
-        pointer to the persisted revision snapshot.  Inline JSON only
-        for the empty registry (rev 0) — shipping the full JSON per
-        partition per batch scales with schema history (the round-7
-        soak's ALTER storm drove batch latency up with it)."""
+        pointer to the persisted revision snapshot, or the snapshot JSON
+        itself when it fits ``_INLINE_REGISTRY_BYTES`` — shipping LARGE
+        JSON per partition per batch scales with schema history (the
+        round-7 soak's ALTER storm drove batch latency up with it),
+        while inlining SMALL registries removes the shared-filesystem /
+        GC-survival dependency for the common few-tables case."""
         if rev <= 0:
             return SchemaRegistry(self.database).dumps()
         p = os.path.join(self._registry_dir(), f"reg-{rev:08d}.json")
+        if os.path.exists(p) and os.path.getsize(p) <= self._INLINE_REGISTRY_BYTES:
+            with open(p) as f:
+                return f.read()
         if not os.path.exists(p):
             # Defensive: revision never persisted (shouldn't happen —
             # _offset() persists before naming it); fall back to inline.
@@ -377,9 +436,22 @@ class PgCdcStreamReader(DataSourceStreamReader):
         if self._acked_pos == 0:
             # Fresh reader (restart): seed the high-water from the ack
             # sidecar so a replayed batch's re-ack can't rewind it.
+            # A STALE sidecar — left behind when the log was recreated
+            # but `.ack` wasn't deleted — must NOT seed: its pos would
+            # suppress every ack of the new generation until the log
+            # regrows past it, silently recreating the unbounded-WAL-
+            # retention failure the high-water fix addresses (ADVICE
+            # r7).  Two generation checks: the sidecar's log identity
+            # stamp (first-frame header, written since r8) must match,
+            # and pos must not exceed the current log size.
             try:
                 with open(self.path + ".ack") as f:
-                    self._acked_pos = int(json.load(f).get("pos", 0))
+                    ack = json.load(f)
+                acked = int(ack.get("pos", 0))
+                size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+                lid = ack.get("log_id")
+                if acked <= size and (lid is None or lid == self._log_identity()):
+                    self._acked_pos = acked
             except (OSError, ValueError):
                 pass
         if pos <= self._acked_pos:
@@ -392,10 +464,15 @@ class PgCdcStreamReader(DataSourceStreamReader):
             return
         self._acked_pos = pos
         # Atomic replace: the live tailer polls this file between frames
-        # (pgwire run()), so an in-place write could be read torn.
+        # (pgwire run()), so an in-place write could be read torn.  The
+        # log_id stamp (first-frame header hex) lets a future reader
+        # reject this sidecar if the log is recreated; the tailer reads
+        # only pos/lsn and ignores the extra key.
         tmp = self.path + ".ack.tmp"
         with open(tmp, "w") as f:
-            json.dump({"pos": pos, "lsn": end["lsn"]}, f)
+            json.dump(
+                {"pos": pos, "lsn": end["lsn"], "log_id": self._log_identity()}, f
+            )
         os.replace(tmp, self.path + ".ack")
         # Registry-snapshot GC: batches at or below the committed offset
         # are never replayed, so snapshots OLDER than the one this offset

@@ -553,3 +553,153 @@ def test_partition_payload_o1_under_schema_churn(tmp_path):
     for p in parts:
         rows.extend(r.read(p))
     assert len(rows) == 40  # every insert decodes through the snapshot
+
+
+# -- r8: tail-rewrite fingerprint from the scan pass (ADVICE r7) -----------
+
+
+def test_same_length_tail_rewrite_detected(tmp_path):
+    """A truncate-rewrite of the open tail that preserves BOTH total log
+    length AND the trailing 32 bytes must still be detected.  The r7
+    fingerprint (post-scan re-read of the last 32 bytes) missed it — and
+    had a TOCTOU window where a rewrite landing between the frame scan
+    and the fingerprint capture was recorded as the new bytes and never
+    caught.  The fingerprint now derives from the last frame the scan
+    pass itself consumed (header identity + payload prefix)."""
+    import os
+
+    log = str(tmp_path / "samelen.log")
+    w = ReplayLogWriter(log)
+    w.append(10, pg.encode_relation(INTEGRATION_RELID, "public", "integration", INTEGRATION_COLS))
+    w.append(20, pg.encode_begin(40, _TS, 101))
+    w.append(30, pg.encode_insert(INTEGRATION_RELID, _row(1, 1)))
+    w.append(40, pg.encode_commit(40, 40, _TS))
+    tail_start = w.pos
+    # Open unit: insert whose differing byte (the key) sits EARLY in the
+    # payload; the long text tail makes the trailing 32 bytes collide.
+    w.append(50, pg.encode_begin(80, _TS, 102))
+    w.append(60, pg.encode_insert(INTEGRATION_RELID, _row(2, 2, text="x" * 64)))
+    w.close()
+
+    r = PgCdcStreamReader({"path": log})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()  # scan advances through the open tail
+    assert [t[0] for t in _drain(r, o0, o1)] == ["I"]
+    size_before = os.path.getsize(log)
+
+    # Rewrite: same frame lengths, same trailing bytes, different LSNs
+    # and key — the resend-dedup path replacing the open unit.
+    with open(log, "r+b") as f:
+        f.truncate(tail_start)
+    w2 = ReplayLogWriter(log)
+    w2.append(51, pg.encode_begin(81, _TS, 103), send_time=_TS)
+    w2.append(61, pg.encode_insert(INTEGRATION_RELID, _row(3, 2, text="x" * 64)), send_time=_TS)
+    w2.close()
+    assert os.path.getsize(log) == size_before, "fixture must preserve length"
+    assert r._tail_rewritten(size_before), "header-identity fingerprint must fire"
+
+    # Behavioral: the rewritten unit (new xid, new key) is what decodes.
+    w3 = ReplayLogWriter(log)
+    w3.append(81, pg.encode_commit(81, 81, _TS), send_time=_TS)
+    w3.close()
+    o2 = r.latestOffset()
+    batch = _drain(r, o1, o2)
+    assert [t[0] for t in batch] == ["I"]
+    assert {t[2] for t in batch} == {103}
+
+
+# -- r8: stale .ack sidecar from a previous log generation (ADVICE r7) -----
+
+
+def test_stale_ack_sidecar_ignored_when_log_recreated_smaller(tmp_path):
+    """A leftover `.ack` whose pos exceeds the current log size (log
+    recreated, sidecar not deleted) must not seed the ack high-water:
+    before the fix every ack of the new generation was silently dropped
+    until the log regrew past the stale pos — unbounded WAL retention,
+    the exact failure the r7 high-water fix addressed."""
+    import json
+    import os
+
+    log = str(tmp_path / "gen.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    for i in range(8):
+        w.tx([pg.encode_insert(INTEGRATION_RELID, _row(i, i))])
+    w.close()
+    r1 = PgCdcStreamReader({"path": log})
+    o1 = r1.latestOffset()
+    r1.commit(o1)
+    stale_pos = json.load(open(log + ".ack"))["pos"]
+    assert stale_pos == o1["pos"] > 0
+
+    # Generation 2: log recreated SMALLER; the sidecar survives.
+    os.remove(log)
+    w2 = WorkloadWriter(log)
+    w2.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w2.tx([pg.encode_insert(INTEGRATION_RELID, _row(100, 100))])
+    w2.close()
+    assert os.path.getsize(log) < stale_pos
+
+    r2 = PgCdcStreamReader({"path": log})
+    o2 = r2.latestOffset()
+    r2.commit(o2)
+    assert json.load(open(log + ".ack"))["pos"] == o2["pos"], (
+        "gen-2 ack must land; a stale sidecar must not suppress it"
+    )
+
+
+def test_stale_ack_sidecar_ignored_when_log_regrows_past_it(tmp_path):
+    """Even when the recreated log has already REGROWN past the stale
+    sidecar pos (so the size check alone cannot tell), the log-identity
+    stamp (first-frame header) distinguishes generations."""
+    import json
+    import os
+
+    log = str(tmp_path / "regrow.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    for i in range(3):
+        w.tx([pg.encode_insert(INTEGRATION_RELID, _row(i, i))])
+    w.close()
+    r1 = PgCdcStreamReader({"path": log})
+    o1 = r1.latestOffset()
+    r1.commit(o1)
+    stale_pos = json.load(open(log + ".ack"))["pos"]
+
+    # Generation 2: different start LSN (new first-frame identity), and
+    # LARGER than the stale ack pos before the reader's first commit.
+    os.remove(log)
+    w2 = WorkloadWriter(log, start_lsn=50_000)
+    w2.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    for i in range(12):
+        w2.tx([pg.encode_insert(INTEGRATION_RELID, _row(200 + i, i))])
+    w2.close()
+    assert os.path.getsize(log) > stale_pos
+
+    r2 = PgCdcStreamReader({"path": log, "maxtxperbatch": 1})
+    o2 = r2.latestOffset()  # first tx only — pos < stale_pos
+    assert o2["pos"] < stale_pos
+    r2.commit(o2)
+    assert json.load(open(log + ".ack"))["pos"] == o2["pos"], (
+        "log-identity stamp must reject the previous generation's sidecar"
+    )
+
+
+def test_small_registry_inlined_in_partition_payload(tmp_path):
+    """Few-tables registries embed inline in partition payloads (no
+    shared-FS / snapshot-GC dependency for checkpoint replay); only
+    registries beyond the inline budget ship as file: references."""
+    log = str(tmp_path / "inline.log")
+    w = WorkloadWriter(log)
+    w.relation(INTEGRATION_RELID, "integration", INTEGRATION_COLS)
+    w.tx([pg.encode_insert(INTEGRATION_RELID, _row(1, 1))])
+    w.close()
+    r = PgCdcStreamReader({"path": log})
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(o0, o1)
+    assert parts
+    for p in parts:
+        assert not p.registry_json.startswith("file:")
+        assert '"integration"' in p.registry_json
+    rows = [t for p in parts for t in r.read(p)]
+    assert [t[0] for t in rows] == ["I"]

@@ -687,3 +687,35 @@ def test_dup_span_removal_windows_are_per_doc(spark, sf_dir):
 
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", txt):
         assert "doc_id" in spec
+
+
+def test_state_prune_pushes_static_partition_filter(spark, tmp_path):
+    """Maintainer state reads must prune touched buckets AT THE FILE
+    INDEX: prune_buckets' isin literal lands in the scan's
+    PartitionFilters.  The broadcast-join idiom it replaced relied on
+    dynamic partition pruning, which does NOT fire on that plan shape
+    (in-memory build side without a selective scan predicate) — the full
+    state dataset was scanned every batch (ADVICE r7)."""
+    import re
+
+    from pypgcdc_spark.operators.state_prune import prune_buckets
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    path = str(tmp_path / "state")
+    (
+        spark.range(200)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    df = prune_buckets(spark.read.parquet(path), [1, 3])
+    txt = plan_text(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m, txt
+    assert "bucket" in m.group(1) and ("IN (1,3)" in m.group(1).replace(" ", "") or "in(1,3" in m.group(1).replace(" ", "").lower()), m.group(1)
+    # and the pruned read returns exactly the touched buckets
+    assert df.select("bucket").distinct().count() == 2
