@@ -13,9 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pypgcdc_spark.queries import EXTENDED, REGISTRY, ensure_registered  # noqa: E402
+# Prefer the installed package (pip install -e .); fall back to the
+# repo-relative path for uninstalled driver runs.
+try:
+    from pypgcdc_spark.queries import EXTENDED, REGISTRY, ensure_registered
+except ModuleNotFoundError:  # pragma: no cover - uninstalled fallback
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pypgcdc_spark.queries import EXTENDED, REGISTRY, ensure_registered  # noqa: E402
 
 ensure_registered()
 
