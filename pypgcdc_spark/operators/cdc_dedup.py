@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pypgcdc_spark.functions.text_kernels import distinct_shingles, hash32
 from pypgcdc_spark.operators.dedup import MINHASH_PRIME, N_MINHASH, minhash_signatures_wide
 from pypgcdc_spark.operators.retrieval import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
+from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
 from pypgcdc_spark.operators.state_prune import prune_buckets, touched_buckets
 from pypgcdc_spark.queries import load, query
 
@@ -67,6 +68,7 @@ class SignatureIndexMaintainer:
 
     def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_SIG_BUCKETS):
         self.spark = spark
+        self.work = work_dir
         self.n_buckets = n_buckets
         self.path = f"{work_dir}/sig_state"
         self._has_state = False
@@ -87,11 +89,14 @@ class SignatureIndexMaintainer:
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if already_applied(self.work, batch_id):
+            return  # foreachBatch replay (at-least-once): already committed
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         if batch_df.isEmpty():
+            mark_applied(self.work, batch_id)
             return
         batch_buckets = touched_buckets(batch_df, bucket)
 
@@ -150,6 +155,7 @@ class SignatureIndexMaintainer:
         )
         new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
         self._has_state = True
+        mark_applied(self.work, batch_id)
 
     def signatures(self) -> DataFrame:
         """Live long-layout signatures (doc_id, seed, mh) from the index."""
@@ -309,6 +315,7 @@ class PostingsIndexMaintainer:
 
     def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_SIG_BUCKETS):
         self.spark = spark
+        self.work = work_dir
         self.n_buckets = n_buckets
         self.path = f"{work_dir}/postings_state"
         self._has_state = False
@@ -326,11 +333,14 @@ class PostingsIndexMaintainer:
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if already_applied(self.work, batch_id):
+            return  # foreachBatch replay (at-least-once): already committed
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         if batch_df.isEmpty():
+            mark_applied(self.work, batch_id)
             return
         batch_buckets = touched_buckets(batch_df, bucket)
 
@@ -401,6 +411,7 @@ class PostingsIndexMaintainer:
         )
         new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
         self._has_state = True
+        mark_applied(self.work, batch_id)
 
     def live_postings(self) -> DataFrame:
         """(doc_id, t, f, dl) for live documents (marker rows excluded)."""

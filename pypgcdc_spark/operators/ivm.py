@@ -90,10 +90,15 @@ class BucketedViewMaintainer:
     # -- the per-batch delta step ---------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
+
+        if already_applied(self.work, batch_id):
+            return  # foreachBatch replay (at-least-once): already committed
         if batch_df.isEmpty():
             # Idle micro-batches are normal on a live feed; a zero-row
             # dynamic overwrite could also leave a fileless state dir
             # that flips _has_keys before any row ever landed.
+            mark_applied(self.work, batch_id)
             return
         conf = self.spark.conf
         saved = {
@@ -110,6 +115,7 @@ class BucketedViewMaintainer:
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         try:
             self._apply(batch_df)
+            mark_applied(self.work, batch_id)
         finally:
             for k, v in saved.items():
                 conf.set(k, v)

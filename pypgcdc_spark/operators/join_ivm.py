@@ -216,10 +216,20 @@ class JoinViewMaintainer:
         return self._read_agg().filter(F.col("n_lines") > 0)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
+
+        # The replay guard is LOAD-BEARING here, not belt-and-braces: the
+        # B-side folds as per-order line SUMS (no per-line identity), so
+        # re-adding a replayed delta-B would double-count.  foreachBatch
+        # re-delivers the same batch_id with the same data after a sink
+        # failure; skipping it is the documented exactly-once recipe.
+        if already_applied(self.work, batch_id):
+            return
         if batch_df.isEmpty():
             # Idle micro-batches are normal on a live feed; touching
             # state for one would also mark state-as-written before any
             # row ever landed.
+            mark_applied(self.work, batch_id)
             return
         spark = self.spark
         conf = spark.conf
@@ -239,6 +249,7 @@ class JoinViewMaintainer:
         bucket = (F.col("orderkey") % self.n_buckets).cast("int")
         try:
             self._apply(batch_df, bucket)
+            mark_applied(self.work, batch_id)
         finally:
             for k, v in saved.items():
                 conf.set(k, v)
