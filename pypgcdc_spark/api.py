@@ -195,6 +195,7 @@ class PgCdcEngine:
         target_path: str,
         checkpoint: str,
         drain: bool = True,
+        n_buckets: int | None = None,
     ):
         """Continuously merge the change stream into a current-state table
         (the reference DataStore's job, done as foreachBatch MERGE).
@@ -204,8 +205,14 @@ class PgCdcEngine:
         (Python sources don't support Trigger.AvailableNow in Spark 4.1,
         so this uses ``processAllAvailable`` — same semantics as the
         reference's ``consume_stream(max_count=...)`` loop, K6).
+
+        ``n_buckets=N`` switches the sink to hash-bucketed state with
+        touched-bucket dynamic overwrite — O(touched buckets) per batch
+        instead of O(state); use it when the current-state table is
+        large.  The table gains a ``_bucket`` partition column (drop it
+        when reading, or read specific columns).
         """
-        merger = DeleteAwareMerger(self.spark, schema, target_path)
+        merger = DeleteAwareMerger(self.spark, schema, target_path, n_buckets=n_buckets)
         writer = (
             env_stream.writeStream.foreachBatch(merger)
             .option("checkpointLocation", checkpoint)

@@ -94,7 +94,10 @@ def current_state(env: DataFrame, key_fields: Optional[List[str]] = None) -> Dat
 
 
 def typed_state(
-    env: DataFrame, schema: TableSchema, json_as_variant: bool = False
+    env: DataFrame,
+    schema: TableSchema,
+    json_as_variant: bool = False,
+    passthrough: Optional[List[str]] = None,
 ) -> DataFrame:
     """Current state of one table as typed columns (the reference's
     ``table_model(**after)`` coercion, reader.py:274-292, done by Catalyst
@@ -168,7 +171,12 @@ def typed_state(
             return F.parse_json(raw).alias(f.name)
         return raw.cast(f.dataType).alias(f.name)
 
-    return df.select(*[out_col(f) for f in struct.fields])
+    # `passthrough` columns ride along un-typed (e.g. the merger's
+    # `_bucket` partition key, a pure function of the wire key strings —
+    # constant within a key's window group, so the rn=1 row's value is
+    # THE value).
+    extra = [F.col(c) for c in (passthrough or [])]
+    return df.select(*[out_col(f) for f in struct.fields], *extra)
 
 
 def typed_history_span(
@@ -206,17 +214,59 @@ class DeleteAwareMerger:
     Idempotent under micro-batch replay (overwrite of a deterministic
     function of target ∪ batch).  On a lake format this becomes
     ``MERGE INTO target USING batch ON keys WHEN MATCHED ...``.
+
+    Two I/O shapes:
+
+    * ``n_buckets=None`` (default): whole-table overwrite — fine for
+      small current-state tables, O(state) per batch.
+    * ``n_buckets=N``: state is ONE parquet dataset partitioned by
+      ``_bucket = xxhash64(wire key strings) % N``; each batch reads
+      back only the buckets its keys touch (static ``isin`` partition
+      filter from the collected batch bucket ids — bounded metadata, ≤ N
+      ints) and rewrites only those via dynamic partition overwrite.
+      Per-batch cost is O(touched buckets), not O(state) — the same
+      discipline as the IVM maintainers, applied to the generic CDC
+      apply path, which until round 8 was the engine's one remaining
+      O(state)-per-batch sink (found by sizing the large-state soak).
+      The bucket is computed ONCE per key from the envelope's wire key
+      strings (deterministic transform rendering) and thereafter carried
+      as a stored column — typed-value re-rendering never enters it.
     """
 
-    def __init__(self, spark: SparkSession, schema: TableSchema, target_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        target_path: str,
+        n_buckets: Optional[int] = None,
+    ):
         self.spark = spark
         self.schema = schema
         self.target_path = target_path
+        self.n_buckets = n_buckets
+
+    def _bucket_expr(self):
+        key_cols = self.schema.get_key_columns()
+        return F.pmod(
+            F.xxhash64(
+                F.concat_ws("\x1f", *[F.col("key").getItem(k) for k in key_cols])
+            ),
+            F.lit(self.n_buckets),
+        ).cast("int")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         env = batch_df
         key_cols = self.schema.get_key_columns()
         struct = self.schema.to_struct_type()
+        bucketed = self.n_buckets is not None
+        touched: list = []
+        if bucketed:
+            if env.isEmpty():
+                return
+            env = env.withColumn("_bucket", self._bucket_expr())
+            touched = sorted(
+                r._bucket for r in env.select("_bucket").distinct().collect()
+            )
         try:
             target = self.spark.read.parquet(self.target_path)
             exists = True
@@ -225,6 +275,11 @@ class DeleteAwareMerger:
             exists = False
 
         if exists and target is not None:
+            if bucketed:
+                # Only the touched buckets re-enter the merge window; the
+                # stored _bucket column is reused verbatim (never
+                # recomputed from typed values).
+                target = target.filter(F.col("_bucket").isin(touched))
             # Baseline rows re-enter the window as lsn=-1 'I' events so one
             # dedup pass resolves batch-vs-existing and TOAST coalesce.
             baseline = target.select(
@@ -246,10 +301,22 @@ class DeleteAwareMerger:
                     F.array(*[F.lit(f.name) for f in struct.fields]),
                     F.array(*[F.col(f.name).cast("string") for f in struct.fields]),
                 ).alias("after"),
+                *([F.col("_bucket")] if bucketed else []),
             )
             env = baseline.unionByName(env.select(baseline.columns))
 
+        if bucketed:
+            state = typed_state(env, self.schema, passthrough=["_bucket"])
+            # Materialize before the overwrite (read-own-write lineage on
+            # the state path) and replace ONLY the touched partitions.
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            state.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(self.target_path)
+            return
         state = typed_state(env, self.schema)
-        # Small current-state tables write single-file; at scale this would
-        # partition by a stable bucket of the key.
+        # Small current-state tables write single-file; at scale the
+        # bucketed mode above partitions by a stable hash of the key.
         state.write.mode("overwrite").parquet(self.target_path)
