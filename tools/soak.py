@@ -76,7 +76,7 @@ SOAK_SCHEMA = TableSchema(
     ],
 )
 
-ID_RANGE = 20_000  # keeps the materialized state (and merger cost) bounded
+ID_RANGE = 20_000  # default churn key domain (overridden by --id-range)
 
 
 def rss_mb() -> float:
@@ -212,10 +212,11 @@ class TailerLoop(threading.Thread):
 class Workload(threading.Thread):
     """Continuous randomized traffic on one persistent connection."""
 
-    def __init__(self, live: LivePg, rng: random.Random):
+    def __init__(self, live: LivePg, rng: random.Random, id_range: int = ID_RANGE):
         super().__init__(daemon=True)
         self.live = live
         self.rng = rng
+        self.id_range = id_range
         self.stop_event = threading.Event()
         self.conn = None
         self.txs = 0
@@ -247,7 +248,7 @@ class Workload(threading.Thread):
             stmts = []
             touched = []
             for _ in range(n_up):
-                i = rng.randrange(ID_RANGE)
+                i = rng.randrange(self.id_range)
                 b = rng.randrange(0, 10_000_000) / 100.0
                 touched.append(i)
                 stmts.append(
@@ -256,7 +257,7 @@ class Workload(threading.Thread):
                     f"payload = EXCLUDED.payload, updated = EXCLUDED.updated"
                 )
             for _ in range(rng.randint(0, 3)):
-                stmts.append(f"DELETE FROM soak WHERE id = {rng.randrange(ID_RANGE)}")
+                stmts.append(f"DELETE FROM soak WHERE id = {rng.randrange(self.id_range)}")
             self._sql("BEGIN", *stmts, "COMMIT")
             self.journal.append((time.time(), "dml", touched))
             self.counts["dml"] += 1
@@ -273,7 +274,7 @@ class Workload(threading.Thread):
             self.counts["big"] += 1
         elif r < 0.88:
             gid = f"soak_{self.txs}_{rng.randrange(1 << 30):x}"
-            i = rng.randrange(ID_RANGE)
+            i = rng.randrange(self.id_range)
             b = rng.randrange(0, 10_000_000) / 100.0
             self._sql(
                 "BEGIN",
@@ -390,9 +391,19 @@ def decile_means(samples, key):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=62.0)
-    ap.add_argument("--out", default="SOAK_r7.json")
+    ap.add_argument("--out", default="SOAK_r8.json")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpus", type=int, default=8)
+    # Large-state axis (round-8): bulk-seed N rows THROUGH replication
+    # before the randomized churn starts, so the maintained state (and
+    # every per-batch merge) runs at production-like volume.  --buckets
+    # switches the sink to the bucketed O(touched-buckets) merger -- at
+    # millions of rows the whole-table overwrite would make batch
+    # latency scale with state, which is exactly what the flatness
+    # assertions are meant to catch.
+    ap.add_argument("--state-rows", type=int, default=0)
+    ap.add_argument("--id-range", type=int, default=ID_RANGE)
+    ap.add_argument("--buckets", type=int, default=0)
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -432,7 +443,20 @@ def main() -> int:
         ):
             break
         time.sleep(0.5)
-    workload = Workload(live, random.Random(args.seed + 1))
+    id_range = max(args.id_range, args.state_rows)
+    # Bulk seed (streams through the slot as v2 spans: each chunk is far
+    # beyond logical_decoding_work_mem).  Runs BEFORE the churn so the
+    # randomized traffic and every fault lands on top of full-size state.
+    seed_chunk = 100_000
+    for lo in range(0, args.state_rows, seed_chunk):
+        hi = min(lo + seed_chunk, args.state_rows)
+        live.sql(
+            "BEGIN",
+            f"INSERT INTO soak SELECT g, (g % 1000000) / 100.0, 'seed' || g, now() "
+            f"FROM generate_series({lo}, {hi - 1}) g ON CONFLICT (id) DO NOTHING",
+            "COMMIT",
+        )
+    workload = Workload(live, random.Random(args.seed + 1), id_range=id_range)
     workload.start()
 
     # wait for the log to exist so the source has a path to tail
@@ -448,6 +472,7 @@ def main() -> int:
             target,
             checkpoint=ckpt,
             drain=False,
+            n_buckets=args.buckets or None,
         )
 
     query = start_query()
@@ -608,6 +633,9 @@ def main() -> int:
     report = {
         "minutes": args.minutes,
         "seed": args.seed,
+        "seeded_state_rows": args.state_rows,
+        "churn_id_range": id_range,
+        "merger_buckets": args.buckets or None,
         "boot_to_done_sec": round(time.time() - t_boot, 1),
         "micro_batches": n_batches,
         "tailer_sessions": tailer_loop.sessions,
