@@ -1,0 +1,79 @@
+"""Smoke tests for the artifact harnesses (r7 verdict "what's wrong" #3:
+``tools/soak.py`` and ``tools/ann_tuning.py`` produced their artifacts
+once and were not CI-wired — a harness that rots silently is worse than
+none).  Each smoke run exercises the full code path end to end in a few
+minutes: the soak boots a real throwaway PostgreSQL cluster, seeds state
+through replication, injects socket kills, and verifies the three-way
+hash; the tuning run trains an index, sweeps a reduced grid, and emits
+both operating points.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    shutil.which("initdb") is None or shutil.which("pg_ctl") is None,
+    reason="PostgreSQL server binaries not installed",
+)
+def test_soak_smoke(tmp_path):
+    out = str(tmp_path / "soak_smoke.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "soak.py"),
+            "--minutes", "0.8",
+            "--state-rows", "15000",
+            "--buckets", "8",
+            "--cpus", "4",
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = json.load(open(out))
+    assert r["match_materialized_vs_server"] and r["match_replay_vs_server"]
+    assert r["state_rows"] >= 14000  # seeding flowed through replication
+    assert r["merger_buckets"] == 8
+    assert r["faults"]["socket_kill"] >= 1  # chaos actually fired
+
+
+@pytest.mark.slow
+def test_ann_tuning_smoke(tmp_path):
+    out = str(tmp_path / "ann_smoke.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "ann_tuning.py"),
+            "--tiny",
+            "--repl", "2",
+            "--queries", "8",
+            "--k", "5",
+            "--cpus", "4",
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = json.load(open(out))
+    assert r["ivf_grid"] and r["pq_grid"]
+    ops = r["operating_points"]
+    assert set(ops) == {"cheapest_at_recall_095", "recommended"}
+    assert r["default_pick"] == ops["recommended"]  # aligned with SCALE.md
+    rec = ops["recommended"]
+    assert rec is not None and rec["recall_at_k"] >= 0.9
+    if ops["cheapest_at_recall_095"] is not None:
+        assert ops["cheapest_at_recall_095"]["recall_at_k"] >= 0.95
