@@ -73,6 +73,12 @@ STRESS_R4 = [
 # replica vocabularies are disjoint, so each replica reproduces the
 # base LM exactly — per-lang averages must be IDENTICAL at both
 # scales while n_docs scales ×REPL).
+# Round-8 additions (r7 verdict task 6): the CDC-maintained minhash
+# index AFTER the static-isin bucket-prune change (ADVICE r7) — per-batch
+# cost must stay O(touched buckets) as the corpus scales.
+STRESS_R8 = [
+    "cdc_minhash_maintenance",
+]
 STRESS_R4S3 = [
     "graph_triangle_count",
     "ann_product_quantized",
@@ -210,10 +216,144 @@ def timed(fn, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+
+def r8_kernel_scalings(repl: int) -> dict:
+    """Throughput at 1x and repl*x volume for the round-7/8-touched
+    kernels: binary-tuple decode + send-format text rendering (pgbin),
+    the driver's incremental boundary scan (TxBoundaryScanner + registry
+    fold + the r8 scan-pass fingerprint), and the full wire tailer
+    against an emulated walsender (version negotiation + lag telemetry
+    in the frame loop).  All three are per-unit-flat by design; the
+    artifact records the measured ratio."""
+    import struct
+    import tempfile
+
+    from pypgcdc_spark.cdc import pgbin, pgoutput as pg
+    from pypgcdc_spark.sources.pgcdc import PgCdcStreamReader
+    from pypgcdc_spark.sources.replay import scan_frames
+    from pypgcdc_spark.testing import WorkloadWriter
+
+    out = {}
+    n_base = 3000
+
+    # 1. pgbin: binary-tuple decode + to_text rendering (int8, float8,
+    #    numeric-free mix; floats exercise the Ryu shortest path).
+    def bin_frames(n):
+        fr = []
+        for i in range(n):
+            fr.append(
+                pg.encode_insert(
+                    16385,
+                    [str(i), struct.pack(">q", i * 7), struct.pack(">d", i * 1.7)],
+                )
+            )
+        return fr
+
+    def decode_render_rate(frames):
+        t0 = time.perf_counter()
+        for f in frames:
+            msg = pg.decode_message(f)
+            cols = msg.new_tuple.columns
+            pgbin.to_text(20, cols[1].binary)   # int8 send format
+            pgbin.to_text(701, cols[2].binary)  # float8 (Ryu shortest)
+        return len(frames) / (time.perf_counter() - t0)
+
+    base = max(decode_render_rate(bin_frames(n_base)) for _ in range(3))
+    scaled = decode_render_rate(bin_frames(n_base * repl))
+    out["pgbin_binary_decode_render"] = {
+        "base_msgs_per_sec": round(base),
+        f"x{repl}_msgs_per_sec": round(scaled),
+        "throughput_ratio": round(scaled / base, 2),
+    }
+
+    # 2. driver incremental scan: latestOffset over a fresh reader at
+    #    1x and repl*x transactions (frame-header cost + fingerprint).
+    def scan_rate(n_tx):
+        d = tempfile.mkdtemp(prefix="scan_stress_")
+        log = os.path.join(d, "scan.log")
+        w = WorkloadWriter(log)
+        w.relation(16385, "integration", [(True, "id", 20, -1), (False, "v", 25, -1)])
+        for i in range(n_tx):
+            w.tx([pg.encode_insert(16385, [str(i), "v" * 40])])
+        w.close()
+        n_frames = sum(1 for _ in scan_frames(log))
+        r = PgCdcStreamReader({"path": log})
+        t0 = time.perf_counter()
+        r.latestOffset()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(d, ignore_errors=True)
+        return n_frames / dt
+
+    base = max(scan_rate(n_base) for _ in range(3))
+    scaled = scan_rate(n_base * repl)
+    out["driver_incremental_scan"] = {
+        "base_frames_per_sec": round(base),
+        f"x{repl}_frames_per_sec": round(scaled),
+        "throughput_ratio": round(scaled / base, 2),
+    }
+
+    # 3. wire tailer vs emulated walsender (negotiation + lag telemetry).
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    from test_pgwire import DB, USER, FakeWalsender
+
+    from pypgcdc_spark.sources.pgwire import WireReplicationTailer
+
+    class _FastWalsender(FakeWalsender):
+        """Throughput variant of the protocol fixture: the stock fake
+        drains the client socket after EVERY frame with a 50 ms read
+        timeout (a correctness harness, ~20 frames/s ceiling), which
+        would measure the fixture, not the tailer.  Drain every 256
+        frames instead; the protocol is unaffected (standby statuses
+        just batch up in the socket buffer)."""
+
+        _calls = 0
+
+        def _drain_client(self, conn):
+            self._calls += 1
+            if self._calls % 256:
+                return False
+            return super()._drain_client(conn)
+
+    def tail_rate(n_tx):
+        d = tempfile.mkdtemp(prefix="tail_stress_")
+        src = os.path.join(d, "src.log")
+        w = WorkloadWriter(src)
+        w.relation(16385, "integration", [(True, "id", 20, -1), (False, "v", 25, -1)])
+        for i in range(n_tx):
+            w.tx([pg.encode_insert(16385, [str(i), "v" * 40])])
+        w.close()
+        frames = [(fr.lsn, fr.payload) for fr in scan_frames(src)]
+        srv = _FastWalsender(auth="trust", frames=frames, slot_exists=True)
+        srv.start()
+        log = os.path.join(d, "wire.log")
+        tailer = WireReplicationTailer("127.0.0.1", srv.port, USER, DB, "pub1", "slot1", log)
+        tailer.start()
+        t0 = time.perf_counter()
+        # max_messages: return at the last frame (no idle-drain tail in
+        # the measurement window).
+        n = tailer.run(max_messages=len(frames))
+        dt = time.perf_counter() - t0
+        tailer.stop()
+        srv.join(10)
+        assert n == len(frames), (n, len(frames))
+        shutil.rmtree(d, ignore_errors=True)
+        return n / dt
+
+    base = max(tail_rate(n_base) for _ in range(2))
+    scaled = tail_rate(n_base * repl)
+    out["wire_tailer_ingest"] = {
+        "base_msgs_per_sec": round(base),
+        f"x{repl}_msgs_per_sec": round(scaled),
+        "throughput_ratio": round(scaled / base, 2),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=10)
-    ap.add_argument("--out", default="SCALE_STRESS_r03.json")
+    ap.add_argument("--out", default="SCALE_STRESS_r08.json")
+    ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
     args = ap.parse_args()
     repl = args.repl
 
@@ -221,7 +361,7 @@ def main() -> None:
     from pypgcdc_spark.session import get_spark
 
     ensure_registered()
-    spark = get_spark("scale-stress", cpus=os.cpu_count() or 8)
+    spark = get_spark("scale-stress", cpus=args.cpus)
     work = tempfile.mkdtemp(prefix="sf_scaled_")
     report = {"repl": repl, "base": BASE, "queries": {}, "correctness": {}}
     try:
@@ -252,7 +392,7 @@ def main() -> None:
         # so the bucketed variant's one-time edge-table build lands in the
         # warm-up execution (steady-state semantics, same as every other
         # stressed query).
-        for name in STRESS_ITER + STRESS_R4 + STRESS_R4S3:
+        for name in STRESS_ITER + STRESS_R4 + STRESS_R4S3 + STRESS_R8:
             fn = REGISTRY[name].fn
             try:
                 fn(spark, WARM).write.format("noop").mode("overwrite").save()
@@ -268,6 +408,11 @@ def main() -> None:
                 "rows_ratio": repl,
                 "superlinearity": round(ratio / repl, 2) if ratio else None,
             }
+
+        # -- r8 kernel scalings (verdict task 6): the paths rounds 7-8
+        # touched, measured as THROUGHPUT at 1x and 10x volume (flat
+        # per-unit cost == linear scaling).
+        report["queries"].update(r8_kernel_scalings(repl))
 
         # -- streaming interval-join kernel: steady-state rows/s at both
         # scales (disjoint per-replica users ⇒ identical join structure;
