@@ -56,6 +56,10 @@ class SchemaRegistry:
 
     database: str = "replay"
     _versions: Dict[Tuple[str, int], List[SchemaVersion]] = field(default_factory=dict)
+    # Versions dropped by prune_below: the revision watermark stays
+    # monotone (and equal to what a from-scratch log rescan would count)
+    # by accounting for pruned history.
+    _pruned: int = 0
 
     def register_relation(self, rel: Relation, lsn: int = 0, db: Optional[str] = None) -> TableSchema:
         """Upsert from a decoded ``R`` message. New version only on change."""
@@ -121,6 +125,35 @@ class SchemaRegistry:
     def tables(self) -> List[TableSchema]:
         return [chain[-1].schema for chain in self._versions.values()]
 
+    def prune_below(self, lsn_floor: int) -> int:
+        """Drop schema versions that can never be consulted again.
+
+        For each relation, keep the version IN FORCE at ``lsn_floor``
+        (the newest version with ``first_lsn <= floor``) and everything
+        after it; versions wholly superseded below the floor are dead —
+        no replayable batch starts below a durably-acked offset, so
+        ``get_at_lsn`` will never be asked about their span again.
+
+        This is the version-history analog of the reader's snapshot GC:
+        without it the registry (and so every persisted snapshot) grows
+        O(total versions) — under the round-8 soak's DDL storm (1,599
+        ALTERs) the latest snapshot reached 147 MB because every
+        column-add version was retained forever.  Returns the number of
+        versions dropped; ``revision`` is unchanged (the monotone
+        watermark accounts for pruned history, and a from-scratch log
+        rescan re-counts the same total)."""
+        dropped = 0
+        for chain in self._versions.values():
+            keep_from = 0
+            for i, v in enumerate(chain):
+                if v.first_lsn <= lsn_floor:
+                    keep_from = i
+            if keep_from:
+                dropped += keep_from
+                del chain[:keep_from]
+        self._pruned += dropped
+        return dropped
+
     # -- persistence (checkpoint survival; the reference loses its registry
     # -- on restart and re-learns from Relation messages) -------------------
     @property
@@ -130,12 +163,13 @@ class SchemaRegistry:
         so the registry content at revision N is identical no matter
         how many times the scan is rebuilt — N keys a stable snapshot
         (the offset watermark of the ``pgcdc`` source)."""
-        return sum(len(chain) for chain in self._versions.values())
+        return self._pruned + sum(len(chain) for chain in self._versions.values())
 
     def dumps(self) -> str:
         return json.dumps(
             {
                 "database": self.database,
+                "pruned": self._pruned,
                 "entries": [
                     {
                         "db": db,
@@ -160,6 +194,7 @@ class SchemaRegistry:
     def loads(cls, s: str) -> "SchemaRegistry":
         data = json.loads(s)
         reg = cls(database=data["database"])
+        reg._pruned = int(data.get("pruned", 0))  # absent in pre-r8 snapshots
         for e in data["entries"]:
             chain = []
             for v in e["versions"]:

@@ -486,8 +486,21 @@ class PgCdcStreamReader(DataSourceStreamReader):
                     if fn.startswith("reg-") and fn.endswith(".json"):
                         if fn[4:-5].isdigit() and int(fn[4:-5]) < rev:
                             os.remove(os.path.join(d, fn))
+                    elif fn.endswith(".json.tmp"):
+                        # Orphaned temp from a persist interrupted between
+                        # write and the atomic replace (the r8 soak left
+                        # two behind under consumer kills).
+                        os.remove(os.path.join(d, fn))
             except OSError:
                 pass  # GC is best-effort; correctness never depends on it
+        # Version-history GC (the snapshot-GC analog at the content
+        # level): versions wholly superseded below the durably-acked LSN
+        # can never be consulted by a replayable batch again.  Without
+        # this, DDL churn grows every FUTURE snapshot O(total versions)
+        # ever seen — the r8 soak's 1,599-ALTER storm reached a 147 MB
+        # snapshot.  The revision watermark is unaffected (monotone,
+        # rescan-stable); already-persisted snapshots are untouched.
+        self._registry.prune_below(int(end.get("lsn", 0)))
 
     def stop(self) -> None:
         pass

@@ -703,3 +703,73 @@ def test_small_registry_inlined_in_partition_payload(tmp_path):
         assert '"integration"' in p.registry_json
     rows = [t for p in parts for t in r.read(p)]
     assert [t[0] for t in rows] == ["I"]
+
+
+# -- r8 soak finding: registry snapshot growth under DDL churn -------------
+
+
+def test_registry_version_pruning_bounds_snapshot_growth(tmp_path):
+    """Versions wholly superseded below the acked LSN are pruned at
+    commit(), so persisted snapshots stop growing O(total versions ever
+    seen) — the r8 soak's 1,599-ALTER storm reached a 147 MB snapshot
+    without this.  The revision watermark stays monotone and lookups at
+    or above the floor are unchanged."""
+    # Unit level first.
+    reg = SchemaRegistry()
+    for k, lsn in enumerate((10, 50, 90)):
+        cols = [(True, "id", 20, -1)] + [(False, f"c{j}", 23, -1) for j in range(k + 1)]
+        reg.register_relation(pg.decode_relation(
+            pg.encode_relation(900, "public", "churny", cols)), lsn=lsn)
+    assert reg.revision == 3
+    s_v70 = reg.get_at_lsn(900, 70)
+    dropped = reg.prune_below(60)  # v1 (span 10..50) is dead; v2 in force
+    assert dropped == 1
+    assert reg.revision == 3  # monotone watermark unchanged
+    assert reg.get_at_lsn(900, 70) == s_v70
+    assert len(reg.get(900).column_definitions) == 4  # latest intact
+    reg2 = SchemaRegistry.loads(reg.dumps())  # roundtrip keeps the counter
+    assert reg2.revision == 3
+
+    # Reader level: snapshots persisted AFTER a commit shrink.
+    import os
+
+    log = str(tmp_path / "ddl.log")
+    w = ReplayLogWriter(log)
+    n_alter = 20
+    for k in range(n_alter):
+        cols = [(True, "id", 20, -1)] + [(False, f"c{j}", 23, -1) for j in range(k + 1)]
+        w.append(10 + k * 10, pg.encode_relation(901, "public", "churny", cols))
+        w.append(12 + k * 10, pg.encode_begin(15 + k * 10, _TS, 600 + k))
+        w.append(13 + k * 10, pg.encode_insert(901, [str(k)] + [str(j) for j in range(k + 1)]))
+        w.append(15 + k * 10, pg.encode_commit(15 + k * 10, 15 + k * 10, _TS))
+    w.close()
+
+    r = PgCdcStreamReader({"path": log})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert len(_drain(r, o0, o1)) == n_alter
+    pre = len(r._registry.dumps())
+    r.commit(o1)  # ack everything -> all but the latest version are dead
+    assert len(r._registry.dumps()) < pre / 3
+    assert r._registry.revision == n_alter  # watermark untouched
+
+    # New DDL after the prune: the next snapshot persists the SMALL
+    # registry and new batches decode through it.
+    w2 = ReplayLogWriter(log)
+    cols = [(True, "id", 20, -1)] + [(False, f"c{j}", 23, -1) for j in range(n_alter + 1)]
+    w2.append(500, pg.encode_relation(901, "public", "churny", cols))
+    w2.append(510, pg.encode_begin(530, _TS, 700))
+    w2.append(520, pg.encode_insert(901, ["99"] + [str(j) for j in range(n_alter + 1)]))
+    w2.append(530, pg.encode_commit(530, 530, _TS))
+    w2.close()
+    o2 = r.latestOffset()
+    assert r._registry.revision == n_alter + 1
+    snap = os.path.join(log + ".registry.d", f"reg-{n_alter + 1:08d}.json")
+    assert os.path.exists(snap)
+    import json as _json
+
+    persisted = _json.load(open(snap))
+    n_versions = sum(len(e["versions"]) for e in persisted["entries"])
+    assert n_versions == 2  # the in-force version at the floor + the new one
+    rows = _drain(r, o1, o2)
+    assert [t[0] for t in rows] == ["I"]
