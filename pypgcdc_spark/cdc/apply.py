@@ -230,43 +230,177 @@ class DeleteAwareMerger:
       O(state)-per-batch sink (found by sizing the large-state soak).
       The bucket is computed ONCE per key from the envelope's wire key
       strings (deterministic transform rendering) and thereafter carried
-      as a stored column — typed-value re-rendering never enters it.
+      as a stored column — typed-value re-rendering never enters it;
+      the raw concatenated key string rides along as ``_kraw`` so a
+      REBUCKET can recompute buckets from the exact original bytes.
+    * ``n_buckets="auto"``: like bucketed, but the bucket count is
+      derived from the state's on-disk volume (power-of-two, grows when
+      mean bucket size crosses ``target_bucket_bytes``) and persisted in
+      a ``_nbuckets.json`` meta sidecar inside the dataset, so a
+      restarted stream resumes with the same layout.  Crossing the
+      threshold triggers ONE full rewrite into the new bucket count
+      (the amortized cost a lake table pays for re-clustering); 4.95M
+      state rows at a fixed 64 buckets gave p50 27.5s batches in the r8
+      soak — bucket count must track state volume, not be a knob.
+
+    Two bucketed-mode correctness subtleties (ADVICE r8, both pinned by
+    tests):
+
+    * dynamic partition overwrite only replaces partitions PRESENT in
+      the written data — a touched bucket whose every key was deleted
+      produces no rows, so its stale partition directory must be removed
+      explicitly or the deleted keys resurrect on the next read;
+    * a TRUNCATE ('T') envelope row has no key, so it hashes into one
+      arbitrary bucket — the merge must treat EVERY existing bucket as
+      touched for that batch (truncate is table-wide by definition).
     """
+
+    #: auto mode grows the bucket count when mean bucket size crosses this.
+    TARGET_BUCKET_BYTES = 128 << 20
+    MIN_BUCKETS = 8
 
     def __init__(
         self,
         spark: SparkSession,
         schema: TableSchema,
         target_path: str,
-        n_buckets: Optional[int] = None,
+        n_buckets=None,
+        target_bucket_bytes: Optional[int] = None,
     ):
         self.spark = spark
         self.schema = schema
         self.target_path = target_path
-        self.n_buckets = n_buckets
+        self.auto = n_buckets == "auto"
+        self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        if self.auto:
+            self.n_buckets = self._load_meta() or self.MIN_BUCKETS
+        else:
+            self.n_buckets = n_buckets
 
-    def _bucket_expr(self):
+    # -- bucket-layout metadata (auto mode) ------------------------------
+
+    def _meta_path(self) -> str:
+        # Underscore-prefixed files are invisible to Spark's parquet
+        # listing, so the sidecar can live inside the dataset dir.
+        import os
+
+        return os.path.join(self.target_path, "_nbuckets.json")
+
+    def _load_meta(self) -> Optional[int]:
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                return int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _save_meta(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.target_path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": int(self.n_buckets)}, f)
+        os.replace(tmp, self._meta_path())
+
+    def _state_bytes(self) -> int:
+        import os
+
+        total = 0
+        for root, _dirs, files in os.walk(self.target_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        return total
+
+    def _existing_buckets(self) -> list:
+        import os
+
+        try:
+            return sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.target_path)
+                if d.startswith("_bucket=")
+            )
+        except (OSError, ValueError):
+            return []
+
+    # -- key hashing ------------------------------------------------------
+
+    def _kraw_expr(self):
+        """The wire key rendered to one string — THE bucket-hash input.
+        Computed once from the envelope's key map and stored, so every
+        later bucket computation (including rebucketing) hashes the exact
+        original bytes, never a typed-value re-rendering."""
         key_cols = self.schema.get_key_columns()
-        return F.pmod(
-            F.xxhash64(
-                F.concat_ws("\x1f", *[F.col("key").getItem(k) for k in key_cols])
-            ),
-            F.lit(self.n_buckets),
-        ).cast("int")
+        return F.concat_ws("\x1f", *[F.col("key").getItem(k) for k in key_cols])
+
+    @staticmethod
+    def _bucket_of(kraw_col, n: int):
+        return F.pmod(F.xxhash64(kraw_col), F.lit(n)).cast("int")
+
+    def _maybe_rebucket(self) -> None:
+        """Auto mode: grow the bucket count (power of two) when the mean
+        bucket size crosses the target, then rewrite the WHOLE dataset
+        once under the new layout.  The stored ``_kraw`` strings are the
+        hash input, so old and new layouts hold bit-identical rows — only
+        the partition assignment changes (pinned by
+        test_bucketed_merger_rebucket_equivalence)."""
+        total = self._state_bytes()
+        if total <= self.n_buckets * self.target_bucket_bytes:
+            return
+        new_n = self.n_buckets
+        while total > new_n * self.target_bucket_bytes:
+            new_n *= 2
+        full = self.spark.read.parquet(self.target_path)
+        relaid = full.withColumn(
+            "_bucket", self._bucket_of(F.col("_kraw"), new_n)
+        ).localCheckpoint(eager=True)
+        # Static overwrite: the whole dataset is replaced in one commit
+        # (dynamic mode would leave bucket ids >= new data's range stale).
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        relaid.write.mode("overwrite").partitionBy("_bucket").parquet(
+            self.target_path
+        )
+        self.n_buckets = new_n
+        self._save_meta()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
         env = batch_df
         key_cols = self.schema.get_key_columns()
         struct = self.schema.to_struct_type()
         bucketed = self.n_buckets is not None
         touched: list = []
+        has_truncate = False
         if bucketed:
             if env.isEmpty():
                 return
-            env = env.withColumn("_bucket", self._bucket_expr())
-            touched = sorted(
-                r._bucket for r in env.select("_bucket").distinct().collect()
+            env = env.withColumn("_kraw", self._kraw_expr()).withColumn(
+                "_bucket", self._bucket_of(F.col("_kraw"), self.n_buckets)
             )
+            # ONE bounded collect covers both the touched-bucket ids and
+            # the truncate flag (≤ n_buckets + 1 rows of metadata).
+            meta = (
+                env.select("_bucket", (F.col("op") == "T").alias("_t"))
+                .groupBy("_bucket")
+                .agg(F.max("_t").alias("_t"))
+                .collect()
+            )
+            touched = sorted(r._bucket for r in meta)
+            has_truncate = any(r._t for r in meta)
+            if has_truncate:
+                # TRUNCATE is table-wide: every bucket that exists on disk
+                # is in the merge window, or stale rows survive in buckets
+                # the 'T' row didn't hash into (ADVICE r8).
+                touched = sorted(set(touched) | set(self._existing_buckets()))
         try:
             target = self.spark.read.parquet(self.target_path)
             exists = True
@@ -277,7 +411,7 @@ class DeleteAwareMerger:
         if exists and target is not None:
             if bucketed:
                 # Only the touched buckets re-enter the merge window; the
-                # stored _bucket column is reused verbatim (never
+                # stored _bucket/_kraw columns are reused verbatim (never
                 # recomputed from typed values).
                 target = target.filter(F.col("_bucket").isin(touched))
             # Baseline rows re-enter the window as lsn=-1 'I' events so one
@@ -301,20 +435,38 @@ class DeleteAwareMerger:
                     F.array(*[F.lit(f.name) for f in struct.fields]),
                     F.array(*[F.col(f.name).cast("string") for f in struct.fields]),
                 ).alias("after"),
-                *([F.col("_bucket")] if bucketed else []),
+                *([F.col("_bucket"), F.col("_kraw")] if bucketed else []),
             )
             env = baseline.unionByName(env.select(baseline.columns))
 
         if bucketed:
-            state = typed_state(env, self.schema, passthrough=["_bucket"])
-            # Materialize before the overwrite (read-own-write lineage on
-            # the state path) and replace ONLY the touched partitions.
+            state = typed_state(
+                env, self.schema, passthrough=["_bucket", "_kraw"]
+            ).localCheckpoint(eager=True)
+            # Replace ONLY the touched partitions (checkpoint first: the
+            # plan reads the same path it overwrites).
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            state.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-                "_bucket"
-            ).parquet(self.target_path)
+            state.write.mode("overwrite").partitionBy("_bucket").parquet(
+                self.target_path
+            )
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # written data.  A touched bucket with zero surviving rows
+            # (batch deleted its every key, or a truncate emptied it)
+            # keeps its OLD files on disk — and the deleted keys would
+            # resurrect on the next read (ADVICE r8).  Diff and remove.
+            present = {
+                r._bucket for r in state.select("_bucket").distinct().collect()
+            }
+            for b in set(touched) - present:
+                shutil.rmtree(
+                    os.path.join(self.target_path, f"_bucket={b}"),
+                    ignore_errors=True,
+                )
+            if self.auto:
+                self._save_meta()
+                self._maybe_rebucket()
             return
         state = typed_state(env, self.schema)
         # Small current-state tables write single-file; at scale the

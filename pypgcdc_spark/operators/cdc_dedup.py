@@ -66,10 +66,19 @@ class SignatureIndexMaintainer:
     Deletes leave tombstones so a late stale update cannot resurrect a
     deleted document."""
 
-    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_SIG_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = N_SIG_BUCKETS,
+        guard_id: str = None,
+    ):
         self.spark = spark
         self.work = work_dir
         self.n_buckets = n_buckets
+        # Stream-lineage identity for the replay guard (checkpoint path):
+        # batch ids reset under a fresh checkpoint (ADVICE r8).
+        self.guard_id = guard_id
         self.path = f"{work_dir}/sig_state"
         self._has_state = False
 
@@ -89,14 +98,14 @@ class SignatureIndexMaintainer:
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if already_applied(self.work, batch_id):
+        if already_applied(self.work, batch_id, self.guard_id):
             return  # foreachBatch replay (at-least-once): already committed
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         if batch_df.isEmpty():
-            mark_applied(self.work, batch_id)
+            mark_applied(self.work, batch_id, self.guard_id)
             return
         batch_buckets = touched_buckets(batch_df, bucket)
 
@@ -155,7 +164,7 @@ class SignatureIndexMaintainer:
         )
         new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
         self._has_state = True
-        mark_applied(self.work, batch_id)
+        mark_applied(self.work, batch_id, self.guard_id)
 
     def signatures(self) -> DataFrame:
         """Live long-layout signatures (doc_id, seed, mh) from the index."""
@@ -277,7 +286,7 @@ def cdc_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only the state dir and checkpoint are per-run.
         log_dir = chunked_doc_log(spark, sf_dir)
 
-        maint = SignatureIndexMaintainer(spark, work)
+        maint = SignatureIndexMaintainer(spark, work, guard_id=f"{work}/ckpt")
         q = (
             spark.readStream.schema("lsn LONG, op STRING, doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", 1)
@@ -313,10 +322,19 @@ class PostingsIndexMaintainer:
     max-LSN-per-doc within the batch, stale-LSN rejection against stored
     state, tombstones against resurrection."""
 
-    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_SIG_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = N_SIG_BUCKETS,
+        guard_id: str = None,
+    ):
         self.spark = spark
         self.work = work_dir
         self.n_buckets = n_buckets
+        # Stream-lineage identity for the replay guard (checkpoint path):
+        # batch ids reset under a fresh checkpoint (ADVICE r8).
+        self.guard_id = guard_id
         self.path = f"{work_dir}/postings_state"
         self._has_state = False
 
@@ -333,14 +351,14 @@ class PostingsIndexMaintainer:
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if already_applied(self.work, batch_id):
+        if already_applied(self.work, batch_id, self.guard_id):
             return  # foreachBatch replay (at-least-once): already committed
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         if batch_df.isEmpty():
-            mark_applied(self.work, batch_id)
+            mark_applied(self.work, batch_id, self.guard_id)
             return
         batch_buckets = touched_buckets(batch_df, bucket)
 
@@ -411,7 +429,7 @@ class PostingsIndexMaintainer:
         )
         new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
         self._has_state = True
-        mark_applied(self.work, batch_id)
+        mark_applied(self.work, batch_id, self.guard_id)
 
     def live_postings(self) -> DataFrame:
         """(doc_id, t, f, dl) for live documents (marker rows excluded)."""
@@ -479,7 +497,7 @@ def cdc_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         log_dir = chunked_doc_log(spark, sf_dir)
 
-        maint = PostingsIndexMaintainer(spark, work)
+        maint = PostingsIndexMaintainer(spark, work, guard_id=f"{work}/ckpt")
         q = (
             spark.readStream.schema("lsn LONG, op STRING, doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", 1)

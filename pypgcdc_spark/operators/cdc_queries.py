@@ -240,7 +240,7 @@ def cdc_incremental_view(spark, sf_dir):
         # only the state dir and checkpoint are per-run.
         log_dir = _chunked_event_log(spark, sf_dir, events)
 
-        ivm = BucketedViewMaintainer(spark, work, n_buckets=16)
+        ivm = BucketedViewMaintainer(spark, work, n_buckets=16, guard_id=f"{work}/ckpt")
         q = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -308,7 +308,7 @@ def cdc_targeted_erasure(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="cdc_erase_")
     try:
         log_dir = _chunked_event_log(spark, sf_dir, events)
-        ivm = BucketedViewMaintainer(spark, work, n_buckets=16)
+        ivm = BucketedViewMaintainer(spark, work, n_buckets=16, guard_id=f"{work}/ckpt")
         q = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)

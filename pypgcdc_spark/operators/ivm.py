@@ -57,10 +57,21 @@ class BucketedViewMaintainer:
     the maintained view (live keys + cent sums per last event type).
     """
 
-    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = 16,
+        guard_id: str = None,
+    ):
         self.spark = spark
         self.work = work_dir
         self.n_buckets = n_buckets
+        # Stream-lineage identity for the replay guard (conventionally the
+        # checkpoint path): batch ids reset to 0 under a fresh checkpoint,
+        # so the durable high-water is only meaningful within one lineage
+        # (ADVICE r8; see batch_guard module docstring).
+        self.guard_id = guard_id
         self.key_path = f"{work_dir}/key_state"
         self._has_keys = False
         self._agg_rows: list = []
@@ -92,13 +103,13 @@ class BucketedViewMaintainer:
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
 
-        if already_applied(self.work, batch_id):
+        if already_applied(self.work, batch_id, self.guard_id):
             return  # foreachBatch replay (at-least-once): already committed
         if batch_df.isEmpty():
             # Idle micro-batches are normal on a live feed; a zero-row
             # dynamic overwrite could also leave a fileless state dir
             # that flips _has_keys before any row ever landed.
-            mark_applied(self.work, batch_id)
+            mark_applied(self.work, batch_id, self.guard_id)
             return
         conf = self.spark.conf
         saved = {
@@ -115,7 +126,7 @@ class BucketedViewMaintainer:
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         try:
             self._apply(batch_df)
-            mark_applied(self.work, batch_id)
+            mark_applied(self.work, batch_id, self.guard_id)
         finally:
             for k, v in saved.items():
                 conf.set(k, v)

@@ -187,26 +187,47 @@ class JoinViewMaintainer:
     AGG_SCHEMA = "priority STRING, n_lines LONG, total_cents LONG"
     A_COLS = "orderkey LONG, custkey LONG, priority STRING, lsn LONG"
     B_COLS = "orderkey LONG, b_n LONG, b_cents LONG"
+    STATE_SCHEMA = (
+        "tbl STRING, bucket INT, orderkey LONG, custkey LONG, "
+        "priority STRING, lsn LONG, b_n LONG, b_cents LONG"
+    )
 
-    def __init__(self, spark: SparkSession, work_dir: str, n_buckets: int = N_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = N_BUCKETS,
+        guard_id: str = None,
+    ):
+        from pypgcdc_spark.operators.atomic_state import ManifestState
+
         self.spark = spark
         self.work = work_dir
         self.n_buckets = n_buckets
-        self._has_state = False
-        self._agg_rows: list = []
+        # Stream-lineage identity for the replay guard (checkpoint path):
+        # batch ids reset under a fresh checkpoint (ADVICE r8).
+        self.guard_id = guard_id
+        # State + batch marker + aggregate rows commit as ONE atomic
+        # manifest rename (r8 verdict task 3): the B-side fold is per-order
+        # SUMS, so the crash-between-state-and-marker window of the plain
+        # batch_guard protocol would double-count a replayed delta-B.
+        # The manifest also makes the aggregate restart-durable (it was
+        # driver memory before).
+        self.state = ManifestState(spark, f"{work_dir}/state", ["tbl", "bucket"])
+        self._agg_rows: list = [
+            tuple(r) for r in self.state.extra("agg", [])
+        ]
 
     def _read_part(self, tbl: str, cols: str, batch_buckets=None) -> DataFrame:
-        """One logical table out of the unified state dataset, bucket-
-        pruned by a static ``isin`` partition filter from the batch's
-        collected bucket ids (bounded metadata; DPP does not fire on the
-        broadcast-join shape — ADVICE r7, see state_prune.py)."""
-        if not self._has_state:
-            return self.spark.createDataFrame([], cols)
-        df = self.spark.read.parquet(f"{self.work}/state").filter(F.col("tbl") == tbl)
+        """One logical table out of the unified manifest-committed state,
+        bucket-pruned by partition-column filters from the batch's
+        collected bucket ids (bounded metadata; the manifest's
+        (tbl, bucket, _b) identity filter is itself all partition
+        columns, so only live directories are even listed)."""
+        flt = F.col("tbl") == tbl
         if batch_buckets is not None:
-            from pypgcdc_spark.operators.state_prune import prune_buckets
-
-            df = prune_buckets(df, batch_buckets)
+            flt = flt & F.col("bucket").isin([int(b) for b in batch_buckets])
+        df = self.state.read(self.STATE_SCHEMA, flt)
         return df.select(*[c.split()[0] for c in cols.split(", ")])
 
     def _read_agg(self) -> DataFrame:
@@ -216,20 +237,22 @@ class JoinViewMaintainer:
         return self._read_agg().filter(F.col("n_lines") > 0)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
-
         # The replay guard is LOAD-BEARING here, not belt-and-braces: the
         # B-side folds as per-order line SUMS (no per-line identity), so
         # re-adding a replayed delta-B would double-count.  foreachBatch
         # re-delivers the same batch_id with the same data after a sink
-        # failure; skipping it is the documented exactly-once recipe.
-        if already_applied(self.work, batch_id):
+        # failure; skipping it is the documented exactly-once recipe —
+        # and the guard is the manifest itself, so there is no window
+        # between "state committed" and "batch marked".
+        if self.state.already_applied(batch_id, self.guard_id):
             return
         if batch_df.isEmpty():
-            # Idle micro-batches are normal on a live feed; touching
-            # state for one would also mark state-as-written before any
-            # row ever landed.
-            mark_applied(self.work, batch_id)
+            # Idle micro-batches are normal on a live feed: a marker-only
+            # manifest commit (no staged data) advances the high-water.
+            self.state.finalize(
+                None, [], batch_id, self.guard_id,
+                extra={"agg": [list(r) for r in self._agg_rows]},
+            )
             return
         spark = self.spark
         conf = spark.conf
@@ -248,13 +271,12 @@ class JoinViewMaintainer:
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         bucket = (F.col("orderkey") % self.n_buckets).cast("int")
         try:
-            self._apply(batch_df, bucket)
-            mark_applied(self.work, batch_id)
+            self._apply(batch_df, bucket, batch_id)
         finally:
             for k, v in saved.items():
                 conf.set(k, v)
 
-    def _apply(self, batch_df: DataFrame, bucket) -> None:
+    def _apply(self, batch_df: DataFrame, bucket, batch_id: int) -> None:
         from pypgcdc_spark.operators.state_prune import touched_buckets
 
         batch_buckets = touched_buckets(batch_df, bucket)
@@ -429,18 +451,27 @@ class JoinViewMaintainer:
                 "b_cents",
             )
         )
-        # The delta fold (bounded collect: priorities × counters — the
-        # maintained aggregate is metadata-sized driver state, not a
-        # parquet file) and the state write both stream from checkpointed
-        # W blocks and depend on nothing of each other: run them as
-        # concurrent Spark jobs.
-        self._agg_rows = _concurrently(
+        # The delta fold (bounded collect: priorities × counters) and the
+        # data STAGING write both stream from checkpointed W blocks and
+        # depend on nothing of each other: run them as concurrent Spark
+        # jobs.  Staged data is invisible until the manifest swap below —
+        # state rows, batch marker AND the new aggregate commit in ONE
+        # atomic rename, so a crash anywhere in this function re-applies
+        # the batch against the OLD state (no double-count window).
+        touched = [(t, b) for t in ("A", "B") for b in batch_buckets]
+        staged: list = []
+        rows = _concurrently(
             lambda: agg_new.collect(),
-            lambda: unified.write.mode("overwrite")
-            .partitionBy("tbl", "bucket")
-            .parquet(f"{self.work}/state"),
+            lambda: staged.append(self.state.stage(unified, batch_id)),
         )
-        self._has_state = True
+        self.state.finalize(
+            staged[0] if staged else None,
+            touched,
+            batch_id,
+            self.guard_id,
+            extra={"agg": [[r.priority, r.n_lines, r.total_cents] for r in rows]},
+        )
+        self._agg_rows = rows
 
 
 @query(
@@ -474,7 +505,7 @@ def cdc_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="cdc_jivm_")
     try:
         log_dir = chunked_join_log(spark, sf_dir)
-        maint = JoinViewMaintainer(spark, work)
+        maint = JoinViewMaintainer(spark, work, guard_id=f"{work}/ckpt")
         q = (
             spark.readStream.schema(A_SCHEMA)
             .option("maxFilesPerTrigger", 1)

@@ -189,7 +189,7 @@ def steady_state_stream_metrics(spark: SparkSession, sf_dir: str) -> Dict[str, d
 
         from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
 
-        ivm = BucketedViewMaintainer(spark, f"{work}/ivm", n_buckets=16)
+        ivm = BucketedViewMaintainer(spark, f"{work}/ivm", n_buckets=16, guard_id=f"{work}/ckpt_ivm")
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         q = (
             spark.readStream.schema(schema)

@@ -238,6 +238,13 @@ class PgCdcStreamReader(DataSourceStreamReader):
             self._scanner = replay.TxBoundaryScanner()
             self._scanned_pos = rewind
             self._fp = None
+            # The rewind may mean the log was RECREATED (full rewrite, new
+            # generation), not just a torn-tail truncate: drop the cached
+            # generation stamp so the next ack re-reads it from the
+            # current first frame.  Stamping new-generation acks with the
+            # OLD identity would make a later restart reject a valid
+            # `.ack` sidecar and re-ack from zero (ADVICE r8).
+            self._log_id = ""
         if size <= self._scanned_pos:
             return
         # Prefix scan: boundary detection touches ≤38 payload bytes per

@@ -128,7 +128,7 @@ def main() -> int:
             (r.priority, r.n_lines, r.total_cents) for r in m.aggregate().collect()
         )
         state = sorted(
-            (tuple(r) for r in spark.read.parquet(f"{m.work}/state").drop("bucket").collect()),
+            (tuple(r) for r in m.state.read(m.STATE_SCHEMA).drop("bucket").collect()),
             key=repr,
         )
         return agg, state

@@ -102,16 +102,75 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     jm.apply_batch(jb1, 1)
     jagg = sorted((r.priority, r.n_lines, r.total_cents) for r in jm.aggregate().collect())
     jstate = sorted(
-        (tuple(r) for r in spark.read.parquet(f"{jm.work}/state").collect()), key=repr
+        (tuple(r) for r in jm.state.read(jm.STATE_SCHEMA).collect()), key=repr
     )
     jm.apply_batch(jb1, 1)  # replay
     assert sorted(
         (r.priority, r.n_lines, r.total_cents) for r in jm.aggregate().collect()
     ) == jagg
     assert sorted(
-        (tuple(r) for r in spark.read.parquet(f"{jm.work}/state").collect()), key=repr
+        (tuple(r) for r in jm.state.read(jm.STATE_SCHEMA).collect()), key=repr
     ) == jstate
     assert jagg == [("HIGH", 2, 1200)]  # both B lines joined, counted once each
+
+
+def test_join_ivm_crash_between_state_and_marker(spark, tmp_path):
+    """The r8 residual window: a crash AFTER the state write but BEFORE
+    the batch marker re-applied one batch on restart, double-counting the
+    join IVM's accumulating B-side.  The manifest protocol removes the
+    window: data staging and marker are ONE atomic rename, so a crash at
+    ANY point inside apply_batch leaves the committed state untouched and
+    the redelivered batch applies against it exactly once.
+
+    The crash is injected at the worst spot — after the staged data files
+    are fully on disk, a millisecond before the manifest swap."""
+    jb0 = spark.createDataFrame(
+        [(10, "A", 1, 0, 7, "HIGH", 0), (11, "B", 1, 1, 0, None, 500)], A_SCHEMA
+    )
+    jb1 = spark.createDataFrame([(20, "B", 1, 2, 0, None, 700)], A_SCHEMA)
+
+    # Control: the no-crash run.
+    ctl = JoinViewMaintainer(spark, str(tmp_path / "ctl"))
+    ctl.apply_batch(jb0, 0)
+    ctl.apply_batch(jb1, 1)
+    want_agg = sorted(
+        (r.priority, r.n_lines, r.total_cents) for r in ctl.aggregate().collect()
+    )
+    want_state = sorted(
+        (tuple(r) for r in ctl.state.read(ctl.STATE_SCHEMA).collect()), key=repr
+    )
+    assert want_agg == [("HIGH", 2, 1200)]
+
+    # Crash run: batch 1 dies between staging and the manifest swap.
+    jm = JoinViewMaintainer(spark, str(tmp_path / "crash"))
+    jm.apply_batch(jb0, 0)
+    real_finalize = jm.state.finalize
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest swap")
+
+    jm.state.finalize = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        jm.apply_batch(jb1, 1)
+    jm.state.finalize = real_finalize
+
+    # "Restart": a FRESH maintainer over the same dir (driver state gone —
+    # the aggregate must restore from the manifest, not memory) sees
+    # batch 1 as NOT applied and the redelivery lands exactly once.
+    jm2 = JoinViewMaintainer(spark, str(tmp_path / "crash"))
+    assert not jm2.state.already_applied(1)
+    jm2.apply_batch(jb1, 1)  # redelivery
+    assert sorted(
+        (r.priority, r.n_lines, r.total_cents) for r in jm2.aggregate().collect()
+    ) == want_agg
+    assert sorted(
+        (tuple(r) for r in jm2.state.read(jm2.STATE_SCHEMA).collect()), key=repr
+    ) == want_state
+    # And a replay of the now-committed batch is still a no-op.
+    jm2.apply_batch(jb1, 1)
+    assert sorted(
+        (r.priority, r.n_lines, r.total_cents) for r in jm2.aggregate().collect()
+    ) == want_agg
 
 
 def test_out_of_order_batches_converge(spark, tmp_path):
