@@ -27,6 +27,11 @@ def main(argv=None) -> int:
         help="streaming checkpoint dir (default: <out>/_checkpoint)",
     )
     ap.add_argument("--max-tx-per-batch", type=int, default=0)
+    ap.add_argument(
+        "--n-buckets",
+        default=None,
+        help="bucketed state: an int, or 'auto' to derive from state volume",
+    )
     ap.add_argument("--cpus", type=int, default=0)
     ap.add_argument("--show-envelope", action="store_true", help="print the envelope and exit")
     ap.add_argument(
@@ -58,12 +63,21 @@ def main(argv=None) -> int:
         ap.error("--out (or PYPGCDC_OUT) is required unless --show-envelope")
     ckpt_root = args.checkpoint or os.path.join(args.out, "_checkpoint")
 
-    registry = SchemaRegistry()
+    # Retention clamp (r9): bytes below the retained window were GC'd
+    # under the consumer ack; schema for relations whose R frames left
+    # with their segments restores from the registry snapshot sidecar.
+    from pypgcdc_spark.sources.pgcdc import _newest_registry_snapshot
+    from pypgcdc_spark.sources.replay import log_min_pos
+
+    start = log_min_pos(args.log)
+    registry = (
+        _newest_registry_snapshot(args.log, "replay") if start > 0 else None
+    ) or SchemaRegistry()
     # Prefix scan (R frames still read whole) + in-segment tracking: a
     # v2 log's mid-stream Relation carries an xid prefix, which a naive
     # decode_relation(payload) would misparse as the relation OID.
     scanner = TxBoundaryScanner()
-    for fr in scan_frames(args.log, prefix_bytes=64):
+    for fr in scan_frames(args.log, start, prefix_bytes=64):
         if fr.payload[:1] == b"R":
             registry.register_relation(
                 pg.decode_relation(fr.payload, streamed=scanner.in_segment),
@@ -78,13 +92,21 @@ def main(argv=None) -> int:
     for schema in tables:
         target = os.path.join(args.out, schema.table)
         print(f"materializing {schema.qualified_name} -> {target}")
+        nb = args.n_buckets
         engine.materialize(
             engine.stream(args.log, max_tx_per_batch=args.max_tx_per_batch),
             schema,
             target,
             checkpoint=os.path.join(ckpt_root, schema.table),
+            n_buckets=(nb if nb in (None, "auto") else int(nb)),
         )
-        n = spark.read.parquet(target).count()
+        try:
+            n = spark.read.parquet(target).count()
+        except Exception:
+            # Bucketed state with zero live rows keeps no parquet files
+            # (emptied partitions are deleted so dead keys can't
+            # resurrect) — that IS the empty table.
+            n = 0
         print(f"  {schema.qualified_name}: {n} current rows")
     return 0
 

@@ -195,7 +195,7 @@ class PgCdcEngine:
         target_path: str,
         checkpoint: str,
         drain: bool = True,
-        n_buckets: int | None = None,
+        n_buckets: int | str | None = None,
     ):
         """Continuously merge the change stream into a current-state table
         (the reference DataStore's job, done as foreachBatch MERGE).
@@ -209,8 +209,12 @@ class PgCdcEngine:
         ``n_buckets=N`` switches the sink to hash-bucketed state with
         touched-bucket dynamic overwrite — O(touched buckets) per batch
         instead of O(state); use it when the current-state table is
-        large.  The table gains a ``_bucket`` partition column (drop it
-        when reading, or read specific columns).
+        large.  The table gains ``_bucket`` (partition) and ``_kraw``
+        (wire-key bytes, the bucket-hash input) columns — drop them when
+        reading, or read specific columns.  ``n_buckets="auto"`` (r9)
+        additionally derives and grows the bucket count from the state's
+        on-disk volume (power-of-two rebucket on threshold crossing,
+        layout persisted in ``_nbuckets.json``).
         """
         merger = DeleteAwareMerger(self.spark, schema, target_path, n_buckets=n_buckets)
         writer = (

@@ -158,6 +158,29 @@ def _plan_partitions(
     return parts
 
 
+def _newest_registry_snapshot(path: str, database: str):
+    """Newest persisted registry snapshot for ``path`` (None if absent).
+    Schema durability for retention-GC'd logs: Relation frames below the
+    retained window are gone with their segments, but the snapshot
+    sidecar (written by whichever consumer's acks drove the GC, kept by
+    the snapshot GC's keep-the-named-one rule) still types them."""
+    d = path + ".registry.d"
+    try:
+        revs = sorted(
+            int(fn[4:-5])
+            for fn in os.listdir(d)
+            if fn.startswith("reg-") and fn.endswith(".json") and fn[4:-5].isdigit()
+        )
+    except OSError:
+        return None
+    if not revs:
+        return None
+    with open(os.path.join(d, f"reg-{revs[-1]:08d}.json")) as f:
+        reg = SchemaRegistry.loads(f.read())
+    reg.database = database
+    return reg
+
+
 class PgCdcStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -223,7 +246,20 @@ class PgCdcStreamReader(DataSourceStreamReader):
         (v1 commits AND v2 streamed spans, via TxBoundaryScanner) and fold
         Relation messages into the driver registry (schema inference,
         reference T6 reader.py:243-302, here at frame-header cost)."""
-        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        size = replay.log_size(self.path)
+        # Retention clamp: a fresh consumer (no checkpoint) starts where
+        # the retained window starts — bytes below were GC'd under the
+        # ack watermark, exactly like WAL below a slot's restart LSN.
+        min_pos = replay.log_min_pos(self.path)
+        if self._scanned_pos < min_pos:
+            self._scanned_pos = min_pos
+            self._offset_floor = max(self._offset_floor, min_pos)
+            # The Relation frames below the retained window are gone with
+            # their segments; schema durability lives in the registry
+            # snapshot sidecar (persisted by whichever consumer's acks
+            # drove the GC — GC never happens without one).
+            if self._registry.revision == 0:
+                self._seed_registry_from_snapshot()
         if self._scanned_pos and self._tail_rewritten(size):
             # The tailer truncated/rewrote the open tail.  Rewind to the
             # open unit's start — the last closed boundary, where scanner
@@ -288,16 +324,17 @@ class PgCdcStreamReader(DataSourceStreamReader):
         if self._fp is None or self._fp[0] != self._scanned_pos:
             return False
         pos, fstart, lsn, us, n, pfx = self._fp
-        with open(self.path, "rb") as f:
-            f.seek(fstart)
-            hdr = f.read(replay._HDR.size)
-            if len(hdr) < replay._HDR.size:
-                return True
-            l2, u2, n2 = replay._HDR.unpack(hdr)
-            if (l2, u2, n2) != (lsn, us, n):
-                return True
-            got = f.read(min(16, n2))
-            return got != pfx[: len(got)]
+        # read_at resolves the LOGICAL position wherever the bytes now
+        # live — the fingerprinted frame may have been rolled into an
+        # archived segment between two polls.
+        hdr = replay.read_at(self.path, fstart, replay._HDR.size)
+        if len(hdr) < replay._HDR.size:
+            return True
+        l2, u2, n2 = replay._HDR.unpack(hdr)
+        if (l2, u2, n2) != (lsn, us, n):
+            return True
+        got = replay.read_at(self.path, fstart + replay._HDR.size, min(16, n2))
+        return got != pfx[: len(got)]
 
     def _log_identity(self) -> str:
         """Generation stamp for sidecars: the first frame's header bytes
@@ -308,11 +345,18 @@ class PgCdcStreamReader(DataSourceStreamReader):
         tail is ever rewritten, and a generation change forces a new
         reader via the size/fingerprint rewind)."""
         if not getattr(self, "_log_id", ""):
-            try:
-                with open(self.path, "rb") as f:
-                    self._log_id = f.read(replay._HDR.size).hex()
-            except OSError:
-                return ""
+            # Segmented logs carry a persisted generation id (stable
+            # across rolls AND retention GC — a first-frame identity
+            # would change when its segment is collected).
+            gen = replay.log_generation(self.path)
+            if gen:
+                self._log_id = gen
+            else:
+                try:
+                    with open(self.path, "rb") as f:
+                        self._log_id = f.read(replay._HDR.size).hex()
+                except OSError:
+                    return ""
         return self._log_id or ""
 
     def _safe_cut(self) -> int:
@@ -335,6 +379,16 @@ class PgCdcStreamReader(DataSourceStreamReader):
 
     def _registry_dir(self) -> str:
         return self.path + ".registry.d"
+
+    def _seed_registry_from_snapshot(self) -> None:
+        """Restore schema knowledge from the newest persisted registry
+        snapshot — the fresh-consumer-on-a-GC'd-log path (a live PG
+        walsender would resend Relation messages at stream start; the
+        replay log's durable twin is the snapshot sidecar)."""
+        reg = _newest_registry_snapshot(self.path, self.database)
+        if reg is not None:
+            self._registry = reg
+            self._persisted_rev = reg.revision
 
     def _persist_registry(self) -> None:
         rev = self._registry.revision
@@ -455,7 +509,7 @@ class PgCdcStreamReader(DataSourceStreamReader):
                 with open(self.path + ".ack") as f:
                     ack = json.load(f)
                 acked = int(ack.get("pos", 0))
-                size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+                size = replay.log_size(self.path)
                 lid = ack.get("log_id")
                 if acked <= size and (lid is None or lid == self._log_identity()):
                     self._acked_pos = acked
@@ -481,6 +535,11 @@ class PgCdcStreamReader(DataSourceStreamReader):
                 {"pos": pos, "lsn": end["lsn"], "log_id": self._log_identity()}, f
             )
         os.replace(tmp, self.path + ".ack")
+        # Replay-log retention GC: segments wholly below the durably
+        # acked position can never be replayed (confirmed-flush
+        # semantics) — drop them.  The tailer GCs on its ack-forward
+        # path too; both are idempotent, whichever end runs first wins.
+        replay.gc_segments(self.path, pos)
         # Registry-snapshot GC: batches at or below the committed offset
         # are never replayed, so snapshots OLDER than the one this offset
         # names are garbage (the named one stays — it seeds the next
@@ -529,21 +588,30 @@ class PgCdcBatchReader(DataSourceReader):
         ).lower() in ("true", "1", "yes")
 
     def partitions(self) -> Sequence[InputPartition]:
-        registry = SchemaRegistry(database=self.database)
+        # Retention clamp: a batch read covers the RETAINED window (bytes
+        # below were GC'd under the consumer ack, like recycled WAL);
+        # schema for relations whose R frames left with their segments
+        # restores from the registry snapshot sidecar.
+        start = replay.log_min_pos(self.path)
+        registry = (
+            _newest_registry_snapshot(self.path, self.database)
+            if start > 0
+            else None
+        ) or SchemaRegistry(database=self.database)
         from pypgcdc_spark.cdc import pgoutput as pg
 
         scanner = replay.TxBoundaryScanner()
-        for fr in replay.scan_frames(self.path):
+        for fr in replay.scan_frames(self.path, start):
             if fr.payload[:1] == b"R":
                 registry.register_relation(
                     pg.decode_relation(fr.payload, streamed=scanner.in_segment),
                     lsn=fr.lsn,
                 )
             scanner.feed(fr)
-        size = os.path.getsize(self.path)
+        size = replay.log_size(self.path)
         parts = _plan_partitions(
             self.path,
-            0,
+            start,
             size,
             registry.dumps(),
             self.database,
@@ -553,7 +621,7 @@ class PgCdcBatchReader(DataSourceReader):
         )
         return parts or [
             TxRangePartition(
-                self.path, 0, size, registry.dumps(), self.database,
+                self.path, start, size, registry.dumps(), self.database,
                 self.on_decode_error, self.emit_messages,
             )
         ]

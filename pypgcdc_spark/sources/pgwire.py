@@ -796,6 +796,7 @@ class WireReplicationTailer:
         ssl_context=None,
         timeout: float = 10.0,
         negotiate: bool = True,
+        segment_bytes: Optional[int] = None,
     ):
         self._conn_args = (host, port, user, database, password)
         self._conn_kwargs = {
@@ -807,6 +808,13 @@ class WireReplicationTailer:
         self.publication_name = publication_name
         self.slot_name = slot_name
         self.log_path = log_path
+        # Replay-log retention (round 9): with `segment_bytes` set, the
+        # log rolls into archived segments at closed-unit boundaries and
+        # segments wholly below the consumer's durable ack are GC'd —
+        # the tailer trims its OWN durable hand-off exactly like its acks
+        # trim Postgres's WAL (reference reader.py:161-163: WAL below the
+        # flushed LSN is gone).  None = legacy single growing file.
+        self.segment_bytes = segment_bytes
         self.start_lsn = start_lsn
         self.proto_version = proto_version
         self.streaming = streaming
@@ -980,8 +988,13 @@ class WireReplicationTailer:
         from pypgcdc_spark.sources.replay import (
             Frame,
             ReplayLogWriter,
+            SegmentedLogWriter,
             TxBoundaryScanner,
+            list_segments,
+            log_min_pos,
+            log_size,
             scan_frames,
+            truncate_log,
         )
 
         n = 0
@@ -1034,7 +1047,7 @@ class WireReplicationTailer:
         floor = 0
         tail_start = 0
         tail_frames = 0
-        if os.path.exists(self.log_path):
+        if os.path.exists(self.log_path) or list_segments(self.log_path):
             seed_pos = 0
             if os.path.exists(ack_path):
                 with open(ack_path) as f:
@@ -1042,6 +1055,9 @@ class WireReplicationTailer:
                 seed_pos = int(ack.get("pos", 0))
                 floor = int(ack.get("lsn", 0))
                 self.flushed_lsn = max(self.flushed_lsn, floor)
+            # Segmented logs: bytes below the retained window are gone
+            # (GC'd under this very ack) — scan what survives.
+            seed_pos = max(seed_pos, log_min_pos(self.log_path))
             seed = TxBoundaryScanner()
             last_end, unit_frames = seed_pos, 0
             # Prefix scan: boundary detection needs ≤38 payload bytes.
@@ -1050,10 +1066,11 @@ class WireReplicationTailer:
                 if seed.feed(fr) is not None:
                     appended[fr.lsn] = unit_frames
                     last_end, unit_frames = fr.end_pos, 0
-            if last_end < os.path.getsize(self.log_path):
+            if last_end < log_size(self.log_path):
                 if fresh_stream:
-                    with open(self.log_path, "r+b") as f:
-                        f.truncate(last_end)
+                    # Torn/open tails live only in the ACTIVE file (rolls
+                    # cut at closed-unit boundaries) — logical truncate.
+                    truncate_log(self.log_path, last_end)
                 else:
                     # Adopt the open tail: replay it through THIS run's
                     # scanner so the open unit's state carries over.
@@ -1063,7 +1080,11 @@ class WireReplicationTailer:
                         scanner.feed(fr)
                         tail_frames += 1
             tail_start = last_end
-        writer = ReplayLogWriter(self.log_path)
+        writer = (
+            SegmentedLogWriter(self.log_path, self.segment_bytes)
+            if self.segment_bytes
+            else ReplayLogWriter(self.log_path)
+        )
         # Write-THROUGH, truncate-on-drop: frames reach the log as they
         # arrive, so tailer memory is O(1) no matter how large a
         # transaction (or interleaved v2 span) is — a whole-unit RAM
@@ -1135,6 +1156,11 @@ class WireReplicationTailer:
                                 appended[msg.wal_start] = unit_frames + 1
                                 unit_start = writer.pos
                                 unit_frames = 0
+                                if self.segment_bytes:
+                                    # Unit boundary: the only place a
+                                    # roll is legal (open-unit bytes must
+                                    # never leave the active file).
+                                    writer.maybe_roll()
                         elif isinstance(msg, PrimaryKeepalive):
                             if msg.wal_end > self.server_wal_end:
                                 self.server_wal_end = msg.wal_end
@@ -1145,9 +1171,12 @@ class WireReplicationTailer:
                         if os.path.exists(ack_path):
                             try:
                                 with open(ack_path) as f:
-                                    lsn = json.load(f).get("lsn", 0)
+                                    _ack = json.load(f)
+                                lsn = _ack.get("lsn", 0)
+                                acked_bytes = int(_ack.get("pos", 0))
                             except ValueError:
                                 lsn = 0  # torn concurrent write; next poll wins
+                                acked_bytes = 0
                             if lsn and lsn > flushed:
                                 flushed = lsn
                                 self.flushed_lsn = max(self.flushed_lsn, lsn)
@@ -1165,6 +1194,12 @@ class WireReplicationTailer:
                                 self.client.send_standby_status(
                                     flushed, flushed, flushed
                                 )
+                                if self.segment_bytes and acked_bytes:
+                                    # The same watermark that lets PG
+                                    # recycle WAL retires our segments:
+                                    # bytes below the durable ack are
+                                    # never replayed.
+                                    writer.gc(acked_bytes)
                         if max_messages and n + unit_frames >= max_messages:
                             return _exit_total()
                     return _exit_total()  # clean CopyDone

@@ -1074,3 +1074,83 @@ def test_live_lagging_consumer_slot_retention(live, tmp_path):
         "SELECT pg_drop_replication_slot('slot_lag')",
         "DELETE FROM accounts WHERE id >= 3000000",
     )
+
+
+def test_live_segmented_log_retention(live, tmp_path):
+    """Replay-log retention against REAL Postgres (r9): the tailer rolls
+    its log into segments at closed-unit boundaries, the consumer's ack
+    GCs segments below the durable position — disk plateaus while both
+    Postgres's WAL (confirmed_flush advances) AND the log are trimmed by
+    the same watermark.  The retained suffix stays byte-consistent and a
+    post-GC resume ingests new changes cleanly."""
+    import json as _json
+
+    from pypgcdc_spark.sources.replay import (
+        TxBoundaryScanner,
+        list_segments,
+        log_min_pos,
+        log_size,
+        scan_frames,
+    )
+
+    log = str(tmp_path / "wal_seg.replay")
+    t = live.tailer("slot_seg", log, segment_bytes=4096)
+    t.start()
+    for k in range(40):
+        live.sql(
+            f"INSERT INTO accounts (id, balance, name) VALUES "
+            f"(9{k:03d}, {k}.25, 'seg_{k}_{'x' * 120}') "
+            f"ON CONFLICT (id) DO UPDATE SET balance = EXCLUDED.balance"
+        )
+    _drain(t)
+    assert len(list_segments(log)) >= 2, "live feed never rolled a segment"
+
+    # Consumer acks a mid-log closed boundary; the NEXT live change's
+    # ack-poll tick forwards it to the walsender AND GCs our segments.
+    from pypgcdc_spark.cdc.registry import SchemaRegistry as _SR
+    from pypgcdc_spark.cdc import pgoutput as _pg
+
+    reg = _SR()
+    scanner = TxBoundaryScanner()
+    closed = []
+    for fr in scan_frames(log, prefix_bytes=64):
+        if fr.payload[:1] == b"R":
+            reg.register_relation(
+                _pg.decode_relation(fr.payload, streamed=scanner.in_segment),
+                lsn=fr.lsn,
+            )
+        if scanner.feed(fr) is not None:
+            closed.append((fr.end_pos, fr.lsn))
+    pos, lsn = closed[len(closed) // 2]
+    with open(log + ".ack", "w") as f:
+        _json.dump({"pos": pos, "lsn": lsn}, f)
+    segs_before = len(list_segments(log))
+    live.sql("INSERT INTO accounts (id, balance, name) VALUES (9900, 1.00, 'post_gc')")
+    _drain(t)
+    t.stop()
+    assert len(list_segments(log)) < segs_before, "ack did not GC segments"
+    assert 0 < log_min_pos(log) <= pos
+    assert live.confirmed_flush("slot_seg") >= lsn  # WAL trimmed by same ack
+
+    # Retained suffix decodes cleanly from the clamp point and contains
+    # the post-GC change.  The Relation frame left with its segment (the
+    # walsender sent it once, at stream start): schema comes from the
+    # consumer's REGISTRY, which predates the GC its own ack caused —
+    # here rebuilt from the pre-GC scan above (scanner saw every frame);
+    # the pgcdc source persists the same thing as snapshot sidecars.
+    from pypgcdc_spark.cdc.registry import SchemaRegistry
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.cdc.transform import MessageTransformer
+
+    names = []
+    xform = MessageTransformer(registry=reg)
+    for fr in scan_frames(log, log_min_pos(log)):
+        for ev in xform.feed(fr.lsn, fr.payload):
+            if ev.op == "I" and ev.after:
+                names.append(ev.after.get("name"))
+    assert "post_gc" in names
+    assert log_size(log) > log_min_pos(log)
+    live.sql(
+        "SELECT pg_drop_replication_slot('slot_seg')",
+        "DELETE FROM accounts WHERE id >= 9000",
+    )

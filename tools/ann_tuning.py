@@ -46,38 +46,65 @@ BASE = "/root/testdata/sf0.1"
 
 
 def build_corpus(spark, repl: int):
-    """Replicated + perturbed corpus as a cached DataFrame."""
+    """Replicated + perturbed corpus as a cached DataFrame.
+
+    One crossJoin with a replica range (NOT an N-way union — a 500-arm
+    union plan chokes the analyzer at the 1M-vector scale this round
+    curves).  Jitter values are bit-identical to the r8 union form:
+    ±2% deterministic per (original vec_id, replica, dim) via the same
+    xxhash64 triple."""
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     n = emb.count()
-    parts = []
-    for i in range(repl):
-        if i == 0:
-            parts.append(emb.select("vec_id", "embedding"))
-            continue
-        # Deterministic ±2% jitter per (vec_id, replica, dim): xxhash64
-        # of the triple, mapped to [-0.02, 0.02].
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, j: x
-                    + (
-                        F.pmod(
-                            F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(4001)
-                        )
-                        / 100000.0
-                        - 0.02
-                    ).cast("float"),
-                ).alias("embedding"),
+    reps = spark.range(repl).select(F.col("id").cast("int").alias("rep"))
+    out = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep").cast("long") * n).alias("new_id"),
+        F.when(F.col("rep") == 0, F.col("embedding"))
+        .otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: x
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), F.col("rep"), j), F.lit(4001)
+                    )
+                    / 100000.0
+                    - 0.02
+                ).cast("float"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.repartition(16, "vec_id").localCheckpoint(eager=True)
+        .alias("embedding"),
+    ).withColumnRenamed("new_id", "vec_id")
+    return out.repartition(32, "vec_id").localCheckpoint(eager=True)
+
+
+def build_assign(spark, corpus, centers_np):
+    """Corpus→list assignment for one trained index, computed ONCE per
+    nlist (it is index-build cost, amortized over every query) as a
+    map-side Arrow argmax kernel — the same design the shipped
+    ``ann_ivf_kmeans`` uses (numpy matmul per batch; per-element JVM
+    lambdas are ~10× slower and made the 1M-vector sweep infeasible)."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(centers_np)
+
+    def assign_fn(batches):
+        C = bc.value
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        for pdf in batches:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            # argmax of cosine; numpy first-max tie-break = lowest cid —
+            # identical to the max_by(struct(cos, -cent_id)) it replaces.
+            cid = np.argmax(Xn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cent_id": cid.astype("int32")}
+            )
+
+    return corpus.mapInPandas(
+        assign_fn, "vec_id long, cent_id int"
+    ).localCheckpoint(eager=True)
 
 
 def exact_truth(corpus_np, ids, q_ids, k):
@@ -96,30 +123,25 @@ def exact_truth(corpus_np, ids, q_ids, k):
     return truth
 
 
-def ivf_query(spark, corpus, cent_df, n_probe, q_ids, k):
-    """The shipped IVF dataflow, parameterized: assign -> probe -> exact
-    re-rank.  Returns {query_id: [cand ids]} and the candidate count."""
+def ivf_query(spark, corpus, assign, centers_np, q_ids, q_mat, k, n_probe):
+    """The shipped IVF query dataflow, parameterized: probe nearest
+    lists (driver numpy — queries × centroids is bounded metadata) →
+    broadcast equi-join on list id → exact cosine re-rank (Arrow numpy
+    per batch).  Returns {query_id: [cand ids]} and the candidate count."""
+    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from pypgcdc_spark.operators.similarity import _cosine
+    Cn = centers_np / np.linalg.norm(centers_np, axis=1, keepdims=True)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sims = qn @ Cn.T  # (queries, nlist)
+    probe_rows = []
+    for qi, q in enumerate(q_ids):
+        order = np.lexsort((np.arange(sims.shape[1]), -sims[qi]))
+        for cid in order[:n_probe]:
+            probe_rows.append((int(q), int(cid)))
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, cent_id INT")
 
-    scored_vc = corpus.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id",
-        "cent_id",
-        _cosine(F.col("embedding"), F.col("ce")).alias("cos"),
-    )
-    assign = scored_vc.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias("cent_id")
-    )
-    q_set = list(map(int, q_ids))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    probes = (
-        scored_vc.filter(F.col("vec_id").isin(q_set))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
     cand = (
         F.broadcast(probes)
         .join(assign, "cent_id")
@@ -127,19 +149,28 @@ def ivf_query(spark, corpus, cent_df, n_probe, q_ids, k):
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
     n_cand = cand.count()
-    embs = corpus.select("vec_id", "embedding")
-    q_emb = embs.filter(F.col("vec_id").isin(q_set)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    bc_q = spark.sparkContext.broadcast(
+        ({int(q): i for i, q in enumerate(q_ids)}, qn)
     )
-    scored = (
-        cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .join(F.broadcast(q_emb), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            _cosine(F.col("eq"), F.col("embedding")).alias("cosine"),
-        )
-    )
+
+    def score(batches):
+        idx, qm = bc_q.value
+        for pdf in batches:
+            qs = pdf["query_id"].to_numpy()
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrows = qm[[idx[int(x)] for x in qs]]
+            yield pd.DataFrame(
+                {
+                    "query_id": qs,
+                    "cand_id": pdf["cand_id"],
+                    "cosine": (qrows * cm).sum(1),
+                }
+            )
+
+    scored = cand.join(
+        corpus.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
+    ).mapInPandas(score, "query_id long, cand_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     rows = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -219,6 +250,12 @@ def main():
     # the same code path end to end in ~a minute, so the harness itself
     # cannot rot between rounds (r7 verdict "what's wrong" #3).
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument(
+        "--nlists",
+        default="",
+        help="comma list overriding the nlist grid (e.g. 64,256,1024 for the 1M sweep)",
+    )
+    ap.add_argument("--max-iter", type=int, default=20, help="KMeans iterations")
     args = ap.parse_args()
 
     from pyspark.ml.clustering import KMeans
@@ -236,6 +273,7 @@ def main():
     ids = pdf["vec_id"].to_numpy()
     corpus_np = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     q_ids = [int(v) for v in ids[: args.queries]]
+    q_mat = corpus_np[: args.queries].copy()
     truth = exact_truth(corpus_np, ids, q_ids, args.k)
 
     feats = corpus.select(
@@ -246,21 +284,30 @@ def main():
 
     grid = []
     nlists = (16,) if args.tiny else (16, 32, 64, 128, 256)
+    if args.nlists:
+        nlists = tuple(int(x) for x in args.nlists.split(","))
     nprobes = (1, 4, 16) if args.tiny else (1, 2, 4, 8, 16, 32)
     ms = (8,) if args.tiny else (8, 16, 32)
     for nlist in nlists:
         t0 = time.perf_counter()
-        model = KMeans(k=nlist, seed=42, featuresCol="features").fit(feats)
-        build_sec = round(time.perf_counter() - t0, 2)
-        cent = spark.createDataFrame(
-            [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
-            "cent_id INT, ce ARRAY<DOUBLE>",
+        model = KMeans(
+            k=nlist, seed=42, maxIter=args.max_iter, featuresCol="features"
+        ).fit(feats)
+        centers_np = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
+        # Corpus→list assignment happens ONCE per index (it IS the index)
+        # and amortizes over every query — counted as build cost.
+        assign = build_assign(spark, corpus, centers_np)
+        assign.count()
+        build_sec = round(time.perf_counter() - t0, 2)
         for nprobe in nprobes:
             if nprobe > nlist:
                 continue
             t1 = time.perf_counter()
-            got, n_cand = ivf_query(spark, corpus, cent, nprobe, q_ids, args.k)
+            got, n_cand = ivf_query(
+                spark, corpus, assign, centers_np, q_ids, q_mat, args.k, nprobe
+            )
             wall = round(time.perf_counter() - t1, 2)
             hit = sum(
                 len(set(got.get(q, [])) & set(truth[q])) for q in q_ids

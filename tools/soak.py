@@ -60,6 +60,10 @@ from pypgcdc_spark.sources.pgwire import (  # noqa: E402
     ProtocolError,
     WireReplicationTailer,
 )
+from pypgcdc_spark.sources.replay import (  # noqa: E402
+    list_segments as replay_list_segments,
+    log_size as replay_log_size,
+)
 
 SOAK_SCHEMA = TableSchema(
     db="replay",
@@ -117,12 +121,20 @@ class TailerLoop(threading.Thread):
     process crash and the next session resumes fresh — optionally after
     a torn-tail truncation of the replay log."""
 
-    def __init__(self, live: LivePg, slot: str, log: str, rng: random.Random):
+    def __init__(
+        self,
+        live: LivePg,
+        slot: str,
+        log: str,
+        rng: random.Random,
+        segment_bytes: int = 0,
+    ):
         super().__init__(daemon=True)
         self.live = live
         self.slot = slot
         self.log = log
         self.rng = rng
+        self.segment_bytes = segment_bytes
         self.stop_event = threading.Event()
         self.in_final_drain = False
         self.current: WireReplicationTailer | None = None
@@ -141,6 +153,10 @@ class TailerLoop(threading.Thread):
             two_phase=True,
             messages=True,
             binary=True,
+            # r9: segmented replay log + ack-driven retention GC — the
+            # soak's job is to prove log_bytes PLATEAUS (r8 measured
+            # 183 MB → 1.9 GB with the legacy single growing file).
+            segment_bytes=self.segment_bytes or None,
         )
 
     def _maybe_tear_tail(self) -> None:
@@ -404,6 +420,12 @@ def main() -> int:
     ap.add_argument("--state-rows", type=int, default=0)
     ap.add_argument("--id-range", type=int, default=ID_RANGE)
     ap.add_argument("--buckets", type=int, default=0)
+    ap.add_argument(
+        "--segment-bytes",
+        type=int,
+        default=4 << 20,
+        help="replay-log segment size for roll+GC (0 = legacy single file)",
+    )
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -432,7 +454,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     engine = PgCdcEngine(spark)
 
-    tailer_loop = TailerLoop(live, "slot_soak", log, rng)
+    tailer_loop = TailerLoop(live, "slot_soak", log, rng, segment_bytes=args.segment_bytes)
     tailer_loop.start()
     # A logical slot only delivers transactions committing AFTER its
     # consistent point — traffic must not start until the slot exists
@@ -537,7 +559,12 @@ def main() -> int:
         sample["ckpt_bytes"] = dir_size(ckpt)
         sample["ack_bytes"] = file_size(log + ".ack")
         sample["registry_bytes"] = dir_size(log + ".registry.d")
-        sample["log_bytes"] = file_size(log)
+        # On-disk footprint = active file + retained segments (the r9
+        # flatness target); logical length keeps growing by design.
+        sample["log_bytes"] = file_size(log) + dir_size(log + ".segments.d")
+        sample["log_active_bytes"] = file_size(log)
+        sample["log_logical_bytes"] = replay_log_size(log)
+        sample["log_segments"] = len(replay_list_segments(log))
         sample["rss_mb"] = round(rss_mb(), 1)
         try:
             row = mon.simple_query(
@@ -574,10 +601,10 @@ def main() -> int:
     # for it COMPLETELY, then for the log to quiesce, before draining
     # Spark; otherwise verification races the still-growing log.
     tailer_loop.join(timeout=1800)
-    stable = file_size(log)
+    stable = replay_log_size(log)  # logical length: monotone across rolls
     for _ in range(30):
         time.sleep(2)
-        cur = file_size(log)
+        cur = replay_log_size(log)
         if cur == stable:
             break
         stable = cur
@@ -589,31 +616,95 @@ def main() -> int:
     # forensics: did the log capture everything the server committed?
     from pypgcdc_spark.sources.replay import TxBoundaryScanner, scan_frames
 
+    from pypgcdc_spark.sources.replay import log_min_pos
+
     wal_now = lsn_int(live.sql("SELECT pg_current_wal_lsn()::text")[0][0])
     flush_now = live.confirmed_flush("slot_soak")
+    retained_from = log_min_pos(log)
     seed = TxBoundaryScanner()
     log_max_close = 0
-    for fr in scan_frames(log, prefix_bytes=64):
+    for fr in scan_frames(log, retained_from, prefix_bytes=64):
         if seed.feed(fr) is not None:
             log_max_close = max(log_max_close, fr.lsn)
     truth = server_rows(live)
     got = spark_rows(spark.read.parquet(target))
-    replayed = spark_rows(
-        PgCdcEngine.typed_view(engine.snapshot(log), SOAK_SCHEMA)
-    )
-    h_truth, h_got, h_replay = (
-        state_hash(truth),
-        state_hash(got),
-        state_hash(replayed),
-    )
+    suffix_stats = {}
+    if retained_from == 0:
+        # Legacy full-history log: independent clean batch replay.
+        replayed = spark_rows(
+            PgCdcEngine.typed_view(engine.snapshot(log), SOAK_SCHEMA)
+        )
+        h_replay = state_hash(replayed)
+        replay_ok = None  # judged by hash below
+    else:
+        # Retention-GC'd log: history below the ack is GONE by design
+        # (the log is a transport buffer, not an archive — state subsumes
+        # history).  The equivalent integrity check is RETAINED-SUFFIX
+        # consistency: every key whose LAST change lives in the retained
+        # window must agree with the server — suffix-final value matches,
+        # suffix-deleted keys are absent.  Keys whose winning suffix row
+        # carries a TOAST-unchanged column are counted and skipped (their
+        # carry-forward source was GC'd with the prefix; the materialized
+        # state, checked by the primary hash, has it).
+        from pypgcdc_spark.cdc.models import TOAST_UNCHANGED
+
+        env = engine.snapshot(log)  # batch reader clamps to retained window
+        suffix = PgCdcEngine.typed_view(env, SOAK_SCHEMA)
+        suffix_rows = spark_rows(suffix)
+        truth_by_id = {r[0]: r for r in truth}
+        from pyspark.sql import functions as F
+
+        toast_ids = {
+            r.id
+            for r in env.filter(F.col("op") != "T")
+            .select(
+                F.col("key")["id"].cast("long").alias("id"),
+                F.array_contains(
+                    F.map_values(F.coalesce("after", F.expr("map()"))),
+                    TOAST_UNCHANGED,
+                ).alias("t"),
+            )
+            .filter("t")
+            .collect()
+        }
+        deleted_ids = {
+            r.id
+            for r in env.filter(F.col("op") == "D")
+            .select(F.col("key")["id"].cast("long").alias("id"))
+            .collect()
+        } - {r[0] for r in suffix_rows}
+        mismatches = []
+        checked = 0
+        for row in suffix_rows:
+            if row[0] in toast_ids:
+                continue
+            checked += 1
+            if truth_by_id.get(row[0]) != row:
+                mismatches.append(row[0])
+        resurrections = [i for i in deleted_ids if i in truth_by_id and i not in
+                         {r[0] for r in suffix_rows}]
+        # A key deleted in the suffix then absent from suffix state must
+        # not exist on the server either — unless a later (suffix) change
+        # resurrected it, which would have shown in suffix_rows.
+        replay_ok = not mismatches and not resurrections and checked > 0
+        h_replay = f"retained-suffix:{checked}-keys"
+        suffix_stats = {
+            "suffix_keys_checked": checked,
+            "suffix_keys_toast_skipped": len(toast_ids),
+            "suffix_deletes_verified": len(deleted_ids),
+            "suffix_mismatched_ids": mismatches[:20],
+            "suffix_resurrected_ids": resurrections[:20],
+        }
+    h_truth, h_got = state_hash(truth), state_hash(got)
     diffs = {}
-    if h_got != h_truth or h_replay != h_truth:
-        ts, gs, rs = set(truth), set(got), set(replayed)
+    if h_got != h_truth or (retained_from == 0 and h_replay != h_truth):
+        ts, gs = set(truth), set(got)
+        rs = set(replayed) if retained_from == 0 else set()
         diffs = {
             "materialized_only": sorted(gs - ts)[:20],
             "server_only_vs_materialized": sorted(ts - gs)[:20],
             "replay_only": sorted(rs - ts)[:20],
-            "server_only_vs_replay": sorted(ts - rs)[:20],
+            "server_only_vs_replay": sorted(ts - rs)[:20] if rs else [],
         }
         # correlate: which workload tx touched the diverging ids, and
         # which faults happened around it?
@@ -660,8 +751,13 @@ def main() -> int:
         "hash_server": h_truth,
         "hash_materialized": h_got,
         "hash_clean_replay": h_replay,
+        "replay_mode": "full" if retained_from == 0 else "retained_suffix",
+        "log_retained_from": retained_from,
+        **suffix_stats,
         "match_materialized_vs_server": h_got == h_truth,
-        "match_replay_vs_server": h_replay == h_truth,
+        "match_replay_vs_server": (
+            h_replay == h_truth if retained_from == 0 else replay_ok
+        ),
         "diffs": diffs,
         "flatness": {
             k: {
@@ -672,6 +768,7 @@ def main() -> int:
                 "ckpt_bytes",
                 "ack_bytes",
                 "registry_bytes",
+                "log_bytes",
                 "rss_mb",
                 "slot_lag_bytes",
                 "batch_ms",
