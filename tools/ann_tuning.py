@@ -45,36 +45,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = "/root/testdata/sf0.1"
 
 
-def build_corpus(spark, repl: int):
+def build_corpus(spark, repl: int, spread: bool = False):
     """Replicated + perturbed corpus as a cached DataFrame.
 
     One crossJoin with a replica range (NOT an N-way union — a 500-arm
     union plan chokes the analyzer at the 1M-vector scale this round
-    curves).  Jitter values are bit-identical to the r8 union form:
+    curves).  Default jitter is bit-identical to the r8 union form:
     ±2% deterministic per (original vec_id, replica, dim) via the same
-    xxhash64 triple."""
+    xxhash64 triple.
+
+    ``spread=True`` (the 1M mode): ±2% replicas of 2 000 bases are SO
+    tightly clustered that every query's true top-k is its own replica
+    cloud — one probed list captures it all and recall pins at 1.0 at
+    any nprobe (measured: the r9 first pass showed no knee at 500×).
+    Spread mode mixes each replica toward deterministic uniform noise
+    of the base components' scale (x' = 0.6x + U[-0.215, 0.215], base
+    component σ≈0.125), giving intra-cluster cosine ≈ 0.6 — 1M vectors
+    with non-degenerate neighbor structure."""
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     n = emb.count()
     reps = spark.range(repl).select(F.col("id").cast("int").alias("rep"))
+    u01 = lambda j: (  # deterministic U[0,1) per (vec_id, rep, dim)  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), j), F.lit(4001)) / 4001.0
+    )
+    if spread == "uniform":
+        jittered = F.transform(
+            F.col("embedding"),
+            lambda x, j: (x * 0.6 + (u01(j) - 0.5) * 0.43).cast("float"),
+        )
+    elif spread == "ladder":
+        # Per-replica mix ladder a_r = 0.05 + 0.75·r/repl: each base keeps
+        # a dense near-dup core (low r) and a long tail toward noise —
+        # the two-regime middle ground with non-degenerate neighbor
+        # structure (prototyped in numpy; the Spark corpus reproduces it
+        # deterministically via the xxhash64 triple).
+        a = F.lit(0.05) + F.lit(0.75) * F.col("rep").cast("double") / F.lit(repl)
+        jittered = F.transform(
+            F.col("embedding"),
+            lambda x, j: (x * (F.lit(1.0) - a) + (u01(j) - 0.5) * 0.43 * a).cast(
+                "float"
+            ),
+        )
+    else:
+        jittered = F.transform(
+            F.col("embedding"),
+            lambda x, j: x
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), j), F.lit(4001))
+                / 100000.0
+                - 0.02
+            ).cast("float"),
+        )
     out = emb.crossJoin(reps).select(
         (F.col("vec_id") + F.col("rep").cast("long") * n).alias("new_id"),
-        F.when(F.col("rep") == 0, F.col("embedding"))
-        .otherwise(
-            F.transform(
-                F.col("embedding"),
-                lambda x, j: x
-                + (
-                    F.pmod(
-                        F.xxhash64(F.col("vec_id"), F.col("rep"), j), F.lit(4001)
-                    )
-                    / 100000.0
-                    - 0.02
-                ).cast("float"),
-            )
-        )
-        .alias("embedding"),
+        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(jittered).alias(
+            "embedding"
+        ),
     ).withColumnRenamed("new_id", "vec_id")
     return out.repartition(32, "vec_id").localCheckpoint(eager=True)
 
@@ -105,6 +133,20 @@ def build_assign(spark, corpus, centers_np):
     return corpus.mapInPandas(
         assign_fn, "vec_id long, cent_id int"
     ).localCheckpoint(eager=True)
+
+
+def exact_truth_heldout(corpus_np, ids, q_mat, q_ids, k):
+    """Exact cosine top-k for held-out query vectors (no self-exclusion
+    needed — the queries are not corpus members)."""
+    unit = corpus_np / np.linalg.norm(corpus_np, axis=1)[:, None]
+    qn = q_mat / np.linalg.norm(q_mat, axis=1)[:, None]
+    truth = {}
+    for qi, q in enumerate(q_ids):
+        sims = unit @ qn[qi]
+        top = np.argpartition(-sims, k)[:k]
+        top = top[np.argsort(-sims[top], kind="stable")]
+        truth[q] = [int(ids[t]) for t in top]
+    return truth
 
 
 def exact_truth(corpus_np, ids, q_ids, k):
@@ -256,6 +298,17 @@ def main():
         help="comma list overriding the nlist grid (e.g. 64,256,1024 for the 1M sweep)",
     )
     ap.add_argument("--max-iter", type=int, default=20, help="KMeans iterations")
+    ap.add_argument(
+        "--regime",
+        choices=["neardup", "uniform", "ladder"],
+        default="neardup",
+        help=(
+            "corpus geometry: neardup = ±2%% replicas (IVF-trivial), "
+            "uniform = 0.6-mix to noise (IVF worst case), ladder = "
+            "per-replica mix ladder + HELD-OUT two-cloud queries (the "
+            "realistic knee regime)"
+        ),
+    )
     args = ap.parse_args()
 
     from pyspark.ml.clustering import KMeans
@@ -267,14 +320,38 @@ def main():
     spark = get_spark("ann_tuning", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = build_corpus(spark, args.repl)
+    spread = {"neardup": False, "uniform": "uniform", "ladder": "ladder"}[
+        args.regime
+    ]
+    corpus = build_corpus(spark, args.repl, spread=spread)
     n_total = corpus.count()
     pdf = corpus.toPandas()
     ids = pdf["vec_id"].to_numpy()
     corpus_np = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    q_ids = [int(v) for v in ids[: args.queries]]
-    q_mat = corpus_np[: args.queries].copy()
-    truth = exact_truth(corpus_np, ids, q_ids, args.k)
+    if args.regime == "ladder":
+        # HELD-OUT queries (not corpus members): 50/50 mixes of two bases
+        # + small seeded noise — true neighbors sit at MODERATE cosine
+        # with dense near-tie competition, the regime where the
+        # recall-vs-scan knee actually exists (corpus-member queries ride
+        # their own near-dup core and pin recall at 1.0 from nprobe=1).
+        order = np.argsort(ids)
+        base_rows = corpus_np[order[: 2000]]
+        nb = len(base_rows)
+        rng = np.random.RandomState(7)
+        q_mat = np.stack(
+            [
+                0.5 * base_rows[i]
+                + 0.5 * base_rows[(i + 997) % nb]
+                + rng.uniform(-0.5, 0.5, base_rows.shape[1]) * 0.03
+                for i in range(args.queries)
+            ]
+        )
+        q_ids = [int(10**15 + i) for i in range(args.queries)]  # never collide
+        truth = exact_truth_heldout(corpus_np, ids, q_mat, q_ids, args.k)
+    else:
+        q_ids = [int(v) for v in ids[: args.queries]]
+        q_mat = corpus_np[: args.queries].copy()
+        truth = exact_truth(corpus_np, ids, q_ids, args.k)
 
     feats = corpus.select(
         "vec_id",
@@ -325,9 +402,12 @@ def main():
             print(json.dumps(grid[-1]))
 
     pq = []
+    # PQ is measured with corpus-member queries in every regime (it
+    # computes its own exact truth; held-out ids don't index the codes).
+    pq_q = [int(v) for v in ids[: args.queries]]
     for m in ms:
         t0 = time.perf_counter()
-        r = pq_recall(corpus_np, ids, q_ids, args.k, m)
+        r = pq_recall(corpus_np, ids, pq_q, args.k, m)
         pq.append(
             {
                 "m_subquantizers": m,
@@ -359,6 +439,7 @@ def main():
     report = {
         "corpus_vectors": int(n_total),
         "replication": args.repl,
+        "corpus_mode": args.regime,
         "queries": len(q_ids),
         "k": args.k,
         "ivf_grid": grid,
