@@ -145,7 +145,12 @@ NEW_OPS_R6 = [
     "source_binary_tuple_parity",
 ]
 NEW_OPS_R8 = [
-    "ann_ivf_kmeans",  # trained-quantizer IVF (gated this round)
+    "ann_ivf_kmeans",  # trained-quantizer IVF (gated r8)
+]
+NEW_OPS_R9 = [
+    # Segmented replay log + in-flight retention GC through the real
+    # streaming engine (gated r9).
+    "source_segmented_retention",
 ]
 
 
@@ -224,7 +229,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6 + NEW_OPS_R8:
+        for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6 + NEW_OPS_R8 + NEW_OPS_R9:
             try:
                 REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -271,7 +276,7 @@ def main():
         except Exception:
             pass
 
-    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6 + NEW_OPS_R8:
+    for name in HEADLINE + NEW_OPS + NEW_OPS_R3 + NEW_OPS_R4 + NEW_OPS_R5 + NEW_OPS_R6 + NEW_OPS_R8 + NEW_OPS_R9:
         qd = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -330,6 +335,7 @@ def main():
     total_new_r5 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R5), 3)
     total_new_r6 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R6), 3)
     total_new_r8 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R8), 3)
+    total_new_r9 = round(sum(timings.get(n, 0.0) for n in NEW_OPS_R9), 3)
     full = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -340,6 +346,7 @@ def main():
         "value_new_ops_r5": total_new_r5,
         "value_new_ops_r6": total_new_r6,
         "value_new_ops_r8": total_new_r8,
+        "value_new_ops_r9": total_new_r9,
         "failed": failed,
         "queries": timings,
         "first_run_sec": first_run,

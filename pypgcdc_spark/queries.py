@@ -65,6 +65,7 @@ EXTENDED = frozenset(
         # views (round 5): source-path variants of the already-primary
         # apply family.
         "cdc_streamed_tx_replay",
+        "source_segmented_retention",
         "cdc_two_phase_replay",
         "cdc_schema_evolution_typed",
         "pipeline_cdc_corpus_refresh",
