@@ -349,10 +349,98 @@ def r8_kernel_scalings(repl: int) -> dict:
     return out
 
 
+
+def r9_kernel_scalings(repl: int) -> dict:
+    """Round-9 kernels: the segmented replay log must cost NOTHING over
+    the single-file layout (same frames, stitched across archive
+    segments), roll cost must be per-roll flat, and a GC sweep must be
+    O(segments dropped).  Measured at 1x and repl*x transactions."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    from pypgcdc_spark.cdc import pgoutput as pg
+    from pypgcdc_spark.sources.replay import (
+        SegmentedLogWriter,
+        TxBoundaryScanner,
+        gc_segments,
+        list_segments,
+        scan_frames,
+        tx_boundaries,
+    )
+    from pypgcdc_spark.testing import WorkloadWriter
+
+    out = {}
+    n_base = 1500
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def build_pair(n_tx, d):
+        plain = os.path.join(d, "plain.log")
+        w = WorkloadWriter(plain)
+        w.relation(16385, "integration", [(True, "id", 20, -1), (False, "v", 25, -1)])
+        for i in range(n_tx):
+            w.tx([pg.encode_insert(16385, [str(i), "v" * 40])])
+        w.close()
+        seg = os.path.join(d, "seg.log")
+        sw = SegmentedLogWriter(seg, segment_bytes=64 << 10)
+        sc = TxBoundaryScanner()
+        rolls = 0
+        t0 = time.perf_counter()
+        for fr in scan_frames(plain):
+            closed = sc.feed(fr)
+            sw.append(fr.lsn, fr.payload, ts)
+            if closed is not None and sw.maybe_roll():
+                rolls += 1
+        sw.close()
+        write_sec = time.perf_counter() - t0
+        return plain, seg, rolls, write_sec
+
+    def full_scan_rate(path):
+        t0 = time.perf_counter()
+        n = sum(1 for _ in scan_frames(path, prefix_bytes=64))
+        return n / (time.perf_counter() - t0)
+
+    res = {}
+    for tag, n_tx in (("base", n_base), (f"x{repl}", n_base * repl)):
+        d = tempfile.mkdtemp(prefix="seg_stress_")
+        try:
+            plain, seg, rolls, write_sec = build_pair(n_tx, d)
+            assert tx_boundaries(seg) == tx_boundaries(plain)
+            plain_r = max(full_scan_rate(plain) for _ in range(2))
+            seg_r = max(full_scan_rate(seg) for _ in range(2))
+            # GC sweep: drop everything below the last boundary.
+            n_segs = len(list_segments(seg))
+            hi = tx_boundaries(seg)[-1][1]
+            t0 = time.perf_counter()
+            gc_segments(seg, hi)
+            gc_sec = time.perf_counter() - t0
+            res[tag] = {
+                "tx": n_tx,
+                "segments": n_segs,
+                "rolls": rolls,
+                "plain_scan_frames_per_sec": round(plain_r),
+                "segmented_scan_frames_per_sec": round(seg_r),
+                "segmented_over_plain": round(seg_r / plain_r, 2),
+                "segmented_write_sec": round(write_sec, 2),
+                "gc_sweep_sec": round(gc_sec, 4),
+                "gc_dropped_segments": n_segs - len(list_segments(seg)),
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    ratio = res[f"x{repl}"]["segmented_scan_frames_per_sec"] / res["base"][
+        "segmented_scan_frames_per_sec"
+    ]
+    out["segmented_log_scan"] = {
+        **res,
+        "throughput_ratio": round(ratio, 2),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=10)
-    ap.add_argument("--out", default="SCALE_STRESS_r08.json")
+    ap.add_argument("--out", default="SCALE_STRESS_r09.json")
     ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
     args = ap.parse_args()
     repl = args.repl
@@ -413,6 +501,8 @@ def main() -> None:
         # touched, measured as THROUGHPUT at 1x and 10x volume (flat
         # per-unit cost == linear scaling).
         report["queries"].update(r8_kernel_scalings(repl))
+        # -- r9 kernels: segmented-log scan parity / roll / GC sweep.
+        report["queries"].update(r9_kernel_scalings(repl))
 
         # -- streaming interval-join kernel: steady-state rows/s at both
         # scales (disjoint per-replica users ⇒ identical join structure;
