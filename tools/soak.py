@@ -81,6 +81,7 @@ SOAK_SCHEMA = TableSchema(
 )
 
 ID_RANGE = 20_000  # default churn key domain (overridden by --id-range)
+ALTER_WINDOW = 32  # live columns kept on soak_alter (ADD+DROP sliding window)
 
 
 def rss_mb() -> float:
@@ -313,12 +314,25 @@ class Workload(threading.Thread):
             )
             self.counts["message"] += 1
         elif r < 0.97:
+            # Sliding ADD/DROP window: live schema width stays bounded
+            # (~ALTER_WINDOW columns) while the DDL *rate* is unchanged —
+            # registry flatness must come from version pruning, not from
+            # the churn ever stopping.  An add-only storm (r8's shape)
+            # conflates two growth terms: dead versions (a leak,
+            # prune_below's job) and the live schema genuinely widening
+            # (not a leak — a 520-column table costs O(columns) to
+            # describe in ANY registry).  Production DDL churn replaces
+            # columns; it doesn't widen monotonically forever.
             self.alter_cols += 1
-            self._sql(
+            stmts = [
                 f"ALTER TABLE soak_alter ADD COLUMN c{self.alter_cols} INT DEFAULT 0",
                 f"INSERT INTO soak_alter (id, c{self.alter_cols}) VALUES "
                 f"({self.alter_cols}, {self.alter_cols})",
-            )
+            ]
+            dropped = self.alter_cols - ALTER_WINDOW
+            if dropped >= 1:
+                stmts.append(f"ALTER TABLE soak_alter DROP COLUMN c{dropped}")
+            self._sql(*stmts)
             self.counts["alter"] += 1
         else:
             self._sql("TRUNCATE soak_alter")
@@ -419,7 +433,12 @@ def main() -> int:
     # assertions are meant to catch.
     ap.add_argument("--state-rows", type=int, default=0)
     ap.add_argument("--id-range", type=int, default=ID_RANGE)
-    ap.add_argument("--buckets", type=int, default=0)
+    ap.add_argument(
+        "--buckets",
+        type=lambda s: s if s == "auto" else int(s),
+        default=0,
+        help="bucketed merger: fixed count, 'auto' (volume-derived), 0 = unbucketed",
+    )
     ap.add_argument(
         "--segment-bytes",
         type=int,
@@ -727,6 +746,11 @@ def main() -> int:
         "seeded_state_rows": args.state_rows,
         "churn_id_range": id_range,
         "merger_buckets": args.buckets or None,
+        "merger_final_layout": (
+            json.load(open(os.path.join(target, "_nbuckets.json")))
+            if os.path.exists(os.path.join(target, "_nbuckets.json"))
+            else None
+        ),
         "boot_to_done_sec": round(time.time() - t_boot, 1),
         "micro_batches": n_batches,
         "tailer_sessions": tailer_loop.sessions,
