@@ -206,6 +206,53 @@ def decode_throughput_vs_reference(
     }
 
 
+def _parallel_canary_worker(n_rows: int) -> float:
+    """One worker's decode msg/s (module-level for multiprocessing)."""
+    from pypgcdc_spark.cdc import pgoutput as pg
+
+    frames = []
+    for i in range(n_rows):
+        frames.append(pg.encode_insert(16385, [str(i), None, "1.00", "x" * 20, "a"]))
+        frames.append(pg.encode_update(16385, [str(i), None, "2.00", "y" * 20, "b"]))
+    for f in frames[:200]:  # warm-up: JIT-free but first-touch caches matter
+        pg.decode_message(f)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for f in frames:
+            pg.decode_message(f)
+        best = max(best, len(frames) / (time.perf_counter() - t0))
+    return best
+
+
+def parallel_cpu_canary(n_rows: int = 2000) -> dict:
+    """All-cores CPU canary: the single-thread decode canary misses the
+    contention mode where sibling-host load leaves one core at full
+    speed but degrades every-core-busy throughput (observed r9: canary
+    UP 2% while 21 unrelated, unchanged-since-r7 Spark queries inflated
+    10-30% uniformly).  Run the same pure-Python decode on every core
+    at once; ``scaling_efficiency`` = aggregate / (single x nproc).  A
+    depressed efficiency vs the committed BENCH.json explains uniform
+    multi-core inflation as host contention even when loadavg and the
+    single-thread canary look clean."""
+    import multiprocessing as mp
+
+    nproc = os.cpu_count() or 8
+    single = _parallel_canary_worker(n_rows)
+    try:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            rates = pool.map(_parallel_canary_worker, [n_rows] * nproc)
+    except Exception as e:  # canary must never sink the bench
+        return {"error": str(e)[:200]}
+    agg = sum(rates)
+    return {
+        "nproc": nproc,
+        "single_msg_per_sec": round(single, 0),
+        "aggregate_msg_per_sec": round(agg, 0),
+        "scaling_efficiency": round(agg / (single * nproc), 3),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
@@ -368,6 +415,7 @@ def main():
             "os_cpu_count": os.cpu_count(),
             "headline_is_min_of": 2,
             "decode_canary_msg_per_sec": decode_bench.get("ours_msg_per_sec"),
+            "parallel_canary": parallel_cpu_canary(),
         },
     }
     # The full record goes to a FILE: round 3's stdout line outgrew the
