@@ -211,9 +211,18 @@ def timed(fn, spark, sf_dir: str) -> float:
         spark._jvm.System.gc()  # noqa: SLF001 — don't time the GC either
     except Exception:
         pass
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+    # Min of 2 timed passes: a single unprotected pass let one host-load
+    # spike fake a scaling cliff (r9: graph_triangle_count recorded
+    # time_ratio 7.66 in the artifact; an immediate targeted recheck
+    # measured 1.32 — same code, same data).  A transient inflates one
+    # pass, not the min — same discipline as bench.py's headline walls.
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 
