@@ -77,3 +77,20 @@ def test_ann_tuning_smoke(tmp_path):
     assert rec is not None and rec["recall_at_k"] >= 0.9
     if ops["cheapest_at_recall_095"] is not None:
         assert ops["cheapest_at_recall_095"]["recall_at_k"] >= 0.95
+
+
+def test_parallel_cpu_canary_smoke():
+    """bench.py's all-cores canary (r9): must produce a sane efficiency
+    figure quickly — it runs inside every bench, so a hang or an error
+    here would sink the artifact.  Small n_rows keeps this a few
+    seconds; efficiency bounds are deliberately loose (the whole point
+    of the canary is that this number MOVES with host contention)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    r = bench.parallel_cpu_canary(n_rows=300)
+    assert "error" not in r, r
+    assert r["nproc"] >= 1
+    assert r["single_msg_per_sec"] > 0
+    assert r["aggregate_msg_per_sec"] > r["single_msg_per_sec"]
+    assert 0.05 <= r["scaling_efficiency"] <= 2.0
