@@ -272,6 +272,13 @@ class DeleteAwareMerger:
         self.target_path = target_path
         self.auto = n_buckets == "auto"
         self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        #: completed rebucket transitions this process: [(old_n, new_n), ...]
+        self.rebucket_events: list = []
+        #: test-only fault injection point name (see _maybe_rebucket)
+        self._rebucket_fault: Optional[str] = None
+        # A prior process may have died mid-rebucket; converge the on-disk
+        # layout to exactly one committed generation before reading meta.
+        self._recover_rebucket()
         if self.auto:
             self.n_buckets = self._load_meta() or self.MIN_BUCKETS
         else:
@@ -344,31 +351,106 @@ class DeleteAwareMerger:
     def _bucket_of(kraw_col, n: int):
         return F.pmod(F.xxhash64(kraw_col), F.lit(n)).cast("int")
 
+    # -- crash-atomic rebucket (stage → marker → swap) --------------------
+
+    def _stage_path(self) -> str:
+        return self.target_path.rstrip("/") + ".rebucket"
+
+    def _old_path(self) -> str:
+        return self.target_path.rstrip("/") + ".rebucket.old"
+
+    def _fault(self, point: str) -> None:
+        """Test hook: raising here models process death at this point —
+        nothing after the raise runs, exactly like a kill, and recovery
+        happens in the next merger's __init__ (tests/test_fault_injection)."""
+        if self._rebucket_fault == point:
+            raise RuntimeError(f"injected rebucket crash at {point}")
+
+    def _recover_rebucket(self) -> None:
+        """Converge a possibly-interrupted rebucket to one committed
+        generation.  The swap is two renames; every crash window leaves a
+        state this resolves deterministically:
+
+        * stage present, target present → the swap never started (staging
+          incomplete or unmarked): discard the stage; the size threshold
+          re-fires the rebucket.
+        * target missing, stage complete (has the ``_nbuckets.json``
+          marker, written only after the staged parquet finished) → crash
+          between the two renames: promote the stage.
+        * old-generation dir left behind → crash after the swap completed:
+          delete it.
+        """
+        import os
+        import shutil
+
+        stage, old = self._stage_path(), self._old_path()
+        if os.path.isdir(stage):
+            stage_complete = os.path.exists(os.path.join(stage, "_nbuckets.json"))
+            if not os.path.isdir(self.target_path) and stage_complete:
+                os.rename(stage, self.target_path)
+            else:
+                shutil.rmtree(stage, ignore_errors=True)
+        if os.path.isdir(old):
+            if not os.path.isdir(self.target_path):
+                # Defensive: target can only be missing here if a complete
+                # stage also vanished — never produced by the protocol.
+                raise RuntimeError(
+                    f"rebucket recovery: {self.target_path} missing and no "
+                    f"complete stage; previous generation at {old}"
+                )
+            shutil.rmtree(old, ignore_errors=True)
+
     def _maybe_rebucket(self) -> None:
         """Auto mode: grow the bucket count (power of two) when the mean
         bucket size crosses the target, then rewrite the WHOLE dataset
         once under the new layout.  The stored ``_kraw`` strings are the
         hash input, so old and new layouts hold bit-identical rows — only
         the partition assignment changes (pinned by
-        test_bucketed_merger_rebucket_equivalence)."""
+        test_bucketed_merger_rebucket_equivalence).
+
+        Crash-safe (r10): the relaid dataset is staged into a sibling dir,
+        marked complete by writing its ``_nbuckets.json`` sidecar LAST,
+        then swapped in with two renames.  The live dataset is never
+        overwritten in place (the r9 static overwrite deleted the target
+        before rewriting it — a kill in that window lost the state), and
+        a kill at ANY point converges via _recover_rebucket on restart.
+        """
+        import os
+        import shutil
+
         total = self._state_bytes()
         if total <= self.n_buckets * self.target_bucket_bytes:
             return
         new_n = self.n_buckets
         while total > new_n * self.target_bucket_bytes:
             new_n *= 2
-        full = self.spark.read.parquet(self.target_path)
-        relaid = full.withColumn(
+        stage, old = self._stage_path(), self._old_path()
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self._fault("pre_stage")
+        relaid = self.spark.read.parquet(self.target_path).withColumn(
             "_bucket", self._bucket_of(F.col("_kraw"), new_n)
-        ).localCheckpoint(eager=True)
-        # Static overwrite: the whole dataset is replaced in one commit
-        # (dynamic mode would leave bucket ids >= new data's range stale).
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        relaid.write.mode("overwrite").partitionBy("_bucket").parquet(
-            self.target_path
         )
+        # Reads target, writes the stage — no read-own-write lineage, no
+        # checkpoint needed, and the live dataset stays readable throughout.
+        relaid.write.partitionBy("_bucket").parquet(stage)
+        self._fault("pre_marker")
+        # Marker LAST: a stage dir without its sidecar is by definition
+        # incomplete and gets discarded on recovery.
+        tmp = os.path.join(stage, "_nbuckets.json.tmp")
+        with open(tmp, "w") as f:
+            import json
+
+            json.dump({"n_buckets": int(new_n)}, f)
+        os.replace(tmp, os.path.join(stage, "_nbuckets.json"))
+        self._fault("pre_swap")
+        os.rename(self.target_path, old)
+        self._fault("mid_swap")
+        os.rename(stage, self.target_path)
+        self._fault("pre_gc")
+        shutil.rmtree(old, ignore_errors=True)
+        self.rebucket_events.append((self.n_buckets, new_n))
         self.n_buckets = new_n
-        self._save_meta()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import os
