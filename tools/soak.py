@@ -359,6 +359,151 @@ class Workload(threading.Thread):
             pass
 
 
+class SoakAggMaintainer:
+    """Manifest-committed IVM over the LIVE replicated envelope stream
+    (round-9 verdict task 1: auto-bucketing, segmented retention and the
+    atomic manifest commit protocol exercised TOGETHER at volume).
+
+    Maintains keyed state (id → lsn, balance-cents, tombstone) bucketed
+    by ``id % n_buckets`` plus a derived aggregate (``id % N_GROUPS`` →
+    live-key count, cent sum) by retract/add delta math — the aggregate
+    is never recomputed from state.  State rows, the batch marker AND
+    the aggregate commit as ONE ``os.replace`` (operators/atomic_state),
+    so a kill anywhere leaves either the whole batch or none of it; a
+    fresh instance (= a restarted process) restores the aggregate from
+    the manifest.  End-of-run truth: the live server's
+    ``SELECT id%16, count(*), sum(balance*100) FROM soak GROUP BY 1``.
+    """
+
+    STATE_SCHEMA = "id LONG, lsn LONG, cents LONG, is_deleted BOOLEAN"
+    N_GROUPS = 16
+
+    def __init__(self, spark, work_dir: str, n_buckets: int = 32, guard_id=None):
+        from pypgcdc_spark.operators.atomic_state import ManifestState
+
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.guard_id = guard_id
+        self.state = ManifestState(spark, os.path.join(work_dir, "state"), ["bucket"])
+        self._agg_rows: list = [tuple(r) for r in self.state.extra("agg", [])]
+        self.batches_applied = 0
+
+    def aggregate_rows(self) -> list:
+        return sorted(
+            (int(g), int(n), int(c)) for g, n, c in self._agg_rows if int(n) > 0
+        )
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.state.already_applied(batch_id, self.guard_id):
+            return
+        rows = batch_df.filter(
+            (F.col("table") == "soak") & F.col("op").isin("I", "U", "D")
+        ).select(
+            F.col("key").getItem("id").cast("long").alias("id"),
+            F.col("lsn").cast("long").alias("lsn"),
+            (F.col("after").getItem("balance").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("op") == "D").alias("is_deleted"),
+        )
+        if rows.isEmpty():
+            # Idle batch: marker-only commit advances the high-water.
+            self.state.finalize(
+                None, [], batch_id, self.guard_id,
+                extra={"agg": [list(r) for r in self._agg_rows]},
+            )
+            self.batches_applied += 1
+            return
+        bucket = F.pmod(F.col("id"), F.lit(self.n_buckets)).cast("int")
+        from pypgcdc_spark.operators.state_prune import touched_buckets
+
+        batch_buckets = touched_buckets(rows, bucket)
+        old = self.state.read(
+            "bucket INT, " + self.STATE_SCHEMA,
+            F.col("bucket").isin([int(b) for b in batch_buckets]),
+        ).drop("bucket")
+        # One tall union + one groupBy(id) reconciles old state against
+        # the batch's newest-per-key version (same shape as operators/
+        # ivm.py — map-side partial agg, one shuffle, no join tree).
+        tall = old.select(
+            "id", F.lit("O").alias("src"), "lsn", "cents", "is_deleted"
+        ).unionByName(rows.select("id", F.lit("N").alias("src"), "lsn", "cents", "is_deleted"))
+        rec = F.struct("lsn", "cents", "is_deleted")
+        w = (
+            tall.groupBy("id")
+            .agg(
+                F.max_by(rec, F.when(F.col("src") == "O", F.col("lsn"))).alias("old"),
+                F.max_by(rec, F.when(F.col("src") == "N", F.col("lsn"))).alias("new"),
+            )
+            .select(
+                "id",
+                (
+                    F.col("new.lsn").isNotNull()
+                    & (F.col("old.lsn").isNull() | (F.col("new.lsn") > F.col("old.lsn")))
+                ).alias("eff"),
+                "old.lsn", "old.cents", "old.is_deleted",
+                F.col("new.lsn").alias("new_lsn"),
+                F.col("new.cents").alias("new_cents"),
+                F.col("new.is_deleted").alias("new_deleted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        grp = F.pmod(F.col("id"), F.lit(self.N_GROUPS)).cast("int")
+        retract = w.filter(
+            F.col("eff") & F.col("lsn").isNotNull() & ~F.col("is_deleted")
+        ).select(
+            grp.alias("grp"),
+            F.lit(-1).cast("long").alias("n_keys"),
+            (-F.col("cents")).alias("total_cents"),
+        )
+        add = w.filter(F.col("eff") & ~F.col("new_deleted")).select(
+            grp.alias("grp"),
+            F.lit(1).cast("long").alias("n_keys"),
+            F.col("new_cents").alias("total_cents"),
+        )
+        agg = (
+            self.spark.createDataFrame(
+                self._agg_rows, "grp INT, n_keys LONG, total_cents LONG"
+            )
+            .unionByName(retract)
+            .unionByName(add)
+            .groupBy("grp")
+            .agg(F.sum("n_keys").alias("n_keys"), F.sum("total_cents").alias("total_cents"))
+        )
+        # Survivors (tombstones included) of the touched buckets; both
+        # the delta fold and the staged write stream from checkpointed W.
+        new_state = w.filter(
+            F.when(F.col("eff"), F.lit(True)).otherwise(F.col("lsn").isNotNull())
+        ).select(
+            F.pmod(F.col("id"), F.lit(self.n_buckets)).cast("int").alias("bucket"),
+            "id",
+            F.when(F.col("eff"), F.col("new_lsn")).otherwise(F.col("lsn")).alias("lsn"),
+            F.when(F.col("eff"), F.col("new_cents")).otherwise(F.col("cents")).alias("cents"),
+            F.when(F.col("eff"), F.col("new_deleted"))
+            .otherwise(F.col("is_deleted"))
+            .alias("is_deleted"),
+        )
+        from pypgcdc_spark.operators.join_ivm import _concurrently
+
+        staged: list = []
+        agg_rows = _concurrently(
+            lambda: agg.collect(),
+            lambda: staged.append(self.state.stage(new_state, batch_id)),
+        )
+        # THE commit: staged buckets + batch marker + aggregate, one rename.
+        self.state.finalize(
+            staged[0],
+            [(int(b),) for b in batch_buckets],
+            batch_id,
+            self.guard_id,
+            extra={"agg": [[int(g), int(n), int(c)] for g, n, c in agg_rows]},
+        )
+        self._agg_rows = [tuple(r) for r in agg_rows]
+        self.batches_applied += 1
+
+
 def state_hash(rows) -> str:
     """Canonical hash over (id, balance, payload, updated_epoch_us)."""
     canon = sorted(rows)
@@ -445,6 +590,20 @@ def main() -> int:
         default=4 << 20,
         help="replay-log segment size for roll+GC (0 = legacy single file)",
     )
+    ap.add_argument(
+        "--target-bucket-bytes",
+        type=int,
+        default=0,
+        help="auto-mode mean bucket size target; lower it so the soak "
+        "crosses ≥1 rebucket threshold in-run (0 = merger default)",
+    )
+    ap.add_argument(
+        "--ivm",
+        type=int,
+        default=1,
+        help="1 = also run the manifest-committed IVM consumer on the "
+        "same stream (aggregate verified against the server at the end)",
+    )
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -506,14 +665,46 @@ def main() -> int:
             break
         time.sleep(0.5)
 
+    from pypgcdc_spark.cdc.apply import DeleteAwareMerger
+
+    mergers: list = []
+    ivm_maintainers: list = []
+    ivm_dir = os.path.join(work, "ivm")
+
     def start_query():
-        return engine.materialize(
-            engine.stream(log, max_tx_per_batch=200),
+        # Construct the merger directly (rather than engine.materialize)
+        # so the soak can lower the rebucket threshold and harvest the
+        # completed-rebucket events each merger instance records.  The
+        # IVM maintainer rides the SAME foreachBatch (the standard
+        # one-ingest-many-sinks pattern): the replay log and its
+        # ack/registry sidecars are single-consumer transport state —
+        # one slot, one consumer — so a second independent reader on the
+        # same log would race the first one's sidecar GC.  A FRESH
+        # maintainer per (re)start = a restarted process: its aggregate
+        # must come back from the manifest, never from memory.
+        m = DeleteAwareMerger(
+            spark,
             SOAK_SCHEMA,
             target,
-            checkpoint=ckpt,
-            drain=False,
             n_buckets=args.buckets or None,
+            target_bucket_bytes=args.target_bucket_bytes or None,
+        )
+        mergers.append(m)
+        mt = SoakAggMaintainer(spark, ivm_dir, guard_id=ckpt) if args.ivm else None
+        if mt is not None:
+            ivm_maintainers.append(mt)
+
+        def _sinks(df, bid):
+            m(df, bid)
+            if mt is not None:
+                mt(df, bid)
+
+        return (
+            engine.stream(log, max_tx_per_batch=200)
+            .writeStream.foreachBatch(_sinks)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
         )
 
     query = start_query()
@@ -577,6 +768,20 @@ def main() -> int:
             pass
         sample["ckpt_bytes"] = dir_size(ckpt)
         sample["ack_bytes"] = file_size(log + ".ack")
+        try:
+            with open(os.path.join(target, "_nbuckets.json")) as f:
+                sample["n_buckets"] = int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            pass
+        if args.ivm:
+            try:
+                with open(os.path.join(ivm_dir, "state", "manifest.json")) as f:
+                    m = json.load(f)
+                sample["ivm_batch_id"] = int(m.get("batch_id", -1))
+                sample["ivm_live_parts"] = len(m.get("partitions", {}))
+            except (OSError, ValueError):
+                pass
+            sample["ivm_bytes"] = dir_size(ivm_dir)
         sample["registry_bytes"] = dir_size(log + ".registry.d")
         # On-disk footprint = active file + retained segments (the r9
         # flatness target); logical length keeps growing by design.
@@ -714,6 +919,20 @@ def main() -> int:
             "suffix_mismatched_ids": mismatches[:20],
             "suffix_resurrected_ids": resurrections[:20],
         }
+    # IVM aggregate: a FRESH maintainer restores the aggregate from the
+    # manifest (restart-durability is part of what's verified), compared
+    # against the server's ground-truth GROUP BY.
+    ivm_agg = ivm_truth = None
+    if args.ivm:
+        ivm_final = SoakAggMaintainer(spark, ivm_dir, guard_id=ckpt)
+        ivm_agg = ivm_final.aggregate_rows()
+        ivm_truth = sorted(
+            (int(g), int(n), int(c))
+            for g, n, c in live.sql(
+                "SELECT (id % 16)::int, count(*)::bigint, "
+                "COALESCE(sum((balance * 100)::bigint), 0) FROM soak GROUP BY 1"
+            )
+        )
     h_truth, h_got = state_hash(truth), state_hash(got)
     diffs = {}
     if h_got != h_truth or (retained_from == 0 and h_replay != h_truth):
@@ -750,6 +969,27 @@ def main() -> int:
             json.load(open(os.path.join(target, "_nbuckets.json")))
             if os.path.exists(os.path.join(target, "_nbuckets.json"))
             else None
+        ),
+        "merger_target_bucket_bytes": args.target_bucket_bytes or None,
+        # Completed (old_n, new_n) rebucket transitions across every
+        # merger instance the run started (restarts included).
+        "rebucket_events": [list(e) for m in mergers for e in m.rebucket_events],
+        "ivm": (
+            None
+            if not args.ivm
+            else {
+                "batches_applied_total": sum(
+                    m.batches_applied for m in ivm_maintainers
+                ),
+                "maintainer_instances": len(ivm_maintainers),
+                "final_manifest_batch_id": (
+                    (ivm_final.state.load() or {}).get("batch_id")
+                ),
+                "groups": len(ivm_agg or []),
+                "match_ivm_vs_server": ivm_agg == ivm_truth,
+                "agg_sample": (ivm_agg or [])[:4],
+                "truth_sample": (ivm_truth or [])[:4],
+            }
         ),
         "boot_to_done_sec": round(time.time() - t_boot, 1),
         "micro_batches": n_batches,
@@ -817,11 +1057,15 @@ def main() -> int:
                     "server_rows",
                     "match_materialized_vs_server",
                     "match_replay_vs_server",
+                    "rebucket_events",
+                    "ivm",
                 )
             }
         )
     )
     ok = report["match_materialized_vs_server"] and report["match_replay_vs_server"]
+    if args.ivm:
+        ok = ok and report["ivm"]["match_ivm_vs_server"]
     try:
         live.stop()
     except Exception:
