@@ -237,20 +237,25 @@ def parallel_cpu_canary(n_rows: int = 2000) -> dict:
     single-thread canary look clean."""
     import multiprocessing as mp
 
-    nproc = os.cpu_count() or 8
-    single = _parallel_canary_worker(n_rows)
-    try:
+    try:  # canary must never sink the bench — EVERYTHING inside the guard
+        nproc = os.cpu_count() or 8
+        single = _parallel_canary_worker(n_rows)
         with mp.get_context("fork").Pool(nproc) as pool:
-            rates = pool.map(_parallel_canary_worker, [n_rows] * nproc)
-    except Exception as e:  # canary must never sink the bench
+            # Bounded get(): a wedged child (fork from a multithreaded
+            # parent can deadlock on inherited locks) degrades to an
+            # {'error': ...} entry instead of hanging the whole bench.
+            rates = pool.map_async(
+                _parallel_canary_worker, [n_rows] * nproc
+            ).get(timeout=120)
+        agg = sum(rates)
+        return {
+            "nproc": nproc,
+            "single_msg_per_sec": round(single, 0),
+            "aggregate_msg_per_sec": round(agg, 0),
+            "scaling_efficiency": round(agg / (single * nproc), 3),
+        }
+    except Exception as e:
         return {"error": str(e)[:200]}
-    agg = sum(rates)
-    return {
-        "nproc": nproc,
-        "single_msg_per_sec": round(single, 0),
-        "aggregate_msg_per_sec": round(agg, 0),
-        "scaling_efficiency": round(agg / (single * nproc), 3),
-    }
 
 
 def main():
@@ -262,6 +267,11 @@ def main():
     from pypgcdc_spark.session import get_spark
 
     ensure_registered()
+    # All-cores canary BEFORE the SparkSession exists: forking a pool
+    # from the not-yet-multithreaded parent cannot deadlock on inherited
+    # py4j/logging locks (ADVICE r9), and the measurement is free of the
+    # bench's own executor load — it reads pure host contention.
+    parallel_canary = parallel_cpu_canary()
     spark = get_spark("pypgcdc-bench", cpus=cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
@@ -415,7 +425,7 @@ def main():
             "os_cpu_count": os.cpu_count(),
             "headline_is_min_of": 2,
             "decode_canary_msg_per_sec": decode_bench.get("ours_msg_per_sec"),
-            "parallel_canary": parallel_cpu_canary(),
+            "parallel_canary": parallel_canary,
         },
     }
     # The full record goes to a FILE: round 3's stdout line outgrew the

@@ -65,8 +65,15 @@ EXTENDED = frozenset(
         # views (round 5): source-path variants of the already-primary
         # apply family.
         "cdc_streamed_tx_replay",
-        "source_segmented_retention",
         "cdc_two_phase_replay",
+        # source_segmented_retention was here until round 10: the r9
+        # flagship (retention GC under a running stream) now holds a
+        # PRIMARY slot so the driver's independent oracle exercises it;
+        # text_repetition_signals vacated the slot (the text-analysis
+        # family keeps six primaries covering the same in-row stats
+        # shape; repetition metrics stay oracle-checked via the full
+        # gate).
+        "text_repetition_signals",
         "cdc_schema_evolution_typed",
         "pipeline_cdc_corpus_refresh",
         # Model-based (hashed linear) quality filter; the text-quality

@@ -15,6 +15,7 @@ PRIMARY = {n for n in REGISTRY if n not in EXTENDED}
 # demotion to EXTENDED must leave the family non-empty.
 CATEGORY_REPRESENTATIVES = {
     "scans_sources": {"q1_pricing_summary", "multimodal_decode_stats"},
+    "source_retention": {"source_segmented_retention"},
     "joins": {"q9_profit_by_nation_year", "q21_sole_late_supplier"},
     "semi_anti_join": {"join_semi_active_suppliers"},
     "full_outer_join": {"join_full_outer_order_coverage"},
@@ -52,7 +53,6 @@ CATEGORY_REPRESENTATIVES = {
         "text_langid_confusion",
         "text_fingerprint",
         "text_pii_scrub",
-        "text_repetition_signals",
         "text_duplicate_spans",
     },
     "pipeline_curation": {

@@ -92,5 +92,10 @@ def test_parallel_cpu_canary_smoke():
     assert "error" not in r, r
     assert r["nproc"] >= 1
     assert r["single_msg_per_sec"] > 0
-    assert r["aggregate_msg_per_sec"] > r["single_msg_per_sec"]
+    if r["nproc"] >= 2:
+        assert r["aggregate_msg_per_sec"] > r["single_msg_per_sec"]
+    else:
+        # One core: the pooled run measures the same work once; normal
+        # variance can land at or below the single-thread number.
+        assert r["aggregate_msg_per_sec"] >= 0.5 * r["single_msg_per_sec"]
     assert 0.05 <= r["scaling_efficiency"] <= 2.0
