@@ -1,19 +1,63 @@
 """Event-time windowing operators (SURVEY §2.2 streaming rows).
 
-These are the *semantics* of the streaming operators — ``window()``,
-sliding windows, ``session_window()`` — evaluated here in batch mode so the
-DuckDB oracle can verify them (Spark's window functions are identical in
-batch and streaming; the streaming-specific machinery — watermarks, state
-store, late-data drop — is exercised in ``tests/test_streaming.py``).
+Every ``stream_*`` query here runs THROUGH the streaming engine — a
+file-stream source, watermarked event time, windowed aggregation in the
+state store, drained with ``trigger(availableNow=True)`` — and its
+drained output must hash-match a batch DuckDB oracle (Spark's window
+semantics are identical in batch and streaming, which is exactly what
+makes the oracle valid).  Until round 10 the four window-shape rows
+(tumbling/sliding/session/time_rollup) evaluated their semantics in
+batch mode only; the plan audit flagged them as "0 micro-batches", so
+they now share the same drain harness as their stateful siblings.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pypgcdc_spark.operators.relational import dec, money
 from pypgcdc_spark.queries import event_ts_expr, load, query, state_partitions
+
+
+def _events_stream(spark, sf_dir):
+    """File-stream over the events table with a true event-time column
+    (physical ts type varies by fixture generation — event_ts_expr)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        event_ts_expr(schema).alias("ev_ts"),
+    )
+
+
+def _drain_complete(spark, agg_df, prefix: str):
+    """Run a streaming aggregation to completion (complete output mode —
+    the drained memory sink IS the final aggregate; watermark state-drop
+    applies in update/append deployments of the same plan) and return
+    the sink table."""
+    name = prefix + "_" + uuid.uuid4().hex[:12]
+    with state_partitions(spark):
+        q = (
+            agg_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
 
 
 @query(
@@ -27,23 +71,27 @@ from pypgcdc_spark.queries import event_ts_expr, load, query, state_partitions
     """,
 )
 def stream_tumbling(spark, sf_dir):
-    """1-hour tumbling window aggregation (streaming groupBy(window(...))
-    shape; with a stream source this takes withWatermark("ts", ...))."""
-    (events,) = load(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour"), "event_type")
+    """1-hour tumbling windows, REAL streaming: watermarked event time,
+    windowed aggregation through the state store, drained and formatted.
+    Sums stay exact decimal inside the state; rounding happens once on
+    the drained output (same place the oracle rounds)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
         )
-        .select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    )
+    sink = _drain_complete(spark, agg, "tumb")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        money(F.col("sum_value")).alias("total_value"),
     )
 
 
@@ -63,21 +111,24 @@ def stream_tumbling(spark, sf_dir):
     """,
 )
 def stream_sliding(spark, sf_dir):
-    """1-hour window sliding every 30 minutes (overlapping windows)."""
-    (events,) = load(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+    """1-hour windows sliding every 30 minutes (each event enters two
+    overlapping windows), REAL streaming via the same drain harness."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 hour", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
         )
-        .select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "n",
-            "total_value",
-        )
+    )
+    sink = _drain_complete(spark, agg, "slid")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n",
+        money(F.col("sum_value")).alias("total_value"),
     )
 
 
@@ -110,27 +161,30 @@ def stream_sliding(spark, sf_dir):
     """,
 )
 def stream_session(spark, sf_dir):
-    """Session windows with a 30-minute inactivity gap (session_window —
-    the streaming stateful-agg shape — verified against a gaps-and-islands
-    oracle)."""
-    (events,) = load(spark, sf_dir, "events")
-    return (
-        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+    """Session windows with a 30-minute inactivity gap, REAL streaming:
+    ``session_window`` is the state store's merging-window operator
+    (sessions extend and MERGE as bridging events arrive across
+    micro-batches), verified against a gaps-and-islands oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy("user_id", F.session_window("ev_ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
         )
-        .select(
-            "user_id",
-            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
-                "session_end"
-            ),
-            "n_events",
-            "session_value",
-        )
+    )
+    sink = _drain_complete(spark, agg, "sess")
+    return sink.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        money(F.col("sum_value")).alias("session_value"),
     )
 
 
@@ -319,32 +373,37 @@ def stream_stateful_running_stats(spark, sf_dir):
 )
 def stream_time_rollup(spark, sf_dir):
     """Multi-granularity time rollup (the hypertable / continuous-
-    aggregate shape): hour + day + total grains in ONE aggregation pass
-    via ROLLUP over the time hierarchy — Spark plans a single Expand +
-    partial/final agg, so the downsampling pyramid costs one shuffle, not
-    one job per grain.  In streaming deployment each micro-batch folds
-    into the same pyramid (foreachBatch upsert per grain)."""
-    (events,) = load(spark, sf_dir, "events")
-    t = events.select(
-        F.date_trunc("day", "ts").alias("day_ts"),
-        F.date_trunc("hour", "ts").alias("hour_ts"),
+    aggregate shape), REAL streaming: hour + day + total grains in ONE
+    streaming aggregation via ROLLUP over the time hierarchy — Spark
+    plans a single stateless Expand feeding one stateful aggregate, so
+    the whole downsampling pyramid is maintained in the state store in
+    one pass (one shuffle, not one job per grain)."""
+    t = _events_stream(spark, sf_dir).select(
+        F.date_trunc("day", "ev_ts").alias("day_ts"),
+        F.date_trunc("hour", "ev_ts").alias("hour_ts"),
         "value",
+        "ev_ts",
     )
-    rolled = t.rollup("day_ts", "hour_ts").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("total_value"),
+    rolled = (
+        t.withWatermark("ev_ts", "1 hour")
+        .rollup("day_ts", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
     )
+    sink = _drain_complete(spark, rolled, "roll")
     grain = (
         F.when(F.col("day_ts").isNull(), "total")
         .when(F.col("hour_ts").isNull(), "day")
         .otherwise("hour")
     )
-    return rolled.select(
+    return sink.select(
         grain.alias("grain"),
         F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("")).alias("day"),
         F.coalesce(F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("hour"),
         "n_events",
-        "total_value",
+        money(F.col("sum_value")).alias("total_value"),
     )
 
 
