@@ -32,6 +32,13 @@ def main(argv=None) -> int:
         default=None,
         help="bucketed state: an int, or 'auto' to derive from state volume",
     )
+    ap.add_argument(
+        "--target-bucket-bytes",
+        type=int,
+        default=0,
+        help="auto mode: mean bucket size that triggers a rebucket "
+        "(default: merger's 128 MiB)",
+    )
     ap.add_argument("--cpus", type=int, default=0)
     ap.add_argument("--show-envelope", action="store_true", help="print the envelope and exit")
     ap.add_argument(
@@ -99,6 +106,7 @@ def main(argv=None) -> int:
             target,
             checkpoint=os.path.join(ckpt_root, schema.table),
             n_buckets=(nb if nb in (None, "auto") else int(nb)),
+            target_bucket_bytes=args.target_bucket_bytes or None,
         )
         try:
             n = spark.read.parquet(target).count()

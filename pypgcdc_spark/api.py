@@ -196,6 +196,7 @@ class PgCdcEngine:
         checkpoint: str,
         drain: bool = True,
         n_buckets: int | str | None = None,
+        target_bucket_bytes: int | None = None,
     ):
         """Continuously merge the change stream into a current-state table
         (the reference DataStore's job, done as foreachBatch MERGE).
@@ -216,7 +217,13 @@ class PgCdcEngine:
         on-disk volume (power-of-two rebucket on threshold crossing,
         layout persisted in ``_nbuckets.json``).
         """
-        merger = DeleteAwareMerger(self.spark, schema, target_path, n_buckets=n_buckets)
+        merger = DeleteAwareMerger(
+            self.spark,
+            schema,
+            target_path,
+            n_buckets=n_buckets,
+            target_bucket_bytes=target_bucket_bytes,
+        )
         writer = (
             env_stream.writeStream.foreachBatch(merger)
             .option("checkpointLocation", checkpoint)
