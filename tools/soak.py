@@ -359,6 +359,56 @@ class Workload(threading.Thread):
             pass
 
 
+class SeedTrickle(threading.Thread):
+    """Streams the remaining seed rows in DURING the fault window, paced
+    to finish at ~total_sec — state volume grows under live faults, so
+    auto-rebucket threshold crossings happen inside the window, not just
+    in the pre-window drain."""
+
+    def __init__(self, live: LivePg, lo: int, hi: int, chunk: int, total_sec: float):
+        super().__init__(daemon=True)
+        self.live = live
+        self.lo, self.hi, self.chunk = lo, hi, chunk
+        n_chunks = max(1, (hi - lo + chunk - 1) // chunk)
+        self.interval = max(1.0, total_sec / n_chunks)
+        self.stop_event = threading.Event()
+        self.rows_sent = 0
+        self.errors: list = []
+
+    def run(self) -> None:
+        conn = None
+        for start in range(self.lo, self.hi, self.chunk):
+            if self.stop_event.is_set():
+                break
+            end = min(start + self.chunk, self.hi)
+            try:
+                if conn is None:
+                    conn = self.live.sql_conn()
+                for s in (
+                    "BEGIN",
+                    f"INSERT INTO soak SELECT g, (g % 1000000) / 100.0, "
+                    f"'seed' || g, now() FROM generate_series({start}, {end - 1}) g "
+                    "ON CONFLICT (id) DO NOTHING",
+                    "COMMIT",
+                ):
+                    conn.simple_query(s)
+                self.rows_sent += end - start
+            except Exception as e:
+                self.errors.append(f"{type(e).__name__}: {e}"[:200])
+                try:
+                    if conn is not None:
+                        conn.close()
+                except Exception:
+                    pass
+                conn = None
+            self.stop_event.wait(self.interval)
+        try:
+            if conn is not None:
+                conn.close()
+        except Exception:
+            pass
+
+
 class SoakAggMaintainer:
     """Manifest-committed IVM over the LIVE replicated envelope stream
     (round-9 verdict task 1: auto-bucketing, segmented retention and the
@@ -598,6 +648,21 @@ def main() -> int:
         "crosses ≥1 rebucket threshold in-run (0 = merger default)",
     )
     ap.add_argument(
+        "--seed-prefraction",
+        type=float,
+        default=1.0,
+        help="fraction of --state-rows seeded (and drained) BEFORE the "
+        "fault window; the rest trickles in during it",
+    )
+    ap.add_argument("--seed-chunk", type=int, default=100_000)
+    ap.add_argument(
+        "--max-tx-per-batch",
+        type=int,
+        default=200,
+        help="micro-batch tx cap; lower it so backlog drains commit "
+        "incrementally instead of one giant batch",
+    )
+    ap.add_argument(
         "--ivm",
         type=int,
         default=1,
@@ -645,19 +710,22 @@ def main() -> int:
         time.sleep(0.5)
     id_range = max(args.id_range, args.state_rows)
     # Bulk seed (streams through the slot as v2 spans: each chunk is far
-    # beyond logical_decoding_work_mem).  Runs BEFORE the churn so the
-    # randomized traffic and every fault lands on top of full-size state.
-    seed_chunk = 100_000
-    for lo in range(0, args.state_rows, seed_chunk):
-        hi = min(lo + seed_chunk, args.state_rows)
+    # beyond logical_decoding_work_mem).  The PRE fraction lands before
+    # the fault window and is drained to quiescence first — an
+    # interrupted backlog-sized batch is redelivered FROM SCRATCH on
+    # every consumer-pause restart, so faulting the drain live-locks the
+    # run (observed r10: one 5M-row batch restarted forever).  The
+    # remaining fraction trickles in DURING the window, so state keeps
+    # growing — and crosses auto-rebucket thresholds — under the faults.
+    pre_rows = int(args.state_rows * args.seed_prefraction)
+    for lo in range(0, pre_rows, args.seed_chunk):
+        hi = min(lo + args.seed_chunk, pre_rows)
         live.sql(
             "BEGIN",
             f"INSERT INTO soak SELECT g, (g % 1000000) / 100.0, 'seed' || g, now() "
             f"FROM generate_series({lo}, {hi - 1}) g ON CONFLICT (id) DO NOTHING",
             "COMMIT",
         )
-    workload = Workload(live, random.Random(args.seed + 1), id_range=id_range)
-    workload.start()
 
     # wait for the log to exist so the source has a path to tail
     for _ in range(120):
@@ -695,19 +763,54 @@ def main() -> int:
             ivm_maintainers.append(mt)
 
         def _sinks(df, bid):
+            # Parse the batch's envelope ONCE: both sinks run several
+            # actions against batch_df, and each action re-decodes the
+            # Python-source partition payload — at backlog-sized batches
+            # that re-parse dominated the wall (r10: a 5M-row batch spent
+            # 40+ min re-decoding the same 170 MB across ~6 actions).
+            df = df.localCheckpoint(eager=True)
             m(df, bid)
             if mt is not None:
                 mt(df, bid)
 
         return (
-            engine.stream(log, max_tx_per_batch=200)
+            engine.stream(log, max_tx_per_batch=args.max_tx_per_batch)
             .writeStream.foreachBatch(_sinks)
             .option("checkpointLocation", ckpt)
             .outputMode("update")
             .start()
         )
 
+    # -- seed drain: wait for the tailer to quiesce on the seed, then
+    # process the whole backlog UNINTERRUPTED (no faults yet).  The churn
+    # window then starts on full-size state with small per-batch deltas.
+    stable = replay_log_size(log)
+    for _ in range(600):
+        time.sleep(2)
+        cur = replay_log_size(log)
+        if cur == stable and cur > 0:
+            break
+        stable = cur
     query = start_query()
+    t_drain = time.time()
+    query.processAllAvailable()
+    seed_drain = {
+        "sec": round(time.time() - t_drain, 1),
+        "rows": pre_rows,
+        "batches": (query.lastProgress or {}).get("batchId", -1) + 1,
+        "rebuckets_during_drain": [list(e) for e in mergers[-1].rebucket_events],
+    }
+
+    workload = Workload(live, random.Random(args.seed + 1), id_range=id_range)
+    workload.start()
+    trickle = SeedTrickle(
+        live,
+        lo=pre_rows,
+        hi=args.state_rows,
+        chunk=args.seed_chunk,
+        total_sec=args.minutes * 60.0 * 0.75,
+    )
+    trickle.start()
     mon = live.sql_conn()  # persistent monitoring connection
 
     samples = []
@@ -807,6 +910,8 @@ def main() -> int:
         time.sleep(5.0)
 
     # -- shutdown + final drain ---------------------------------------
+    trickle.stop_event.set()
+    trickle.join(timeout=60)
     workload.stop_event.set()
     workload.join(timeout=30)
     if paused_until is not None:
@@ -971,6 +1076,10 @@ def main() -> int:
             else None
         ),
         "merger_target_bucket_bytes": args.target_bucket_bytes or None,
+        "seed_prefraction": args.seed_prefraction,
+        "seed_drain": seed_drain,
+        "trickle_rows_during_window": trickle.rows_sent,
+        "trickle_errors": trickle.errors[:5],
         # Completed (old_n, new_n) rebucket transitions across every
         # merger instance the run started (restarts included).
         "rebucket_events": [list(e) for m in mergers for e in m.rebucket_events],
