@@ -22,6 +22,15 @@ def get_spark(app_name: str = "pypgcdc_spark", cpus: int | None = None) -> Spark
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Extra JVM flags for the (lazily launched) local JVM — e.g. the
+        # soak passes -Xss64m after a java.util.regex StackOverflowError
+        # on the stream execution thread at 5M-row log volumes killed the
+        # query mid-batch (regex match depth is stack-bound; the default
+        # thread stack caps it around ~100 KB of input).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", ""),
+        )
         .config("spark.ui.enabled", "false")
         # local[] has exactly one executor: waiting for data locality is
         # pure scheduler latency (measured ~0.15s/job on slow-timer VMs).
