@@ -215,6 +215,17 @@ class DeleteAwareMerger:
     function of target ∪ batch).  On a lake format this becomes
     ``MERGE INTO target USING batch ON keys WHEN MATCHED ...``.
 
+    SINGLE WRITER ASSUMED (the same contract a foreachBatch sink always
+    carries): replay-idempotence covers sequential redelivery, not two
+    attempts mutating the target CONCURRENTLY.  Note that
+    ``StreamingQuery.stop()`` cancels the stream's own job group but NOT
+    jobs the Python foreachBatch body started — a restart while a
+    long merge attempt is still running creates exactly that race
+    (found by the r10 soak; its harness cancels all jobs on restart).
+    ``operators/atomic_state.ManifestState`` tolerates concurrent
+    attempts by construction (append-only attempt dirs, one manifest
+    rename wins) — prefer it where overlapping attempts are possible.
+
     Two I/O shapes:
 
     * ``n_buckets=None`` (default): whole-table overwrite — fine for

@@ -840,6 +840,18 @@ def main() -> int:
                 query.awaitTermination(30)
             except Exception:
                 pass
+            # stop() cancels the STREAM's job group, but the foreachBatch
+            # body runs in Python and its actions (state writes, collects)
+            # run under their own job groups — at multi-minute batch sizes
+            # the orphaned attempt keeps mutating the target while the
+            # restarted query replays the same batch, and concurrent
+            # attempts race on the state layout (observed r10: zombie
+            # merge jobs piling up per pause until livelock).  Cancelling
+            # everything makes a pause what it models: a process crash.
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
             paused_until = now + rng.uniform(20, 35)
             faults["consumer_pause"] += 1
         if paused_until is not None and now >= paused_until:
@@ -853,6 +865,10 @@ def main() -> int:
             exc = query.exception()
             if exc is not None:
                 query_exceptions.append(str(exc)[:500])
+                try:
+                    spark.sparkContext.cancelAllJobs()  # orphaned attempt
+                except Exception:
+                    pass
                 query = start_query()
                 query_restarts += 1
         except Exception as e:
