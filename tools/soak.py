@@ -663,6 +663,14 @@ def main() -> int:
         "incrementally instead of one giant batch",
     )
     ap.add_argument(
+        "--ivm-buckets",
+        type=int,
+        default=32,
+        help="IVM keyed-state bucket count; size it so a random churn "
+        "batch touches a small FRACTION of buckets (buckets >> keys/batch "
+        "turns per-batch cost from O(state) into O(batch × state/buckets))",
+    )
+    ap.add_argument(
         "--ivm",
         type=int,
         default=1,
@@ -758,7 +766,11 @@ def main() -> int:
             target_bucket_bytes=args.target_bucket_bytes or None,
         )
         mergers.append(m)
-        mt = SoakAggMaintainer(spark, ivm_dir, guard_id=ckpt) if args.ivm else None
+        mt = (
+            SoakAggMaintainer(spark, ivm_dir, n_buckets=args.ivm_buckets, guard_id=ckpt)
+            if args.ivm
+            else None
+        )
         if mt is not None:
             ivm_maintainers.append(mt)
 
@@ -1045,7 +1057,9 @@ def main() -> int:
     # against the server's ground-truth GROUP BY.
     ivm_agg = ivm_truth = None
     if args.ivm:
-        ivm_final = SoakAggMaintainer(spark, ivm_dir, guard_id=ckpt)
+        ivm_final = SoakAggMaintainer(
+            spark, ivm_dir, n_buckets=args.ivm_buckets, guard_id=ckpt
+        )
         ivm_agg = ivm_final.aggregate_rows()
         ivm_truth = sorted(
             (int(g), int(n), int(c))
@@ -1107,6 +1121,7 @@ def main() -> int:
                     m.batches_applied for m in ivm_maintainers
                 ),
                 "maintainer_instances": len(ivm_maintainers),
+                "n_buckets": args.ivm_buckets,
                 "final_manifest_batch_id": (
                     (ivm_final.state.load() or {}).get("batch_id")
                 ),
