@@ -230,8 +230,22 @@ class PgCdcEngine:
             .outputMode("update")
         )
         query = writer.start()
+
+        def stop_and_cancel(timeout: int = 60) -> None:
+            """Stop the stream AND cancel in-flight merge jobs.
+
+            ``StreamingQuery.stop()`` alone leaves jobs the foreachBatch
+            body started running (ADVICE r10) — an orphaned merge attempt
+            can then race a restarted merger on the same target dir.
+            """
+            query.stop()
+            merger.cancel_pending()
+            query.awaitTermination(timeout)
+
+        # Library users going through the non-drain path stop via this
+        # helper instead of query.stop() (the soak harness does).
+        query.stop_and_cancel = stop_and_cancel
         if drain:
             query.processAllAvailable()
-            query.stop()
-            query.awaitTermination(60)
+            stop_and_cancel()
         return query

@@ -221,7 +221,10 @@ class DeleteAwareMerger:
     ``StreamingQuery.stop()`` cancels the stream's own job group but NOT
     jobs the Python foreachBatch body started — a restart while a
     long merge attempt is still running creates exactly that race
-    (found by the r10 soak; its harness cancels all jobs on restart).
+    (found by the r10 soak).  r11: every merge job runs under a
+    per-merger job group; ``cancel_pending()`` kills in-flight attempts,
+    and the engine's ``materialize`` attaches a ``stop_and_cancel``
+    helper to the returned query that does stop + cancel + await.
     ``operators/atomic_state.ManifestState`` tolerates concurrent
     attempts by construction (append-only attempt dirs, one manifest
     rename wins) — prefer it where overlapping attempts are possible.
@@ -283,6 +286,12 @@ class DeleteAwareMerger:
         self.target_path = target_path
         self.auto = n_buckets == "auto"
         self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        #: every Spark job this merger starts runs under this job group so
+        #: a stopping caller can cancel in-flight merge attempts —
+        #: StreamingQuery.stop() does NOT (see class docstring).
+        import uuid as _uuid
+
+        self.job_group = "pypgcdc-merge-" + _uuid.uuid4().hex[:12]
         #: completed rebucket transitions this process: [(old_n, new_n), ...]
         self.rebucket_events: list = []
         #: test-only fault injection point name (see _maybe_rebucket)
@@ -463,10 +472,29 @@ class DeleteAwareMerger:
         self.rebucket_events.append((self.n_buckets, new_n))
         self.n_buckets = new_n
 
+    def cancel_pending(self) -> None:
+        """Cancel any in-flight merge jobs this merger started.
+
+        ``StreamingQuery.stop()`` cancels the stream's own job group but
+        not jobs the Python foreachBatch body launched (ADVICE r10) — a
+        restart while a long merge attempt is still running would race it
+        on the target dir.  Callers stopping the stream mid-batch (the
+        engine's ``materialize`` drain path does this automatically) call
+        this right after ``stop()``.
+        """
+        self.spark.sparkContext.cancelJobGroup(self.job_group)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import os
         import shutil
 
+        # foreachBatch bodies run on their own thread; the job group is
+        # thread-local, so tagging here scopes every job below (the
+        # metadata collect, the merge write, a rebucket relay) to this
+        # merger — cancellable via cancel_pending().
+        self.spark.sparkContext.setJobGroup(
+            self.job_group, f"pypgcdc merge batch {epoch_id} -> {self.target_path}"
+        )
         env = batch_df
         key_cols = self.schema.get_key_columns()
         struct = self.schema.to_struct_type()

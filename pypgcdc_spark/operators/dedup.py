@@ -243,6 +243,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         .filter(F.col("doc_id") < F.col("doc_b_id"))
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
         .distinct()
+        # Candidates are reused three times below (inter + the two size
+        # semi-joins); materialize once so the minhash subtree runs once.
+        .localCheckpoint(eager=True)
     )
     # Exact-verify candidates.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -254,8 +257,19 @@ def dedup_minhash_lsh(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # Scale guard (VERDICT r10 #1): `sizes` is O(corpus) — one row per
+    # document — so it must NEVER be force-broadcast.  Semi-join it down
+    # to the candidate doc set first; only the O(candidates) remainder is
+    # broadcast into the verify join.  The semi-join itself broadcasts the
+    # small side (cand_docs), so the whole verify stage stays map-side.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes_cand = sizes.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sa = sizes_cand.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes_cand.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.join(F.broadcast(sa), "doc_a")

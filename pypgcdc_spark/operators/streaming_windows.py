@@ -42,22 +42,49 @@ def _events_stream(spark, sf_dir):
     )
 
 
+def _drain(spark, df, prefix: str, mode: str = "complete", parts: int | None = None):
+    """Drain a streaming DataFrame through a memory sink with
+    ``trigger(availableNow=True)`` and return the sink contents.
+
+    Shared by every ``stream_*`` gate row.  Two ADVICE-r10 contracts:
+
+    * ``awaitTermination(timeout)`` returns False on timeout WITHOUT
+      raising — reading the sink then would silently hand back a partial
+      table surfacing as a confusing oracle mismatch.  Fail loudly and
+      stop the query instead.
+    * the uuid-named memory-sink temp view is dropped before returning —
+      otherwise repeated gate/bench runs accumulate sink tables in driver
+      memory.  The result is detached via an eager localCheckpoint
+      (bounded: drained sinks are final aggregates / deduped survivors at
+      gate scale), whose blocks the ContextCleaner reclaims with the
+      DataFrame.
+    """
+    name = prefix + "_" + uuid.uuid4().hex[:12]
+    with state_partitions(spark) if parts is None else state_partitions(spark, parts):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(f"streaming drain timed out after 300s: {name}")
+        finally:
+            if q.isActive:
+                q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def _drain_complete(spark, agg_df, prefix: str):
     """Run a streaming aggregation to completion (complete output mode —
     the drained memory sink IS the final aggregate; watermark state-drop
     applies in update/append deployments of the same plan) and return
     the sink table."""
-    name = prefix + "_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark):
-        q = (
-            agg_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    return _drain(spark, agg_df, prefix, "complete")
 
 
 @query(
@@ -282,17 +309,7 @@ def stream_dedup_watermark(spark, sf_dir):
     deduped = doubled.withWatermark("ev_ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = "sd_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain(spark, deduped, "sd", "append")
     return sink.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
@@ -332,21 +349,12 @@ def stream_stateful_running_stats(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    name = "ss_" + uuid.uuid4().hex[:12]
     # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
     # workers per partition — dropping to 8 starves them (measured
     # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
-    with state_partitions(spark, 16):
-        q = (
-            running_value_stats(stream.select("user_id", "value"))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain(
+        spark, running_value_stats(stream.select("user_id", "value")), "ss", "update", 16
+    )
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_cents", "n_events").alias("total_cents"),
@@ -460,18 +468,8 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-    name = "ssj_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
     return (
-        spark.table(name)
+        _drain(spark, joined, "ssj", "append")
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_attributed"),
@@ -527,17 +525,7 @@ def stream_simhash_dedup(spark, sf_dir):
     survivors = stream.select(simhash16(F.col("text")).alias("simhash")).dropDuplicates(
         ["simhash"]
     )
-    name = "ssd_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark):
-        q = (
-            survivors.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name).select("simhash").distinct()
+    return _drain(spark, survivors, "ssd", "append").select("simhash").distinct()
 
 
 @query(
@@ -586,23 +574,16 @@ def stream_pattern_detect(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")  # one LSN chunk per micro-batch
         .parquet(log_dir)
     )
-    name = "cep_" + uuid.uuid4().hex[:12]
     # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
     # workers per partition — dropping to 8 starves them (measured
     # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
-    with state_partitions(spark, 16):
-        q = (
-            pattern_matcher(
-                stream.select("user_id", "event_id", "event_type", "value")
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain(
+        spark,
+        pattern_matcher(stream.select("user_id", "event_id", "event_type", "value")),
+        "sp",
+        "update",
+        16,
+    )
     # n_matches is monotone per user; the final state is the max row.
     # Users whose final state has zero matches are absent from the oracle.
     return (
@@ -666,21 +647,12 @@ def stream_heavy_hitters(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")  # one LSN chunk per micro-batch
         .parquet(log_dir)
     )
-    name = "hh_" + uuid.uuid4().hex[:12]
     # 16, not 8: applyInPandasWithState / pandas-heavy state runs Python
     # workers per partition — dropping to 8 starves them (measured
     # 4.1s@16 vs 5.3s@8 vs 5.1s@32 on the 32-thread box).
-    with state_partitions(spark, 16):
-        q = (
-            running_value_stats(stream.select("user_id", "value"))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain(
+        spark, running_value_stats(stream.select("user_id", "value")), "sh", "update", 16
+    )
     # n_events is monotone per user; the final state is the max row.
     final = sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -781,17 +753,7 @@ def stream_static_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("cents").alias("total_cents"),
     )
-    name = "sse_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain(spark, agg, "sse", "update")
     # Running totals are monotone per brand: final = max-n_lines row.
     return sink.groupBy("p_brand").agg(
         F.max("n_lines").cast("long").alias("n_lines"),

@@ -288,6 +288,21 @@ def test_ml_minhash_banded_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
 
 
+def test_dedup_minhash_verify_broadcast_is_candidate_bounded(spark, sf_dir):
+    """VERDICT r10 #1: the exact-verify join must never force-broadcast
+    the O(corpus) per-doc shingle-size table.  The fix semi-joins `sizes`
+    down to the candidate doc set first, so every broadcast side is
+    O(candidates) — pinned here as the presence of the bounding LeftSemi
+    join feeding the verify stage (and, as ever, no all-pairs shapes)."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "LeftSemi" in txt, "size tables must be semi-joined to candidates"
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
 def test_bm25_broadcasts_stats_and_uses_topk(spark, sf_dir):
     """BM25: the df/idf and corpus-stats sides must broadcast (|Q| rows +
     one scalar row), and the final top-k must be TakeOrderedAndProject,

@@ -1108,7 +1108,17 @@ def main() -> int:
         "merger_target_bucket_bytes": args.target_bucket_bytes or None,
         "seed_prefraction": args.seed_prefraction,
         "seed_drain": seed_drain,
-        "trickle_rows_during_window": trickle.rows_sent,
+        # rows_sent counts whole chunks whose INSERT..ON CONFLICT statement
+        # succeeded — an attempted-rows figure (overlapping ids are not
+        # re-inserted; ADVICE r10).  The server-derived count below is the
+        # ground truth for how many trickle-range rows actually landed.
+        "trickle_rows_attempted": trickle.rows_sent,
+        "trickle_rows_on_server": int(
+            live.sql(
+                f"SELECT count(*) FROM soak WHERE id >= {trickle.lo}"
+                f" AND id < {trickle.hi}"
+            )[0][0]
+        ),
         "trickle_errors": trickle.errors[:5],
         # Completed (old_n, new_n) rebucket transitions across every
         # merger instance the run started (restarts included).
