@@ -53,10 +53,14 @@ class PgCdcEngine:
         max_tx_per_batch: int = 0,
         num_partitions: int = 4,
         emit_messages: bool = False,
+        consumer: str | None = None,
     ) -> DataFrame:
         """Streaming change-event envelope (flat schema, models.ENVELOPE_DDL).
         ``emit_messages=True`` surfaces pg_logical_emit_message frames as
-        op='M' rows (the transactional-outbox pattern)."""
+        op='M' rows (the transactional-outbox pattern).  ``consumer``
+        names this reader so N independent materializers can share one
+        replay log — retention then runs at the min ack across consumers
+        (the replication-slot model; see sources/pgcdc.py)."""
         reader = (
             self.spark.readStream.format("pgcdc")
             .option("path", path)
@@ -66,6 +70,8 @@ class PgCdcEngine:
             reader = reader.option("maxTxPerBatch", str(max_tx_per_batch))
         if emit_messages:
             reader = reader.option("emitMessages", "true")
+        if consumer:
+            reader = reader.option("consumer", consumer)
         return reader.load()
 
     def snapshot(self, path: str, emit_messages: bool = False) -> DataFrame:

@@ -832,6 +832,12 @@ def main() -> int:
     query_restarts = 0
     last_batch_id = -1
     batch_durations = []
+    # Churn-only steady state (VERDICT r10 task 1): once the seed trickle
+    # finishes (paced to ~75% of the window), batches carry randomized
+    # churn only — the workload shape r8's 27.5s p50 measured.  Batches
+    # completing >90s after the trickle's end are tagged churn-only (the
+    # grace covers in-flight bulk chunks draining through the sink).
+    trickle_end_t = None
     deadline = time.time() + args.minutes * 60.0
     t0 = time.time()
     next_kill = t0 + rng.uniform(15, 35)
@@ -873,6 +879,8 @@ def main() -> int:
             next_pause = now + rng.uniform(240, 420)
         # -- sampling --------------------------------------------------
         sample = {"t": round(now - t0, 1)}
+        if trickle_end_t is None and not trickle.is_alive():
+            trickle_end_t = now
         try:
             exc = query.exception()
             if exc is not None:
@@ -892,7 +900,10 @@ def main() -> int:
                 dur = lp.get("durationMs", {}).get("triggerExecution")
                 sample["batch_id"] = bid
                 if dur is not None and bid != last_batch_id:
-                    batch_durations.append((now - t0, dur))
+                    churn_only = (
+                        trickle_end_t is not None and now - trickle_end_t > 90.0
+                    )
+                    batch_durations.append((now - t0, dur, churn_only))
                     sample["batch_ms"] = dur
                 last_batch_id = bid
         except Exception:
@@ -1188,7 +1199,14 @@ def main() -> int:
                 "batch_ms",
             )
         },
-        "batch_ms_p50_p95": _pcts([d for _, d in batch_durations]),
+        "batch_ms_p50_p95": _pcts([d for _, d, _c in batch_durations]),
+        # The r8-comparable number: batches after the trickle finished
+        # carry randomized churn only (no bulk-load chunks).
+        "batch_ms_p50_p95_churn_only": _pcts(
+            [d for _, d, c in batch_durations if c]
+        ),
+        "n_batches_churn_only": sum(1 for _, _, c in batch_durations if c),
+        "trickle_end_t": round(trickle_end_t - t0, 1) if trickle_end_t else None,
         "samples_every_5s": samples[:: max(len(samples) // 120, 1)],
     }
     with open(args.out, "w") as f:
