@@ -451,8 +451,18 @@ def main() -> None:
     ap.add_argument("--repl", type=int, default=10)
     ap.add_argument("--out", default="SCALE_STRESS_r09.json")
     ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated substrings: stress only matching query names "
+        "(kernel/streaming/correctness sections run only when unfiltered)",
+    )
     args = ap.parse_args()
     repl = args.repl
+    only = [s for s in args.only.split(",") if s]
+
+    def _want(name: str) -> bool:
+        return not only or any(s in name for s in only)
 
     from pypgcdc_spark.queries import REGISTRY, ensure_registered
     from pypgcdc_spark.session import get_spark
@@ -468,6 +478,8 @@ def main() -> None:
 
         # JIT warm-up at sf0.01, then time each query at both scales.
         for name in STRESS:
+            if not _want(name):
+                continue
             fn = REGISTRY[name].fn
             try:
                 fn(spark, WARM).write.format("noop").mode("overwrite").save()
@@ -490,6 +502,8 @@ def main() -> None:
         # warm-up execution (steady-state semantics, same as every other
         # stressed query).
         for name in STRESS_ITER + STRESS_R4 + STRESS_R4S3 + STRESS_R8:
+            if not _want(name):
+                continue
             fn = REGISTRY[name].fn
             try:
                 fn(spark, WARM).write.format("noop").mode("overwrite").save()
@@ -509,9 +523,10 @@ def main() -> None:
         # -- r8 kernel scalings (verdict task 6): the paths rounds 7-8
         # touched, measured as THROUGHPUT at 1x and 10x volume (flat
         # per-unit cost == linear scaling).
-        report["queries"].update(r8_kernel_scalings(repl))
-        # -- r9 kernels: segmented-log scan parity / roll / GC sweep.
-        report["queries"].update(r9_kernel_scalings(repl))
+        if not only:
+            report["queries"].update(r8_kernel_scalings(repl))
+            # -- r9 kernels: segmented-log scan parity / roll / GC sweep.
+            report["queries"].update(r9_kernel_scalings(repl))
 
         # -- streaming interval-join kernel: steady-state rows/s at both
         # scales (disjoint per-replica users ⇒ identical join structure;
@@ -523,7 +538,7 @@ def main() -> None:
         )
 
         ij = {}
-        for tag, d in (("sf0.1", BASE), (f"x{repl}", work)):
+        for tag, d in (() if only else (("sf0.1", BASE), (f"x{repl}", work))):
             sb_work = tempfile.mkdtemp(prefix="sb_stress_")
             try:
                 log_dir = _chunked_events(spark, d, sb_work)
@@ -533,14 +548,17 @@ def main() -> None:
                 ij[tag] = m
             finally:
                 shutil.rmtree(sb_work, ignore_errors=True)
-        base_rps = ij["sf0.1"].get("rows_per_sec") or 0
-        scaled_rps = ij[f"x{repl}"].get("rows_per_sec") or 0
-        report["queries"]["stream_interval_join_kernel"] = {
-            "sf0.1_rows_per_sec": base_rps,
-            f"x{repl}_rows_per_sec": scaled_rps,
-            "throughput_ratio": round(scaled_rps / base_rps, 2) if base_rps else None,
-            "detail": ij,
-        }
+        if ij:
+            base_rps = ij["sf0.1"].get("rows_per_sec") or 0
+            scaled_rps = ij[f"x{repl}"].get("rows_per_sec") or 0
+            report["queries"]["stream_interval_join_kernel"] = {
+                "sf0.1_rows_per_sec": base_rps,
+                f"x{repl}_rows_per_sec": scaled_rps,
+                "throughput_ratio": round(scaled_rps / base_rps, 2)
+                if base_rps
+                else None,
+                "detail": ij,
+            }
 
         # -- absolute correctness at the scaled size ---------------------
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
@@ -548,31 +566,43 @@ def main() -> None:
 
         import duckdb
 
-        con = duckdb.connect()
-        con.sql(
-            f"CREATE VIEW lineitem AS SELECT * FROM '{work}/lineitem.parquet/*.parquet'"
-        )
-        q1 = REGISTRY["q1_pricing_summary"]
-        spdf = q1.fn(spark, work).toPandas()
-        dpdf = con.sql(q1.oracle).df()
-        _, sh, _ = frame_fingerprint(spdf)
-        _, dh, _ = frame_fingerprint(dpdf)
-        report["correctness"]["q1_pricing_summary"] = {
-            "hash_match": sh == dh,
-            "rows": len(spdf),
-        }
+        if not only:
+            con = duckdb.connect()
+            con.sql(
+                f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{work}/lineitem.parquet/*.parquet'"
+            )
+            q1 = REGISTRY["q1_pricing_summary"]
+            spdf = q1.fn(spark, work).toPandas()
+            dpdf = con.sql(q1.oracle).df()
+            _, sh, _ = frame_fingerprint(spdf)
+            _, dh, _ = frame_fingerprint(dpdf)
+            report["correctness"]["q1_pricing_summary"] = {
+                "hash_match": sh == dh,
+                "rows": len(spdf),
+            }
 
-        mh_base = REGISTRY["dedup_minhash_lsh"].fn(spark, BASE).toPandas()
-        mh_scaled = REGISTRY["dedup_minhash_lsh"].fn(spark, work).toPandas()
-        intra = bool(
-            ((mh_scaled.doc_a // DOC_STRIDE) == (mh_scaled.doc_b // DOC_STRIDE)).all()
-        )
-        report["correctness"]["dedup_minhash_lsh"] = {
-            "pairs_sf0.1": len(mh_base),
-            f"pairs_x{repl}": len(mh_scaled),
-            "exact_linear": len(mh_scaled) == repl * len(mh_base),
-            "all_pairs_intra_replica": intra,
-        }
+        if _want("dedup_minhash_lsh"):
+            mh_base = REGISTRY["dedup_minhash_lsh"].fn(spark, BASE).toPandas()
+            mh_scaled = REGISTRY["dedup_minhash_lsh"].fn(spark, work).toPandas()
+            intra = bool(
+                (
+                    (mh_scaled.doc_a // DOC_STRIDE) == (mh_scaled.doc_b // DOC_STRIDE)
+                ).all()
+            )
+            report["correctness"]["dedup_minhash_lsh"] = {
+                "pairs_sf0.1": len(mh_base),
+                f"pairs_x{repl}": len(mh_scaled),
+                "exact_linear": len(mh_scaled) == repl * len(mh_base),
+                "all_pairs_intra_replica": intra,
+            }
+        if only:
+            # Filtered run: the remaining correctness blocks belong to
+            # queries outside the filter — write the report and stop.
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+            print(json.dumps(report))
+            return
 
         def by_source(pdf):
             return {r["source"]: r for _, r in pdf.iterrows()}
