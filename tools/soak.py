@@ -363,9 +363,26 @@ class SeedTrickle(threading.Thread):
     """Streams the remaining seed rows in DURING the fault window, paced
     to finish at ~total_sec — state volume grows under live faults, so
     auto-rebucket threshold crossings happen inside the window, not just
-    in the pre-window drain."""
+    in the pre-window drain.
 
-    def __init__(self, live: LivePg, lo: int, hi: int, chunk: int, total_sec: float):
+    ``backlog_cap_bytes`` (r11): production governor.  The aborted r11
+    5M run proved a fixed-fraction pace can outrun the consumer ~3:1 at
+    volume, leaving an hours-long post-window drain.  With a cap set,
+    each chunk waits until the un-acked log backlog (logical size − ack
+    pos) is under the cap — backlog stays bounded by construction, so
+    the post-window drain is minutes, and in-window batches measure
+    steady-state latency instead of backlog plough-through."""
+
+    def __init__(
+        self,
+        live: LivePg,
+        lo: int,
+        hi: int,
+        chunk: int,
+        total_sec: float,
+        log_path: str = "",
+        backlog_cap_bytes: int = 0,
+    ):
         super().__init__(daemon=True)
         self.live = live
         self.lo, self.hi, self.chunk = lo, hi, chunk
@@ -374,10 +391,35 @@ class SeedTrickle(threading.Thread):
         self.stop_event = threading.Event()
         self.rows_sent = 0
         self.errors: list = []
+        self.log_path = log_path
+        self.backlog_cap_bytes = backlog_cap_bytes
+        self.backpressure_waits = 0
+
+    def _backlog(self) -> int:
+        from pypgcdc_spark.sources import replay as _replay
+
+        try:
+            size = _replay.log_size(self.log_path)
+            with open(self.log_path + ".ack") as f:
+                ack = int(json.load(f).get("pos", 0))
+            return max(size - ack, 0)
+        except (OSError, ValueError):
+            return 0  # no ack yet / log rolling: don't stall the trickle
 
     def run(self) -> None:
         conn = None
         for start in range(self.lo, self.hi, self.chunk):
+            if self.stop_event.is_set():
+                break
+            # Governor: hold the next chunk while the consumer is behind.
+            while (
+                self.backlog_cap_bytes
+                and self.log_path
+                and self._backlog() > self.backlog_cap_bytes
+                and not self.stop_event.is_set()
+            ):
+                self.backpressure_waits += 1
+                self.stop_event.wait(5.0)
             if self.stop_event.is_set():
                 break
             end = min(start + self.chunk, self.hi)
@@ -671,6 +713,14 @@ def main() -> int:
         "turns per-batch cost from O(state) into O(batch × state/buckets))",
     )
     ap.add_argument(
+        "--max-backlog-mb",
+        type=int,
+        default=0,
+        help="trickle backpressure: hold the next seed chunk while the "
+        "un-acked log backlog exceeds this (0 = off).  Keeps the "
+        "post-window drain bounded — the r11 5M attempt's fix",
+    )
+    ap.add_argument(
         "--ivm",
         type=int,
         default=1,
@@ -821,6 +871,8 @@ def main() -> int:
         hi=args.state_rows,
         chunk=args.seed_chunk,
         total_sec=args.minutes * 60.0 * 0.75,
+        log_path=log,
+        backlog_cap_bytes=args.max_backlog_mb << 20,
     )
     trickle.start()
     mon = live.sql_conn()  # persistent monitoring connection
@@ -1124,6 +1176,8 @@ def main() -> int:
         # re-inserted; ADVICE r10).  The server-derived count below is the
         # ground truth for how many trickle-range rows actually landed.
         "trickle_rows_attempted": trickle.rows_sent,
+        "trickle_backpressure_waits": trickle.backpressure_waits,
+        "trickle_backlog_cap_mb": args.max_backlog_mb or None,
         "trickle_rows_on_server": int(
             live.sql(
                 f"SELECT count(*) FROM soak WHERE id >= {trickle.lo}"
