@@ -226,6 +226,12 @@ class PgCdcStreamReader(DataSourceStreamReader):
             # a consumer that hasn't committed yet never loses segments to
             # a faster sibling's acks.
             self._register_consumer()
+        elif self._has_named_consumers():
+            # Mixed deployment (ADVICE r11): named consumers are already
+            # registered, so this unnamed reader joins the min-watermark
+            # protocol as "__default__" — registered at attach for the
+            # same pin-before-first-commit guarantee.
+            self._register_consumer()
         # Incremental driver-side scan state (rebuilt lazily after restart).
         self._scanned_pos = 0
         self._registry = SchemaRegistry(database=self.database)
@@ -526,19 +532,38 @@ class PgCdcStreamReader(DataSourceStreamReader):
     def _ack_dir(self) -> str:
         return self.path + ".ack.d"
 
+    def _has_named_consumers(self) -> bool:
+        """True if any consumer sidecar is registered under `.ack.d/`."""
+        try:
+            return any(fn.endswith(".json") for fn in os.listdir(self._ack_dir()))
+        except OSError:
+            return False
+
     def _ack_file(self) -> str:
-        """This consumer's durable ack sidecar: the shared `<log>.ack` for
-        unnamed readers (single-consumer r10 contract), a per-name file
-        under `<log>.ack.d/` otherwise."""
+        """This consumer's durable ack sidecar: a per-name file under
+        `<log>.ack.d/` for named consumers; the shared `<log>.ack` for
+        unnamed readers in a single-consumer deployment (the r10
+        contract).  In a MIXED deployment — named sidecars registered
+        alongside an unnamed reader — the unnamed reader migrates to a
+        `__default__` sidecar so that (a) named siblings' min-watermark
+        includes it and (b) `<log>.ack` can carry the derived min for the
+        wire tailer, making the degradation-to-the-min bidirectional
+        (ADVICE r11: an unnamed reader previously GC'd at its OWN pos,
+        dropping segments/registry versions named consumers still
+        needed)."""
         if self.consumer is None:
+            d = self._ack_dir()
+            own = os.path.join(d, "__default__.json")
+            if os.path.exists(own) or self._has_named_consumers():
+                return own
             return self.path + ".ack"
         return os.path.join(self._ack_dir(), self.consumer + ".json")
 
     def _register_consumer(self) -> None:
         """Create this consumer's pos-0 sidecar if absent (idempotent)."""
         f = self._ack_file()
-        if os.path.exists(f):
-            return
+        if os.path.exists(f) or not f.endswith(".json"):
+            return  # already registered, or legacy single-consumer `.ack`
         try:
             os.makedirs(self._ack_dir(), exist_ok=True)
             rec = {"pos": 0, "lsn": 0, "reg": 0}
@@ -552,8 +577,20 @@ class PgCdcStreamReader(DataSourceStreamReader):
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)
             os.replace(tmp, f)
-        except OSError:
-            pass  # registration is best-effort; commit() re-writes the file
+        except OSError as exc:
+            # The replication-slot analog (CREATE_REPLICATION_SLOT) fails
+            # loudly; until the first successful commit() re-writes this
+            # file, a faster sibling's acks can GC segments under an
+            # unregistered consumer — surface it (ADVICE r11).
+            import warnings
+
+            warnings.warn(
+                f"pgcdc consumer registration failed for {f!r}: {exc}; "
+                "retention is NOT pinned for this consumer until its "
+                "first successful commit",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def _ack_watermark(self, own_pos: int, own_lsn: int, own_reg: int):
         """(min_pos, min_lsn, min_reg) across every registered consumer.
@@ -667,11 +704,15 @@ class PgCdcStreamReader(DataSourceStreamReader):
                 f,
             )
         os.replace(tmp, own)
-        # Retention watermark: this consumer's ack for unnamed readers
-        # (exactly the r10 behavior), the min across every registered
-        # consumer for named ones — no reader ever loses segments,
-        # snapshots, or schema versions to a faster sibling's acks.
-        if self.consumer is None:
+        # Retention watermark: this consumer's own ack for an unnamed
+        # reader in a single-consumer deployment (exactly the r10
+        # behavior — `own` IS `<log>.ack` then), the min across every
+        # registered consumer otherwise — no reader, named or not, ever
+        # loses segments, snapshots, or schema versions to a faster
+        # sibling's acks (ADVICE r11: previously only named readers
+        # consulted the sidecars, so an unnamed reader's commit GC'd at
+        # its own pos under registered named consumers).
+        if own == self.path + ".ack":
             gc_pos, gc_lsn, rev = pos, int(end.get("lsn", 0)), own_reg
         else:
             gc_pos, gc_lsn, rev = self._ack_watermark(
@@ -682,18 +723,34 @@ class PgCdcStreamReader(DataSourceStreamReader):
             # see the multi-consumer watermark with no tailer changes.
             # The "consumers" marker distinguishes this derived file from
             # an unnamed consumer's own acks (see _ack_watermark).
-            mtmp = self.path + ".ack.tmp"
-            with open(mtmp, "w") as f:
-                json.dump(
-                    {
-                        "pos": gc_pos,
-                        "lsn": gc_lsn,
-                        "log_id": self._log_identity(),
-                        "consumers": True,
-                    },
-                    f,
-                )
-            os.replace(mtmp, self.path + ".ack")
+            # Unique temp per committing thread: concurrent consumers
+            # commit from separate streaming-query threads, and a shared
+            # `.ack.tmp` raced — one os.replace succeeds, the second
+            # throws FileNotFoundError and fails the query, or interleaved
+            # writes publish torn JSON to the tailer (ADVICE r11).
+            import threading
+
+            mtmp = (
+                f"{self.path}.ack.{os.getpid()}.{threading.get_ident()}.tmp"
+            )
+            try:
+                with open(mtmp, "w") as f:
+                    json.dump(
+                        {
+                            "pos": gc_pos,
+                            "lsn": gc_lsn,
+                            "log_id": self._log_identity(),
+                            "consumers": True,
+                        },
+                        f,
+                    )
+                os.replace(mtmp, self.path + ".ack")
+            finally:
+                try:
+                    if os.path.exists(mtmp):
+                        os.remove(mtmp)
+                except OSError:
+                    pass
         # Replay-log retention GC: segments wholly below the durably
         # acked watermark can never be replayed (confirmed-flush
         # semantics) — drop them.  The tailer GCs on its ack-forward

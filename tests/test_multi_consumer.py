@@ -212,3 +212,119 @@ def test_two_concurrent_checkpointed_materializers(spark, tmp_path):
     with open(log + ".ack") as f:
         pub = json.load(f)
     assert pub["pos"] == min(acks.values()) and pub.get("consumers")
+
+
+def test_unnamed_reader_respects_named_sidecars(tmp_path):
+    """ADVICE r11 (high): a mixed deployment — an unnamed reader draining
+    a log that has registered NAMED consumers — must degrade to the
+    conservative min in BOTH directions.  Previously the unnamed reader's
+    commit GC'd segments/registry versions at its OWN pos, irrecoverably
+    dropping replay data the named consumers still needed."""
+    seg = _mk_segmented(tmp_path)
+    n0 = len(list_segments(seg))
+
+    # A named consumer registers (pos-0 sidecar) but never commits.
+    named = PgCdcStreamReader({"path": seg, "consumer": "slow"})
+    assert os.path.exists(seg + ".ack.d/slow.json")
+
+    # Unnamed reader drains everything and commits: nothing may be GC'd.
+    r = PgCdcStreamReader({"path": seg})
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    rows = _drain(r, o0, o1)
+    assert rows
+    r.commit(o1)
+    assert len(list_segments(seg)) == n0, "unnamed reader GC'd under a named consumer"
+    assert log_min_pos(seg) == 0
+
+    # Its own ack migrated to the __default__ sidecar; `.ack` carries the
+    # derived min (slow's 0) with the consumers marker for the tailer.
+    with open(seg + ".ack.d/__default__.json") as f:
+        own = json.load(f)
+    assert own["pos"] == o1["pos"]
+    with open(seg + ".ack") as f:
+        pub = json.load(f)
+    assert pub["pos"] == 0 and pub.get("consumers")
+
+    # Once the named consumer catches up and acks, retention advances
+    # (to a segment boundary at or below the acked min).
+    s0, s1 = named.initialOffset(), named.latestOffset()
+    _drain(named, s0, s1)
+    named.commit(s1)
+    assert 0 < log_min_pos(seg) <= min(o1["pos"], s1["pos"])
+    assert len(list_segments(seg)) < n0
+
+
+def test_unnamed_reader_registers_default_sidecar_at_attach(tmp_path):
+    """In a mixed deployment the unnamed reader registers its
+    ``__default__`` pos-0 sidecar at construction (same attach-time pin
+    as the CREATE_REPLICATION_SLOT analog), so a named sibling's full
+    drain GC's nothing before the unnamed reader's first commit."""
+    seg = _mk_segmented(tmp_path)
+    n0 = len(list_segments(seg))
+
+    PgCdcStreamReader({"path": seg, "consumer": "fast"})
+    PgCdcStreamReader({"path": seg})  # unnamed, attaches second
+    assert os.path.exists(seg + ".ack.d/__default__.json")
+    with open(seg + ".ack.d/__default__.json") as f:
+        assert json.load(f)["pos"] == 0
+
+    fast = PgCdcStreamReader({"path": seg, "consumer": "fast"})
+    f0, f1 = fast.initialOffset(), fast.latestOffset()
+    _drain(fast, f0, f1)
+    fast.commit(f1)
+    assert len(list_segments(seg)) == n0, "named drain GC'd under the unnamed reader"
+
+
+def test_registration_failure_warns(tmp_path, monkeypatch):
+    """ADVICE r11 (low): a consumer whose pos-0 sidecar cannot be written
+    is unprotected until its first commit — registration must warn, not
+    silently pass (the replication-slot analog fails loudly)."""
+    import warnings
+
+    seg = _mk_segmented(tmp_path)
+
+    def _boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(os, "makedirs", _boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        PgCdcStreamReader({"path": seg, "consumer": "fragile"})
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "retention" in str(w.message)
+        for w in caught
+    )
+
+
+def test_concurrent_commit_republish_no_shared_tmp(tmp_path):
+    """ADVICE r11 (medium): two consumers committing concurrently from
+    separate streaming-query threads must not race a shared `.ack.tmp`
+    (FileNotFoundError on the losing os.replace / torn JSON published to
+    the tailer).  Hammer commits from two threads; every republish must
+    succeed and the published watermark must always parse and hold the
+    min."""
+    import threading
+
+    seg = _mk_segmented(tmp_path)
+    a = PgCdcStreamReader({"path": seg, "consumer": "a"})
+    b = PgCdcStreamReader({"path": seg, "consumer": "b"})
+    end_a, end_b = a.latestOffset(), b.latestOffset()
+    errors = []
+
+    def _hammer(reader, end):
+        try:
+            for _ in range(50):
+                reader._acked_pos = 0  # re-arm the monotonic guard
+                reader.commit(dict(end))
+        except Exception as exc:  # noqa: BLE001 — the pin IS no exception
+            errors.append(exc)
+
+    t1 = threading.Thread(target=_hammer, args=(a, end_a))
+    t2 = threading.Thread(target=_hammer, args=(b, end_b))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errors, f"concurrent commit raised: {errors}"
+    assert not os.path.exists(seg + ".ack.tmp"), "shared temp path still used"
+    with open(seg + ".ack") as f:
+        pub = json.load(f)  # must never be torn
+    assert pub["pos"] == min(end_a["pos"], end_b["pos"]) and pub.get("consumers")
