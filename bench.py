@@ -346,8 +346,16 @@ def main():
         # Steady-state wall = min over repeat passes (2 for the long
         # tail, 3 for the headline suite): a transient host-load spike
         # inflates ONE pass, not the min — the other half of the
-        # self-adjudication story.
-        reps = 2 if name in HEADLINE else 1
+        # self-adjudication story.  Streaming/foreachBatch rows get the
+        # min-of-2 treatment too (VERDICT r11 wrong #2): their
+        # micro-batch scheduling amplifies host jitter far more than the
+        # batch rows, and single-pass sums made value_new_ops swing
+        # 26->46s across otherwise-comparable runs.
+        reps = (
+            2
+            if name in HEADLINE or name.startswith(("stream_", "cdc_"))
+            else 1
+        )
         best = None
         for _rep in range(reps):
             t1 = time.perf_counter()
@@ -424,6 +432,7 @@ def main():
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "os_cpu_count": os.cpu_count(),
             "headline_is_min_of": 2,
+            "streaming_rows_min_of": 2,
             "decode_canary_msg_per_sec": decode_bench.get("ours_msg_per_sec"),
             "parallel_canary": parallel_canary,
         },

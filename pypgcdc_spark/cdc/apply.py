@@ -296,6 +296,17 @@ class DeleteAwareMerger:
         self.rebucket_events: list = []
         #: test-only fault injection point name (see _maybe_rebucket)
         self._rebucket_fault: Optional[str] = None
+        #: smoothed distinct-keys-per-batch — the churn observation the
+        #: r11 soak proved the byte rule alone cannot substitute for
+        #: (operators/churn.py; restored from the meta sidecar below).
+        from pypgcdc_spark.operators.churn import (
+            MIN_CHURN_BUCKET_BYTES,
+            ChurnEwma,
+        )
+
+        self._churn = ChurnEwma()
+        #: churn growth never pushes the mean bucket below this (tunable).
+        self.min_churn_bucket_bytes = MIN_CHURN_BUCKET_BYTES
         # A prior process may have died mid-rebucket; converge the on-disk
         # layout to exactly one committed generation before reading meta.
         self._recover_rebucket()
@@ -314,11 +325,18 @@ class DeleteAwareMerger:
         return os.path.join(self.target_path, "_nbuckets.json")
 
     def _load_meta(self) -> Optional[int]:
+        """Bucket count from the layout sidecar (also restores the churn
+        EWMA, so a restarted stream resumes with its keys-per-batch
+        knowledge instead of re-learning it from scratch)."""
         import json
 
         try:
             with open(self._meta_path()) as f:
-                return int(json.load(f)["n_buckets"])
+                meta = json.load(f)
+            ewma = meta.get("keys_ewma")
+            if ewma is not None:
+                self._churn.value = float(ewma)
+            return int(meta["n_buckets"])
         except (OSError, ValueError, KeyError):
             return None
 
@@ -329,8 +347,14 @@ class DeleteAwareMerger:
         os.makedirs(self.target_path, exist_ok=True)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_buckets": int(self.n_buckets)}, f)
+            json.dump(self._meta_record(), f)
         os.replace(tmp, self._meta_path())
+
+    def _meta_record(self) -> dict:
+        rec = {"n_buckets": int(self.n_buckets)}
+        if self._churn.value is not None:
+            rec["keys_ewma"] = float(self._churn.value)
+        return rec
 
     def _state_bytes(self) -> int:
         import os
@@ -421,11 +445,15 @@ class DeleteAwareMerger:
             shutil.rmtree(old, ignore_errors=True)
 
     def _maybe_rebucket(self) -> None:
-        """Auto mode: grow the bucket count (power of two) when the mean
-        bucket size crosses the target, then rewrite the WHOLE dataset
-        once under the new layout.  The stored ``_kraw`` strings are the
-        hash input, so old and new layouts hold bit-identical rows — only
-        the partition assignment changes (pinned by
+        """Auto mode: grow the bucket count (power of two) when EITHER
+        the mean bucket size crosses the byte target OR the batch key
+        churn demands it (``buckets >= CHURN_FACTOR x keys/batch`` EWMA —
+        the r11 5M soak measured the byte rule alone rewriting ~86% of a
+        5M-row state every batch at 2k keys/batch over 1024 buckets; see
+        operators/churn.py), then rewrite the WHOLE dataset once under
+        the new layout.  The stored ``_kraw`` strings are the hash input,
+        so old and new layouts hold bit-identical rows — only the
+        partition assignment changes (pinned by
         test_bucketed_merger_rebucket_equivalence).
 
         Crash-safe (r10): the relaid dataset is staged into a sibling dir,
@@ -438,12 +466,19 @@ class DeleteAwareMerger:
         import os
         import shutil
 
+        from pypgcdc_spark.operators.churn import recommend_buckets
+
         total = self._state_bytes()
-        if total <= self.n_buckets * self.target_bucket_bytes:
+        new_n = recommend_buckets(
+            self.n_buckets,
+            total,
+            self.target_bucket_bytes,
+            self._churn.value,
+            min_buckets=self.MIN_BUCKETS,
+            min_churn_bucket_bytes=self.min_churn_bucket_bytes,
+        )
+        if new_n == self.n_buckets:
             return
-        new_n = self.n_buckets
-        while total > new_n * self.target_bucket_bytes:
-            new_n *= 2
         stage, old = self._stage_path(), self._old_path()
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
@@ -461,7 +496,9 @@ class DeleteAwareMerger:
         with open(tmp, "w") as f:
             import json
 
-            json.dump({"n_buckets": int(new_n)}, f)
+            rec = self._meta_record()
+            rec["n_buckets"] = int(new_n)
+            json.dump(rec, f)
         os.replace(tmp, os.path.join(stage, "_nbuckets.json"))
         self._fault("pre_swap")
         os.rename(self.target_path, old)
@@ -507,16 +544,23 @@ class DeleteAwareMerger:
             env = env.withColumn("_kraw", self._kraw_expr()).withColumn(
                 "_bucket", self._bucket_of(F.col("_kraw"), self.n_buckets)
             )
-            # ONE bounded collect covers both the touched-bucket ids and
-            # the truncate flag (≤ n_buckets + 1 rows of metadata).
+            # ONE bounded collect covers the touched-bucket ids, the
+            # truncate flag AND the batch's distinct-key count (the churn
+            # observation — keys never span buckets, so the per-bucket
+            # HLL++ sums add exactly; ≤ n_buckets rows of metadata).
             meta = (
-                env.select("_bucket", (F.col("op") == "T").alias("_t"))
+                env.select("_bucket", (F.col("op") == "T").alias("_t"), "_kraw")
                 .groupBy("_bucket")
-                .agg(F.max("_t").alias("_t"))
+                .agg(
+                    F.max("_t").alias("_t"),
+                    F.approx_count_distinct("_kraw").alias("_k"),
+                )
                 .collect()
             )
             touched = sorted(r._bucket for r in meta)
             has_truncate = any(r._t for r in meta)
+            if self.auto:
+                self._churn.observe(sum(r._k for r in meta))
             if has_truncate:
                 # TRUNCATE is table-wide: every bucket that exists on disk
                 # is in the merge window, or stale rows survive in buckets

@@ -144,6 +144,62 @@ class ManifestState:
         attempt = self.stage(df, batch_id) if touched else None
         self.finalize(attempt, touched, batch_id, run_id, extra)
 
+    def replace_all(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        run_id: Optional[str] = None,
+        extra: Optional[dict] = None,
+    ) -> None:
+        """Atomically replace the ENTIRE dataset with ``df``'s rows — the
+        relayout/compaction commit (churn-adaptive rebucketing changes
+        every row's partition assignment, so per-partition overwrite
+        doesn't apply).  Staging is the normal append-only attempt; the
+        touched set is every currently-live partition UNION every
+        partition the staged attempt materialized, so old partitions
+        absent from the new layout drop and new ones appear in the same
+        single manifest ``os.replace``.  A crash anywhere before that
+        rename leaves the old generation fully live (the staged files are
+        unreferenced orphans for the sweeper) — the exact crash matrix of
+        a normal batch commit."""
+        import os
+
+        attempt = self.stage(df, batch_id)
+        m = self.load() or {"partitions": {}}
+        parts = {tuple(k.split("|")) for k in m.get("partitions", {})}
+        suffix = f"_b={attempt}"
+        for root, dirs, _files in os.walk(self.data_dir):
+            if suffix in dirs:
+                rel = os.path.relpath(root, self.data_dir)
+                parts.add(
+                    tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+                )
+        self.finalize(attempt, sorted(parts), batch_id, run_id, extra)
+
+    def live_bytes(self) -> int:
+        """On-disk bytes of the LIVE generation only (manifest-referenced
+        attempt dirs; superseded attempts awaiting the sweeper excluded) —
+        the state-volume input to churn-aware bucket sizing."""
+        import os
+
+        m = self.load()
+        if m is None:
+            return 0
+        total = 0
+        for key, b in m.get("partitions", {}).items():
+            d = os.path.join(
+                self.data_dir,
+                *[f"{c}={v}" for c, v in zip(self.part_cols, key.split("|"))],
+                f"_b={b}",
+            )
+            try:
+                for fn in os.listdir(d):
+                    if fn.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(d, fn))
+            except OSError:
+                pass
+        return total
+
     def finalize(
         self,
         attempt: Optional[str],

@@ -50,6 +50,26 @@ KEY_SCHEMA = (
 AGG_SCHEMA = "event_type STRING, n_keys LONG, total_cents LONG"
 
 
+def _dataset_exists(path: str) -> bool:
+    """True if the state dir holds committed parquet (not just sidecars)."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _dataset_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
+
+
 class BucketedViewMaintainer:
     """Retract/add IVM over ``events``-shaped change batches.
 
@@ -57,23 +77,57 @@ class BucketedViewMaintainer:
     the maintained view (live keys + cent sums per last event type).
     """
 
+    #: auto mode: mean bucket size byte target (volume rule) and floor.
+    TARGET_BUCKET_BYTES = 128 << 20
+    MIN_BUCKETS = 16
+
     def __init__(
         self,
         spark: SparkSession,
         work_dir: str,
-        n_buckets: int = 16,
+        n_buckets=16,
         guard_id: str = None,
+        target_bucket_bytes: int = None,
     ):
+        from pypgcdc_spark.operators.churn import (
+            MIN_CHURN_BUCKET_BYTES,
+            ChurnEwma,
+        )
+
         self.spark = spark
         self.work = work_dir
-        self.n_buckets = n_buckets
         # Stream-lineage identity for the replay guard (conventionally the
         # checkpoint path): batch ids reset to 0 under a fresh checkpoint,
         # so the durable high-water is only meaningful within one lineage
         # (ADVICE r8; see batch_guard module docstring).
         self.guard_id = guard_id
         self.key_path = f"{work_dir}/key_state"
-        self._has_keys = False
+        self.auto = n_buckets == "auto"
+        self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        #: churn-rate EWMA driving auto growth (operators/churn.py — the
+        #: r11 soak's fix: buckets must track keys/batch, not just bytes).
+        self._churn = ChurnEwma()
+        #: churn growth never pushes the mean bucket below this (tunable).
+        self.min_churn_bucket_bytes = MIN_CHURN_BUCKET_BYTES
+        self.rebucket_events: list = []
+        self._relayout_fault = None  # test-only crash injection point
+        if self.auto:
+            from pypgcdc_spark.operators.relayout import (
+                load_layout,
+                recover_relayout,
+            )
+
+            recover_relayout(self.key_path)
+            layout = load_layout(self.key_path)
+            if layout:
+                self.n_buckets = int(layout["n_buckets"])
+                if layout.get("keys_ewma") is not None:
+                    self._churn.value = float(layout["keys_ewma"])
+            else:
+                self.n_buckets = self.MIN_BUCKETS
+        else:
+            self.n_buckets = n_buckets
+        self._has_keys = _dataset_exists(self.key_path)
         self._agg_rows: list = []
 
     # -- state accessors ------------------------------------------------
@@ -121,8 +175,11 @@ class BucketedViewMaintainer:
         }
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Per-batch data is bucket-sized: right-size the tiny shuffles and
-        # prefer shuffled-hash joins (no sort) for the delta step.
-        conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
+        # prefer shuffled-hash joins (no sort) for the delta step.  Capped
+        # — churn-sized layouts run to tens of thousands of buckets, but
+        # the shuffle carries only the touched rows (~12% of state at the
+        # default churn factor), not one partition per bucket.
+        conf.set("spark.sql.shuffle.partitions", str(min(self.n_buckets, 64)))
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         try:
             self._apply(batch_df)
@@ -133,9 +190,16 @@ class BucketedViewMaintainer:
 
     def _apply(self, batch_df: DataFrame) -> None:
         bucket = F.pmod(F.col("user_id"), F.lit(self.n_buckets)).cast("int")
-        from pypgcdc_spark.operators.state_prune import touched_buckets
+        from pypgcdc_spark.operators.churn import touched_buckets_and_keys
 
-        batch_buckets = touched_buckets(batch_df, bucket)
+        # Same bounded collect as the pruning path, now also carrying the
+        # batch's distinct-key count — the churn observation that drives
+        # auto bucket growth (operators/churn.py).
+        batch_buckets, batch_keys = touched_buckets_and_keys(
+            batch_df, bucket, F.col("user_id")
+        )
+        if self.auto:
+            self._churn.observe(batch_keys)
 
         # The whole per-key reconciliation is ONE aggregation, not a
         # groupBy + full-outer join: old state rows and batch rows stack
@@ -242,3 +306,57 @@ class BucketedViewMaintainer:
             .parquet(self.key_path),
         )
         self._has_keys = os.path.isdir(self.key_path)
+        if self.auto:
+            from pypgcdc_spark.operators.relayout import save_layout
+
+            save_layout(self.key_path, self._layout_record())
+            self._maybe_rebucket()
+
+    # -- churn-adaptive relayout (auto mode) ----------------------------
+
+    def _layout_record(self) -> dict:
+        rec = {"n_buckets": int(self.n_buckets)}
+        if self._churn.value is not None:
+            rec["keys_ewma"] = float(self._churn.value)
+        return rec
+
+    def _fault(self, point: str) -> None:
+        if self._relayout_fault == point:
+            raise RuntimeError(f"injected relayout crash at {point}")
+
+    def _maybe_rebucket(self) -> None:
+        """Auto mode: grow the bucket count when the byte target OR the
+        churn rule (buckets >= factor x keys/batch EWMA) demands it, then
+        relay the whole key state once, crash-atomically
+        (operators/relayout.py — stage, marker last, two-rename swap).
+        The bucket is a pure function of the stored ``user_id``, so the
+        relaid rows are bit-identical; only partition assignment moves."""
+        from pypgcdc_spark.operators.churn import recommend_buckets
+        from pypgcdc_spark.operators.relayout import staged_relayout
+
+        if not self._has_keys:
+            return
+        new_n = recommend_buckets(
+            self.n_buckets,
+            _dataset_bytes(self.key_path),
+            self.target_bucket_bytes,
+            self._churn.value,
+            min_buckets=self.MIN_BUCKETS,
+            min_churn_bucket_bytes=self.min_churn_bucket_bytes,
+        )
+        if new_n == self.n_buckets:
+            return
+        rec = self._layout_record()
+        rec["n_buckets"] = int(new_n)
+        staged_relayout(
+            self.spark,
+            self.key_path,
+            "bucket",
+            lambda df: df.withColumn(
+                "bucket", F.pmod(F.col("user_id"), F.lit(new_n)).cast("int")
+            ),
+            rec,
+            fault=self._fault,
+        )
+        self.rebucket_events.append((self.n_buckets, new_n))
+        self.n_buckets = new_n

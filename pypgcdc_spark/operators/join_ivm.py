@@ -192,18 +192,25 @@ class JoinViewMaintainer:
         "priority STRING, lsn LONG, b_n LONG, b_cents LONG"
     )
 
+    #: auto mode: mean bucket size byte target (volume rule) and floor.
+    TARGET_BUCKET_BYTES = 128 << 20
+
     def __init__(
         self,
         spark: SparkSession,
         work_dir: str,
-        n_buckets: int = N_BUCKETS,
+        n_buckets=N_BUCKETS,
         guard_id: str = None,
+        target_bucket_bytes: int = None,
     ):
         from pypgcdc_spark.operators.atomic_state import ManifestState
+        from pypgcdc_spark.operators.churn import (
+            MIN_CHURN_BUCKET_BYTES,
+            ChurnEwma,
+        )
 
         self.spark = spark
         self.work = work_dir
-        self.n_buckets = n_buckets
         # Stream-lineage identity for the replay guard (checkpoint path):
         # batch ids reset under a fresh checkpoint (ADVICE r8).
         self.guard_id = guard_id
@@ -217,6 +224,64 @@ class JoinViewMaintainer:
         self._agg_rows: list = [
             tuple(r) for r in self.state.extra("agg", [])
         ]
+        # Churn-adaptive bucket count (auto mode): the layout lives in the
+        # manifest's extras, so a restart resumes count + keys-EWMA, and a
+        # relayout commits through the manifest protocol itself
+        # (ManifestState.replace_all — one os.replace, no extra machinery).
+        self.auto = n_buckets == "auto"
+        self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        self._churn = ChurnEwma()
+        #: churn growth never pushes the mean bucket below this (tunable).
+        self.min_churn_bucket_bytes = MIN_CHURN_BUCKET_BYTES
+        self.rebucket_events: list = []
+        if self.auto:
+            layout = self.state.extra("layout", None) or {}
+            self.n_buckets = int(layout.get("n_buckets", N_BUCKETS))
+            if layout.get("keys_ewma") is not None:
+                self._churn.value = float(layout["keys_ewma"])
+        else:
+            self.n_buckets = n_buckets
+
+    def _layout_record(self) -> dict:
+        rec = {"n_buckets": int(self.n_buckets)}
+        if self._churn.value is not None:
+            rec["keys_ewma"] = float(self._churn.value)
+        return rec
+
+    def _extras(self, agg_rows) -> dict:
+        extra = {"agg": [list(r) for r in agg_rows]}
+        if self.auto:
+            extra["layout"] = self._layout_record()
+        return extra
+
+    def _maybe_rebucket(self, batch_id: int) -> None:
+        """Auto mode: when the byte target or the churn rule (buckets >=
+        factor x keys/batch EWMA — operators/churn.py) demands more
+        buckets, rewrite the state under the new assignment via ONE
+        atomic manifest swap (``replace_all``); committed with the same
+        batch_id, so a crash mid-relayout replays nothing and leaves the
+        old generation live."""
+        from pypgcdc_spark.operators.churn import recommend_buckets
+
+        new_n = recommend_buckets(
+            self.n_buckets,
+            self.state.live_bytes(),
+            self.target_bucket_bytes,
+            self._churn.value,
+            min_buckets=N_BUCKETS,
+            min_churn_bucket_bytes=self.min_churn_bucket_bytes,
+        )
+        if new_n == self.n_buckets:
+            return
+        relaid = self.state.read(self.STATE_SCHEMA).withColumn(
+            "bucket", (F.col("orderkey") % new_n).cast("int")
+        )
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        self.state.replace_all(
+            relaid, batch_id, self.guard_id, extra=self._extras(self._agg_rows)
+        )
+        self.rebucket_events.append((old_n, new_n))
 
     def _read_part(self, tbl: str, cols: str, batch_buckets=None) -> DataFrame:
         """One logical table out of the unified manifest-committed state,
@@ -251,7 +316,7 @@ class JoinViewMaintainer:
             # manifest commit (no staged data) advances the high-water.
             self.state.finalize(
                 None, [], batch_id, self.guard_id,
-                extra={"agg": [list(r) for r in self._agg_rows]},
+                extra=self._extras(self._agg_rows),
             )
             return
         spark = self.spark
@@ -267,7 +332,9 @@ class JoinViewMaintainer:
         # Per-batch data is bucket-sized: right-size the tiny shuffles to
         # the bucket count and prefer shuffled-hash joins (no sort) —
         # at real scale a deployment sets these to its cluster's shape.
-        conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
+        # Capped: churn-sized layouts run to tens of thousands of buckets,
+        # but the shuffle carries only the touched rows.
+        conf.set("spark.sql.shuffle.partitions", str(min(self.n_buckets, 64)))
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         bucket = (F.col("orderkey") % self.n_buckets).cast("int")
         try:
@@ -277,9 +344,15 @@ class JoinViewMaintainer:
                 conf.set(k, v)
 
     def _apply(self, batch_df: DataFrame, bucket, batch_id: int) -> None:
-        from pypgcdc_spark.operators.state_prune import touched_buckets
+        from pypgcdc_spark.operators.churn import touched_buckets_and_keys
 
-        batch_buckets = touched_buckets(batch_df, bucket)
+        # Same bounded collect as the pruning path, plus the batch's
+        # distinct-key count (the churn observation driving auto growth).
+        batch_buckets, batch_keys = touched_buckets_and_keys(
+            batch_df, bucket, F.col("orderkey")
+        )
+        if self.auto:
+            self._churn.observe(batch_keys)
         a_old = self._read_part("A", self.A_COLS, batch_buckets)
         b_old = self._read_part("B", self.B_COLS, batch_buckets)
 
@@ -469,9 +542,13 @@ class JoinViewMaintainer:
             touched,
             batch_id,
             self.guard_id,
-            extra={"agg": [[r.priority, r.n_lines, r.total_cents] for r in rows]},
+            extra=self._extras(
+                [[r.priority, r.n_lines, r.total_cents] for r in rows]
+            ),
         )
         self._agg_rows = rows
+        if self.auto:
+            self._maybe_rebucket(batch_id)
 
 
 @query(

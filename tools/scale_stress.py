@@ -446,6 +446,97 @@ def r9_kernel_scalings(repl: int) -> dict:
     return out
 
 
+def r12_churn_model_kernel(spark) -> dict:
+    """Round-12 kernel (VERDICT r11 task 3): pin the churn-aware bucket
+    sizing rule by MEASUREMENT, not prose.  The r11 5M soak's post-mortem
+    model says a batch of K distinct keys over B buckets rewrites
+    ``state_rows * (1 - e^(-K/B))`` state rows; this kernel seeds a
+    bucketed IVM at two bucket counts — the r11 failure count (K/B ~ 4,
+    most of state rewritten) and the churn-rule count (B >= 8K, ~12%) —
+    applies an identical churn batch, and reports measured vs model
+    touched-buckets and rows-rewritten (done-bar: within ~15%) plus the
+    per-batch wall contrast."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pypgcdc_spark.operators.churn import expected_touched, recommend_buckets
+    from pypgcdc_spark.operators.ivm import BucketedViewMaintainer
+
+    N_STATE = 200_000
+    KEYS = 2_000
+    out = {}
+    for n_buckets in (512, 16384):
+        d = tempfile.mkdtemp(prefix="churn_model_")
+        try:
+            m = BucketedViewMaintainer(spark, d, n_buckets=n_buckets)
+            seed = spark.range(N_STATE).select(
+                F.col("id").alias("event_id"),
+                F.col("id").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(1.0).alias("value"),
+            )
+            m.apply_batch(seed, 0)
+            batch = spark.range(KEYS).select(
+                (F.lit(N_STATE) + F.col("id")).alias("event_id"),
+                ((F.col("id") * 104729) % N_STATE).alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+                F.lit(2.0).alias("value"),
+            )
+            t0 = time.perf_counter()
+            m.apply_batch(batch, 1)
+            wall = time.perf_counter() - t0
+            bucket_expr = F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+            buckets = sorted(
+                r.b
+                for r in batch.select(bucket_expr.alias("b")).distinct().collect()
+            )
+            rewritten = (
+                spark.read.parquet(m.key_path)
+                .filter(F.col("bucket").isin(buckets))
+                .count()
+            )
+            model_rows = N_STATE * (1 - math.exp(-KEYS / n_buckets))
+            model_touched = expected_touched(KEYS, n_buckets)
+            out[f"buckets_{n_buckets}"] = {
+                "state_rows": N_STATE,
+                "keys_per_batch": KEYS,
+                "touched_buckets": len(buckets),
+                "model_touched_buckets": round(model_touched, 1),
+                "touched_over_model": round(len(buckets) / model_touched, 3),
+                "rows_rewritten": int(rewritten),
+                "model_rows_rewritten": round(model_rows, 1),
+                "rewritten_over_model": round(rewritten / model_rows, 3),
+                "churn_batch_wall_sec": round(wall, 2),
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    lo, hi = out["buckets_512"], out["buckets_16384"]
+    return {
+        "ivm_churn_model": {
+            **out,
+            # The sizing rule's own answer for this churn rate (what auto
+            # mode converges to; state bytes irrelevant here — churn binds).
+            "auto_recommendation": recommend_buckets(
+                8, 1 << 30, 128 << 20, float(KEYS), min_churn_bucket_bytes=1
+            ),
+            "rewrite_reduction": round(
+                lo["rows_rewritten"] / max(hi["rows_rewritten"], 1), 2
+            ),
+            "model_max_error": round(
+                max(
+                    abs(1 - v)
+                    for k in out.values()
+                    for v in (k["touched_over_model"], k["rewritten_over_model"])
+                ),
+                3,
+            ),
+        }
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=10)
@@ -527,6 +618,10 @@ def main() -> None:
             report["queries"].update(r8_kernel_scalings(repl))
             # -- r9 kernels: segmented-log scan parity / roll / GC sweep.
             report["queries"].update(r9_kernel_scalings(repl))
+        # -- r12 kernel: churn-sizing model vs measurement (also runnable
+        # alone via --only churn_model).
+        if not only or any("churn_model" in s for s in only):
+            report["queries"].update(r12_churn_model_kernel(spark))
 
         # -- streaming interval-join kernel: steady-state rows/s at both
         # scales (disjoint per-replica users ⇒ identical join structure;

@@ -470,15 +470,80 @@ class SoakAggMaintainer:
     STATE_SCHEMA = "id LONG, lsn LONG, cents LONG, is_deleted BOOLEAN"
     N_GROUPS = 16
 
-    def __init__(self, spark, work_dir: str, n_buckets: int = 32, guard_id=None):
+    MIN_BUCKETS = 32
+    TARGET_BUCKET_BYTES = 128 << 20
+
+    def __init__(
+        self,
+        spark,
+        work_dir: str,
+        n_buckets=32,
+        guard_id=None,
+        target_bucket_bytes: int = None,
+    ):
         from pypgcdc_spark.operators.atomic_state import ManifestState
+        from pypgcdc_spark.operators.churn import (
+            MIN_CHURN_BUCKET_BYTES,
+            ChurnEwma,
+        )
 
         self.spark = spark
-        self.n_buckets = n_buckets
         self.guard_id = guard_id
         self.state = ManifestState(spark, os.path.join(work_dir, "state"), ["bucket"])
         self._agg_rows: list = [tuple(r) for r in self.state.extra("agg", [])]
         self.batches_applied = 0
+        # Churn-adaptive bucket count (the r11 5M-soak fix): layout +
+        # keys-EWMA live in the manifest extras; a relayout commits via
+        # ManifestState.replace_all (one os.replace).  The r11 attempt
+        # measured the fixed-count failure: 2k keys/batch over 1024
+        # buckets rewrote ~86% of a 5M-row state every batch.
+        self.auto = n_buckets == "auto"
+        self.target_bucket_bytes = target_bucket_bytes or self.TARGET_BUCKET_BYTES
+        self._churn = ChurnEwma()
+        #: churn growth never pushes the mean bucket below this (tunable).
+        self.min_churn_bucket_bytes = MIN_CHURN_BUCKET_BYTES
+        self.rebucket_events: list = []
+        if self.auto:
+            layout = self.state.extra("layout", None) or {}
+            self.n_buckets = int(layout.get("n_buckets", self.MIN_BUCKETS))
+            if layout.get("keys_ewma") is not None:
+                self._churn.value = float(layout["keys_ewma"])
+        else:
+            self.n_buckets = n_buckets
+
+    def _extras(self, agg_rows) -> dict:
+        extra = {"agg": [list(r) for r in agg_rows]}
+        if self.auto:
+            layout = {"n_buckets": int(self.n_buckets)}
+            if self._churn.value is not None:
+                layout["keys_ewma"] = float(self._churn.value)
+            extra["layout"] = layout
+        return extra
+
+    def _maybe_rebucket(self, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from pypgcdc_spark.operators.churn import recommend_buckets
+
+        new_n = recommend_buckets(
+            self.n_buckets,
+            self.state.live_bytes(),
+            self.target_bucket_bytes,
+            self._churn.value,
+            min_buckets=self.MIN_BUCKETS,
+            min_churn_bucket_bytes=self.min_churn_bucket_bytes,
+        )
+        if new_n == self.n_buckets:
+            return
+        relaid = self.state.read("bucket INT, " + self.STATE_SCHEMA).withColumn(
+            "bucket", F.pmod(F.col("id"), F.lit(new_n)).cast("int")
+        )
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        self.state.replace_all(
+            relaid, batch_id, self.guard_id, extra=self._extras(self._agg_rows)
+        )
+        self.rebucket_events.append((old_n, new_n))
 
     def aggregate_rows(self) -> list:
         return sorted(
@@ -504,14 +569,18 @@ class SoakAggMaintainer:
             # Idle batch: marker-only commit advances the high-water.
             self.state.finalize(
                 None, [], batch_id, self.guard_id,
-                extra={"agg": [list(r) for r in self._agg_rows]},
+                extra=self._extras(self._agg_rows),
             )
             self.batches_applied += 1
             return
         bucket = F.pmod(F.col("id"), F.lit(self.n_buckets)).cast("int")
-        from pypgcdc_spark.operators.state_prune import touched_buckets
+        from pypgcdc_spark.operators.churn import touched_buckets_and_keys
 
-        batch_buckets = touched_buckets(rows, bucket)
+        batch_buckets, batch_keys = touched_buckets_and_keys(
+            rows, bucket, F.col("id")
+        )
+        if self.auto:
+            self._churn.observe(batch_keys)
         old = self.state.read(
             "bucket INT, " + self.STATE_SCHEMA,
             F.col("bucket").isin([int(b) for b in batch_buckets]),
@@ -590,10 +659,14 @@ class SoakAggMaintainer:
             [(int(b),) for b in batch_buckets],
             batch_id,
             self.guard_id,
-            extra={"agg": [[int(g), int(n), int(c)] for g, n, c in agg_rows]},
+            extra=self._extras(
+                [[int(g), int(n), int(c)] for g, n, c in agg_rows]
+            ),
         )
         self._agg_rows = [tuple(r) for r in agg_rows]
         self.batches_applied += 1
+        if self.auto:
+            self._maybe_rebucket(batch_id)
 
 
 def state_hash(rows) -> str:
@@ -706,11 +779,13 @@ def main() -> int:
     )
     ap.add_argument(
         "--ivm-buckets",
-        type=int,
-        default=32,
-        help="IVM keyed-state bucket count; size it so a random churn "
-        "batch touches a small FRACTION of buckets (buckets >> keys/batch "
-        "turns per-batch cost from O(state) into O(batch × state/buckets))",
+        type=lambda s: s if s == "auto" else int(s),
+        default="auto",
+        help="IVM keyed-state bucket count, or 'auto' (default): "
+        "churn-adaptive — grows to keep buckets >= 8 x keys/batch EWMA "
+        "(operators/churn.py), which the r11 attempt's own math showed "
+        "is what turns per-batch cost from O(state) into "
+        "O(batch x state/buckets); a fixed count is the r11 failure mode",
     )
     ap.add_argument(
         "--max-backlog-mb",
