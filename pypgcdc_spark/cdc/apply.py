@@ -487,8 +487,11 @@ class DeleteAwareMerger:
             "_bucket", self._bucket_of(F.col("_kraw"), new_n)
         )
         # Reads target, writes the stage — no read-own-write lineage, no
-        # checkpoint needed, and the live dataset stays readable throughout.
-        relaid.write.partitionBy("_bucket").parquet(stage)
+        # checkpoint needed, and the live dataset stays readable
+        # throughout.  Repartitioned by bucket: one file per dir.
+        relaid.repartition(F.col("_bucket")).write.partitionBy("_bucket").parquet(
+            stage
+        )
         self._fault("pre_marker")
         # Marker LAST: a stage dir without its sidecar is by definition
         # incomplete and gets discarded on recovery.
@@ -609,13 +612,15 @@ class DeleteAwareMerger:
                 env, self.schema, passthrough=["_bucket", "_kraw"]
             ).localCheckpoint(eager=True)
             # Replace ONLY the touched partitions (checkpoint first: the
-            # plan reads the same path it overwrites).
+            # plan reads the same path it overwrites).  Repartitioned by
+            # the bucket column so the write emits one file per touched
+            # dir, not tasks x dirs tiny files (r12 dir-cost probe: 12x).
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            state.write.mode("overwrite").partitionBy("_bucket").parquet(
-                self.target_path
-            )
+            state.repartition(F.col("_bucket")).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(self.target_path)
             # Dynamic overwrite only replaces partitions PRESENT in the
             # written data.  A touched bucket with zero surviving rows
             # (batch deleted its every key, or a truncate emptied it)

@@ -125,7 +125,12 @@ class ManifestState:
         manifest; a crash here leaves only orphans for the sweeper."""
         attempt = f"{int(batch_id)}-{uuid.uuid4().hex[:8]}"
         (
-            df.withColumn("_b", F.lit(attempt))
+            # Repartition by the logical partition columns first: one
+            # file per partition dir instead of tasks x partitions tiny
+            # files (r12 dir-cost probe measured ~12x on many-partition
+            # staged writes).  `_b` is constant within the attempt.
+            df.repartition(*[F.col(c) for c in self.part_cols])
+            .withColumn("_b", F.lit(attempt))
             .write.mode("append")
             .partitionBy(*self.part_cols, "_b")
             .parquet(self.data_dir)

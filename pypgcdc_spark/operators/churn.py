@@ -53,9 +53,13 @@ from pyspark.sql import functions as F
 #: buckets >= CHURN_FACTOR x distinct-keys-per-batch (EWMA) — bounds the
 #: per-batch rewritten fraction of state to 1 - e^(-1/factor) (~12%).
 CHURN_FACTOR = 8
-#: churn growth never pushes the MEAN bucket below this many bytes: below
-#: it, a full-state rewrite is cheap anyway and file-count overhead wins.
-MIN_CHURN_BUCKET_BYTES = 4096
+#: churn growth never pushes the MEAN bucket below this many bytes.  The
+#: floor is the measured dir/row cost crossover (r12 probe, one-file-per-
+#: dir writes + committer v2): a touched bucket dir costs ~5 ms of
+#: write-commit + listing overhead vs ~5.5 us per rewritten state row, so
+#: buckets under ~1k rows (~32 KB) trade cheap row I/O for expensive file
+#: ops — and total-dir discovery cost is O(buckets) per read on top.
+MIN_CHURN_BUCKET_BYTES = 32 << 10
 #: hard ceiling on churn-driven growth (the byte rule has no ceiling —
 #: volume genuinely needs buckets; churn past this is batch-size misconfig).
 MAX_CHURN_BUCKETS = 1 << 17

@@ -299,9 +299,16 @@ class BucketedViewMaintainer:
         # blocks — concurrent Spark jobs.
         from pypgcdc_spark.operators.join_ivm import _concurrently
 
+        # Repartition by the bucket column before the partitioned write:
+        # without it every shuffle task holds rows of EVERY touched
+        # bucket, so the write emits tasks x buckets files — measured
+        # 137.8s for a 2048-dir dynamic overwrite vs 10.8s with one file
+        # per bucket dir (r12 dir-cost probe).  The extra shuffle moves
+        # only the touched rows.
         self._agg_rows = _concurrently(
             lambda: agg.collect(),
-            lambda: new_state.write.mode("overwrite")
+            lambda: new_state.repartition(F.col("bucket"))
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(self.key_path),
         )

@@ -89,14 +89,18 @@ def staged_relayout(
     must emit ``partition_col``) and commit the new ``record`` sidecar —
     crash-atomic per the module protocol.  ``fault`` is the test-only
     injection hook (called with the crash-point name)."""
+    from pyspark.sql import functions as F
+
     fault = fault or (lambda _p: None)
     stage, old = _stage(path), _old(path)
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     fault("pre_stage")
-    transform(spark.read.parquet(path)).write.partitionBy(partition_col).parquet(
-        stage
-    )
+    # Repartition by the partition column: one file per bucket dir
+    # instead of tasks x buckets tiny files (r12 dir-cost probe).
+    transform(spark.read.parquet(path)).repartition(
+        F.col(partition_col)
+    ).write.partitionBy(partition_col).parquet(stage)
     fault("pre_marker")
     tmp = os.path.join(stage, MARKER + ".tmp")
     with open(tmp, "w") as f:

@@ -52,6 +52,13 @@ def configure(builder):
     """Engine config knobs that are scale-relevant, not local-only."""
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
+        # Task commits move files directly into place (v2) instead of the
+        # two-step task->job rename (v1): measured 2x on many-partition
+        # dynamic overwrites (r12 dir-cost probe: 2048-dir DPO 18.5s ->
+        # 10.8s).  Atomicity of the engine's state commits never rests on
+        # the committer — the manifest/marker protocols above the write
+        # (atomic_state.py, relayout.py, batch markers) provide it.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

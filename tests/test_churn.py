@@ -44,13 +44,21 @@ def test_bytes_rule_unchanged():
 
 def test_churn_rule_soak_scenario():
     """The exact r11 failure: ~2k keys/batch, 150MB state, byte target
-    131072 gave 1024 buckets and an 86% rewrite; the churn rule demands
-    >= 8x2000 -> 16384, cutting the rewritten fraction to ~12%."""
+    131072 gave 1024 buckets and an 86% rewrite.  The churn rule demands
+    8x2000 -> 16384, byte-floor-capped to 4096 at this state size (the
+    measured ~5ms/dir file-op cost makes sub-32KB buckets a net loss —
+    see MIN_CHURN_BUCKET_BYTES): rewritten fraction drops 86% -> ~39%,
+    and converges to ~12% as state (and so the cap) grows."""
     n = recommend_buckets(1024, 150 << 20, 131072, keys_ewma=2000.0)
-    assert n == 16384
+    assert n == 4096
     frac_before = 1 - math.exp(-2000 / 1024)
     frac_after = 1 - math.exp(-2000 / n)
-    assert frac_before > 0.85 and frac_after < 0.13
+    assert frac_before > 0.85 and frac_after < 0.40
+    # Bigger state, same churn: the cap lifts and the full x8 headroom
+    # applies (~12% rewritten).
+    n_big = recommend_buckets(1024, 2 << 30, 131072 << 4, keys_ewma=2000.0)
+    assert n_big == 16384
+    assert 1 - math.exp(-2000 / n_big) < 0.13
 
 
 def test_churn_growth_capped_for_small_state():
@@ -58,8 +66,8 @@ def test_churn_growth_capped_for_small_state():
     it into hundreds of thousands of files: churn growth is capped at
     state_bytes / MIN_CHURN_BUCKET_BYTES (bucket count is irrelevant to
     row I/O when every batch rewrites most of state anyway)."""
-    # 2 MB state: cap = prev_pow2(2MB/4KB) = 512, not 8x50k = 524288.
-    assert recommend_buckets(8, 2 << 20, 128 << 20, keys_ewma=50_000.0) == 512
+    # 2 MB state: cap = prev_pow2(2MB/32KB) = 64, not 8x50k = 524288.
+    assert recommend_buckets(8, 2 << 20, 128 << 20, keys_ewma=50_000.0) == 64
     # Tiny state: churn can never grow past min_buckets.
     assert recommend_buckets(8, 2048, 128 << 20, keys_ewma=50_000.0) == 8
 

@@ -802,6 +802,17 @@ def main() -> int:
         help="1 = also run the manifest-committed IVM consumer on the "
         "same stream (aggregate verified against the server at the end)",
     )
+    ap.add_argument(
+        "--ivm-consumer",
+        choices=("fanout", "separate"),
+        default="separate",
+        help="'separate' (default; VERDICT r11 task 4): the IVM runs as "
+        "a genuinely independent NAMED consumer — its own streaming "
+        "query, checkpoint and slot-style ack sidecar — so retention-at-"
+        "MIN across consumers is what the soak actually exercises under "
+        "faults at volume; 'fanout' = the r10/r11 shape (both sinks in "
+        "one foreachBatch, single consumer)",
+    )
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -871,6 +882,33 @@ def main() -> int:
     mergers: list = []
     ivm_maintainers: list = []
     ivm_dir = os.path.join(work, "ivm")
+    separate_ivm = bool(args.ivm) and args.ivm_consumer == "separate"
+    ckpt_ivm = os.path.join(work, "ckpt_ivm")
+    # Named slots: in separate mode each materializer acks its own
+    # sidecar and retention (segment GC, registry pruning, the tailer's
+    # confirmed-flush) runs at the MIN across them — the replication-slot
+    # model, now exercised under faults at volume (VERDICT r11 task 4).
+    state_consumer = "state" if separate_ivm else None
+
+    def start_ivm_query():
+        """The IVM as its own consumer: independent stream, checkpoint,
+        ack slot.  A fresh maintainer per (re)start = a restarted
+        process (aggregate restored from the manifest)."""
+        mt = SoakAggMaintainer(
+            spark, ivm_dir, n_buckets=args.ivm_buckets, guard_id=ckpt_ivm
+        )
+        ivm_maintainers.append(mt)
+        return (
+            engine.stream(
+                log, max_tx_per_batch=args.max_tx_per_batch, consumer="ivm"
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: mt(df.localCheckpoint(eager=True), bid)
+            )
+            .option("checkpointLocation", ckpt_ivm)
+            .outputMode("update")
+            .start()
+        )
 
     def start_query():
         # Construct the merger directly (rather than engine.materialize)
@@ -893,7 +931,7 @@ def main() -> int:
         mergers.append(m)
         mt = (
             SoakAggMaintainer(spark, ivm_dir, n_buckets=args.ivm_buckets, guard_id=ckpt)
-            if args.ivm
+            if args.ivm and not separate_ivm
             else None
         )
         if mt is not None:
@@ -911,7 +949,11 @@ def main() -> int:
                 mt(df, bid)
 
         return (
-            engine.stream(log, max_tx_per_batch=args.max_tx_per_batch)
+            engine.stream(
+                log,
+                max_tx_per_batch=args.max_tx_per_batch,
+                consumer=state_consumer,
+            )
             .writeStream.foreachBatch(_sinks)
             .option("checkpointLocation", ckpt)
             .outputMode("update")
@@ -929,14 +971,21 @@ def main() -> int:
             break
         stable = cur
     query = start_query()
+    ivm_query = start_ivm_query() if separate_ivm else None
     t_drain = time.time()
     query.processAllAvailable()
+    if ivm_query is not None:
+        ivm_query.processAllAvailable()
     seed_drain = {
         "sec": round(time.time() - t_drain, 1),
         "rows": pre_rows,
         "batches": (query.lastProgress or {}).get("batchId", -1) + 1,
         "rebuckets_during_drain": [list(e) for e in mergers[-1].rebucket_events],
     }
+    if separate_ivm and ivm_maintainers:
+        seed_drain["ivm_rebuckets_during_drain"] = [
+            list(e) for e in ivm_maintainers[-1].rebucket_events
+        ]
 
     workload = Workload(live, random.Random(args.seed + 1), id_range=id_range)
     workload.start()
@@ -970,6 +1019,7 @@ def main() -> int:
     next_kill = t0 + rng.uniform(15, 35)
     next_pause = t0 + rng.uniform(240, 420)
     paused_until = None
+    paused_victim = "state"
 
     while time.time() < deadline:
         now = time.time()
@@ -980,9 +1030,19 @@ def main() -> int:
             fault_log.append((now, "socket_kill"))
             next_kill = now + rng.uniform(15, 45)
         if paused_until is None and now >= next_pause:
+            # Separate-consumer mode alternates the pause victim so the
+            # run proves retention-at-MIN from BOTH sides: a paused IVM
+            # consumer must pin segments/registry versions while the
+            # state consumer acks ahead, and vice versa.
+            paused_victim = (
+                "ivm"
+                if separate_ivm and faults["consumer_pause"] % 2 == 1
+                else "state"
+            )
+            vq = ivm_query if paused_victim == "ivm" else query
             try:
-                query.stop()
-                query.awaitTermination(30)
+                vq.stop()
+                vq.awaitTermination(30)
             except Exception:
                 pass
             # stop() cancels the STREAM's job group, but the foreachBatch
@@ -993,14 +1053,21 @@ def main() -> int:
             # attempts race on the state layout (observed r10: zombie
             # merge jobs piling up per pause until livelock).  Cancelling
             # everything makes a pause what it models: a process crash.
+            # (In separate mode this also fails the sibling query's
+            # in-flight batch — extra chaos its crash-atomic commit
+            # protocols must absorb; the exception probe restarts it.)
             try:
                 spark.sparkContext.cancelAllJobs()
             except Exception:
                 pass
+            fault_log.append((now, f"consumer_pause:{paused_victim}"))
             paused_until = now + rng.uniform(20, 35)
             faults["consumer_pause"] += 1
         if paused_until is not None and now >= paused_until:
-            query = start_query()
+            if separate_ivm and paused_victim == "ivm":
+                ivm_query = start_ivm_query()
+            else:
+                query = start_query()
             query_restarts += 1
             paused_until = None
             next_pause = now + rng.uniform(240, 420)
@@ -1020,6 +1087,15 @@ def main() -> int:
                 query_restarts += 1
         except Exception as e:
             query_exceptions.append(f"exception() probe failed: {e}"[:200])
+        if ivm_query is not None and (paused_until is None or paused_victim != "ivm"):
+            try:
+                iexc = ivm_query.exception()
+                if iexc is not None:
+                    query_exceptions.append("ivm: " + str(iexc)[:500])
+                    ivm_query = start_ivm_query()
+                    query_restarts += 1
+            except Exception as e:
+                query_exceptions.append(f"ivm exception() probe failed: {e}"[:200])
         try:
             lp = query.lastProgress
             if lp:
@@ -1037,6 +1113,15 @@ def main() -> int:
             pass
         sample["ckpt_bytes"] = dir_size(ckpt)
         sample["ack_bytes"] = file_size(log + ".ack")
+        if separate_ivm:
+            # Per-slot ack positions: the published `.ack` (what the
+            # tailer GC uses) must track the MIN of these two.
+            for cname in ("state", "ivm"):
+                try:
+                    with open(log + f".ack.d/{cname}.json") as f:
+                        sample[f"ack_pos_{cname}"] = int(json.load(f)["pos"])
+                except (OSError, ValueError, KeyError):
+                    pass
         try:
             with open(os.path.join(target, "_nbuckets.json")) as f:
                 sample["n_buckets"] = int(json.load(f)["n_buckets"])
@@ -1081,7 +1166,10 @@ def main() -> int:
     workload.stop_event.set()
     workload.join(timeout=30)
     if paused_until is not None:
-        query = start_query()
+        if separate_ivm and paused_victim == "ivm":
+            ivm_query = start_ivm_query()
+        else:
+            query = start_query()
         query_restarts += 1
     # resolve any still-pending prepared txs so the final state is settled
     try:
@@ -1104,6 +1192,10 @@ def main() -> int:
             break
         stable = cur
     query.processAllAvailable()
+    if ivm_query is not None:
+        ivm_query.processAllAvailable()
+        ivm_query.stop()
+        ivm_query.awaitTermination(60)
     query.stop()
     query.awaitTermination(60)
 
@@ -1196,7 +1288,10 @@ def main() -> int:
     ivm_agg = ivm_truth = None
     if args.ivm:
         ivm_final = SoakAggMaintainer(
-            spark, ivm_dir, n_buckets=args.ivm_buckets, guard_id=ckpt
+            spark,
+            ivm_dir,
+            n_buckets=args.ivm_buckets,
+            guard_id=ckpt_ivm if separate_ivm else ckpt,
         )
         ivm_agg = ivm_final.aggregate_rows()
         ivm_truth = sorted(
@@ -1272,6 +1367,11 @@ def main() -> int:
                 ),
                 "maintainer_instances": len(ivm_maintainers),
                 "n_buckets": args.ivm_buckets,
+                "n_buckets_final": ivm_final.n_buckets,
+                "rebucket_events": [
+                    list(e) for m in ivm_maintainers for e in m.rebucket_events
+                ],
+                "consumer_mode": args.ivm_consumer,
                 "final_manifest_batch_id": (
                     (ivm_final.state.load() or {}).get("batch_id")
                 ),
@@ -1280,6 +1380,17 @@ def main() -> int:
                 "agg_sample": (ivm_agg or [])[:4],
                 "truth_sample": (ivm_truth or [])[:4],
             }
+        ),
+        # Multi-consumer retention evidence (separate mode): final ack
+        # sidecars per slot + the published min the tailer GC'd against.
+        "consumer_acks": (
+            {
+                name: json.load(open(log + f".ack.d/{name}.json"))
+                for name in ("state", "ivm")
+                if os.path.exists(log + f".ack.d/{name}.json")
+            }
+            if separate_ivm
+            else None
         ),
         "boot_to_done_sec": round(time.time() - t_boot, 1),
         "micro_batches": n_batches,
