@@ -542,8 +542,6 @@ class DeleteAwareMerger:
         touched: list = []
         has_truncate = False
         if bucketed:
-            if env.isEmpty():
-                return
             env = env.withColumn("_kraw", self._kraw_expr()).withColumn(
                 "_bucket", self._bucket_of(F.col("_kraw"), self.n_buckets)
             )
@@ -560,6 +558,11 @@ class DeleteAwareMerger:
                 )
                 .collect()
             )
+            if not meta:
+                # Idle micro-batch: the metadata collect doubles as the
+                # empty probe (the separate isEmpty() action cost one
+                # extra Spark job per batch).
+                return
             touched = sorted(r._bucket for r in meta)
             has_truncate = any(r._t for r in meta)
             if self.auto:

@@ -104,10 +104,12 @@ class SignatureIndexMaintainer:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
-        if batch_df.isEmpty():
+        # The touched-bucket collect doubles as the empty probe (the
+        # separate isEmpty() action cost one extra Spark job per batch).
+        batch_buckets = touched_buckets(batch_df, bucket)
+        if not batch_buckets:
             mark_applied(self.work, batch_id, self.guard_id)
             return
-        batch_buckets = touched_buckets(batch_df, bucket)
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (
@@ -357,10 +359,12 @@ class PostingsIndexMaintainer:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
-        if batch_df.isEmpty():
+        # The touched-bucket collect doubles as the empty probe (the
+        # separate isEmpty() action cost one extra Spark job per batch).
+        batch_buckets = touched_buckets(batch_df, bucket)
+        if not batch_buckets:
             mark_applied(self.work, batch_id, self.guard_id)
             return
-        batch_buckets = touched_buckets(batch_df, bucket)
 
         w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
         latest = (
