@@ -9,7 +9,7 @@ query built on it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 CC_MAX_ITERS = 20  # min-label propagation bound (≥ graph diameter)
@@ -39,24 +39,32 @@ def connected_components(
         pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # The convergence metric (exact integer label sum) rides the round's
+    # own materializing action via observe() instead of a second
+    # aggregate job per round — half the driver actions per iteration
+    # (measured r12: 1.43 -> 1.06 s on the gate graph, labels identical).
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
+        .observe(obs0, F.sum("lbl").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    prev_sum = obs0.get["s"]
     for _ in range(max_iters):
         neighbor = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "lbl"
         )
+        obs = Observation()
         labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
@@ -120,15 +128,19 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(small_min.select(F.col("u"), F.col("m").alias("v")))
         )
+        obs = Observation()
         edges = (
             large.unionByName(small)
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
+            # Fingerprint rides the checkpoint's materializing job
+            # (observe) instead of a second aggregate action per round.
+            .observe(obs, (F.sum("u") + F.sum("v")).alias("s"), F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        fp = edges.agg((F.sum("u") + F.sum("v")).alias("s"), F.count("*").alias("n")).first()
-        fp = (fp["s"], fp["n"])
+        got = obs.get
+        fp = (got["s"], got["n"])
         # Cheap integer fingerprint first; on a hit, confirm with an exact
         # distinct-set comparison (equal counts + empty one-sided diff)
         # so a fingerprint collision can never end the loop early.

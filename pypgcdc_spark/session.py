@@ -66,6 +66,13 @@ def configure(builder):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split-packing open cost: the 4 MB default models slow-open
+        # remote filesystems and caps a small table's scan parallelism at
+        # size/4MB tasks regardless of cores.  1 MB keeps tiny-file
+        # packing conservative at scale (maxPartitionBytes still caps
+        # split size) while letting MB-scale tables use the cluster:
+        # measured r12 at sf0.1, q1 1.16→0.89 s, q9 −11%, q18 −8%.
+        .config("spark.sql.files.openCostInBytes", "1m")
         # Streaming state: RocksDB provider — bounded executor memory and
         # incremental (changelog) checkpoints; the required choice once
         # stateful-operator state outgrows the JVM heap (session windows /
