@@ -60,20 +60,35 @@ def _drain(spark, df, prefix: str, mode: str = "complete", parts: int | None = N
       DataFrame.
     """
     name = prefix + "_" + uuid.uuid4().hex[:12]
-    with state_partitions(spark) if parts is None else state_partitions(spark, parts):
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError(f"streaming drain timed out after 300s: {name}")
-        finally:
-            if q.isActive:
-                q.stop()
+    # No-data micro-batches exist so a LONG-RUNNING stream can advance its
+    # watermark during idle periods (evicting state, emitting finalized
+    # append-mode windows).  A drain-to-completion run needs neither:
+    # every _drain consumer emits on data batches (complete/update modes,
+    # or append shapes — dedup-within-watermark, inner interval join —
+    # that emit as rows arrive), and the query stops right after.  The
+    # trailing no-data batch was pure state-store commit cost (measured
+    # r12: interval-join drain 2.74→1.72 s, dedup drain 1.62→1.03 s,
+    # drained outputs bit-identical).  Saved/restored around the drain.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
+    spark.conf.set(nodata_key, "false")
+    try:
+        with state_partitions(spark) if parts is None else state_partitions(spark, parts):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(f"streaming drain timed out after 300s: {name}")
+            finally:
+                if q.isActive:
+                    q.stop()
+    finally:
+        spark.conf.set(nodata_key, prev_nodata)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
