@@ -135,12 +135,21 @@ def dedup_ngram_jaccard(spark, sf_dir, max_shingle_df=None):
         .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Scale guard (same rule the r11 minhash fix pinned): `sizes` is
+    # O(corpus) — one row per document — so it must never be
+    # FORCE-broadcast.  No hint here: AQE picks broadcast while sizes is
+    # small and falls back to a shuffle join once it isn't, so the plan
+    # stays valid at 100 TB corpus scale.  (The r12 alternative —
+    # semi-join sizes to the candidate docs and broadcast the remainder —
+    # was A/B'd and costs 1-3 s locally: it needs the inverted-index
+    # self-join materialized for a second consumer, which outweighs the
+    # bounded broadcast.)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 3).alias("jaccard"))
     )

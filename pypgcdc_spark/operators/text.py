@@ -601,7 +601,10 @@ def text_duplicate_spans(spark, sf_dir, max_span_df=None):
                 f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
             )
         ).alias("s"),
-    )
+    # Both consumers below (the df aggregation and the back-join) read
+    # the exploded span stream; materialize it once or the tokenize +
+    # explode subtree runs twice (measured r12: 2.26→1.76 s, identical).
+    ).localCheckpoint(eager=True)
     df = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs_with"))
     if max_span_df is not None:
         df = df.filter(F.col("n_docs_with") <= max_span_df)
@@ -793,7 +796,9 @@ def text_dup_span_removal(spark, sf_dir):
                 f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
             )
         ).alias("st", "s"),
-    ).withColumn("en", F.col("st") + (SPAN_NGRAM - 1))
+    ).withColumn("en", F.col("st") + (SPAN_NGRAM - 1)).localCheckpoint(
+        eager=True
+    )  # consumed by dupset AND the back-join — materialize the explode once
     dupset = (
         spans.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("n"))
