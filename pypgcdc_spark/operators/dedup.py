@@ -847,9 +847,12 @@ def dedup_shingle_containment(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("doc_container"), F.col("n").alias("nb"))
     cont = F.col("n_inter").cast("double") / F.col("na")
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    # No broadcast hint on the O(corpus) size table (same scale guard as
+    # dedup_ngram_jaccard, r12): statistics pick broadcast while it is
+    # small and a shuffle join once it is not.
     return (
-        inter.join(F.broadcast(sa), "doc_contained")
-        .join(F.broadcast(sb), "doc_container")
+        inter.join(sa, "doc_contained")
+        .join(sb, "doc_container")
         .filter((F.col("na") >= CONTAINMENT_MIN_SHINGLES) & (cont >= CONTAINMENT_THRESHOLD))
         .select(
             "doc_contained",

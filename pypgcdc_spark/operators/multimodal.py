@@ -225,8 +225,12 @@ def multimodal_binary_features(spark, sf_dir):
     media = media_table(docs.sparkSession, sf_dir)
     feats = extract_features(media)
     src = docs.select("doc_id", "source")
+    # No broadcast hint: `src` is one row per document — O(corpus) — so a
+    # forced broadcast cannot survive large inputs (r12 scale guard, same
+    # rule as the dedup size tables).  Statistics pick broadcast while the
+    # projection is small and a shuffle join once it is not.
     return (
-        feats.join(F.broadcast(src), "doc_id")
+        feats.join(src, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),

@@ -253,6 +253,11 @@ def udtf_polymorphic_parse(spark, sf_dir):
     from pyspark.sql.types import StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
+    # Pickle serialization deliberately: useArrow=True was A/B'd r12 and
+    # is ~9x SLOWER here (min 27.5 s vs 3.2 s at sf0.1) — the Arrow UDTF
+    # path's per-call batching overhead dwarfs pickle for one-row yields
+    # of three short strings.  eval stays per-row either way (inherent to
+    # a UDTF; this row exists for schema-from-arguments API parity).
     @udtf
     class ParseDelimited:
         @staticmethod

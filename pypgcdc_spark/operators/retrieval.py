@@ -377,12 +377,18 @@ def text_bigram_logprob(spark, sf_dir):
     ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     ctx = bc.groupBy("w1").agg(F.sum("c").alias("n"))
+    # Attach the context total to the SMALL bigram-count table first, so
+    # the O(tokens) bigram stream is joined (and shuffled) exactly once —
+    # the previous shape shuffled it twice, by (w1,w2) for the count and
+    # again by w1 for the context (guide §2.3: decide on small rows).
+    # No broadcast hint: bigram vocab ≪ token stream but still O(vocab) —
+    # statistics pick broadcast locally and a shuffle join at scale.
+    bcn = bc.join(ctx, "w1")
     lp_term = F.round(
         F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
     ).cast("decimal(18,6)")
     doc = (
-        bg.join(bc, ["w1", "w2"])
-        .join(ctx, "w1")
+        bg.join(bcn, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
