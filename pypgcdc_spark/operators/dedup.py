@@ -765,29 +765,42 @@ def dedup_edit_distance(spark, sf_dir):
     pre = docs.filter(F.length("text") >= 8).select(
         "doc_id", F.substring("text", 1, 80).alias("pre")
     )
-    grams = pre.select(
-        "doc_id",
-        "pre",
-        F.explode(
-            F.expr("transform(sequence(1, length(pre) - 3), i -> substring(pre, i, 4))")
-        ).alias("gram"),
-    ).distinct()
+    # Shuffle keys, not payloads (guide §2.3/§8): the gram stream used to
+    # carry the 80-char prefix through every exchange (distinct, df
+    # aggregation, self-join) and the explode subtree ran once per
+    # consumer.  Now the stream is the narrow (doc_id, gram) pair —
+    # `pre` is functionally dependent on doc_id, so the distinct set is
+    # unchanged — materialized ONCE (eager localCheckpoint; three
+    # consumers), and prefixes re-attach to the bounded candidate-pair
+    # set at the end (no broadcast hint: `pre` is O(corpus)).
+    grams = (
+        pre.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(pre) - 3), i -> substring(pre, i, 4))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 32
     )
     a = grams.join(rare.select("gram"), "gram")
     b = grams.select(
-        F.col("gram").alias("gram"),
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("pre").alias("pb"),
+        F.col("gram").alias("gram"), F.col("doc_id").alias("doc_id_b")
+    )
+    cand_ids = (
+        a.join(b, (a.gram == b.gram) & (a.doc_id < b.doc_id_b))
+        .select(F.col("doc_id").alias("doc_id_a"), "doc_id_b")
+        .distinct()
     )
     cand = (
-        a.join(b, (a.gram == b.gram) & (a.doc_id < b.doc_id_b))
-        .filter(F.abs(F.length("pre") - F.length("pb")) <= 4)
-        .select(
-            F.col("doc_id").alias("doc_id_a"), "doc_id_b", F.col("pre").alias("pa"), "pb"
-        )
-        .distinct()
+        cand_ids.join(pre.select(F.col("doc_id").alias("doc_id_a"), F.col("pre").alias("pa")), "doc_id_a")
+        .join(pre.select(F.col("doc_id").alias("doc_id_b"), F.col("pre").alias("pb")), "doc_id_b")
+        .filter(F.abs(F.length("pa") - F.length("pb")) <= 4)
     )
     return cand.withColumn("edit_dist", F.levenshtein("pa", "pb")).filter(
         F.col("edit_dist") <= 4
