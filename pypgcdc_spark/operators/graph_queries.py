@@ -140,8 +140,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         # The rank vector (|V| rows ≪ |E|) broadcasts; each iteration is
         # ONE map-side join over the edge list + ONE groupBy(dst) shuffle.
-        # Checkpointing pr keeps the broadcast input materialized and the
-        # lineage flat across iterations.
+        # Iterations chain LAZILY: each round's subtree hangs under the
+        # next round's BroadcastExchange, so the one final action runs
+        # all rounds back-to-back (each broadcast subtree materializes
+        # exactly once — it has exactly one consumer) with no
+        # per-iteration driver round trip (r12; the checkpointed form
+        # paid one localCheckpoint job per round).
         pr = (
             edges.join(F.broadcast(pr), edges.src == pr.node)
             .groupBy(F.col("dst").alias("node"))
@@ -152,7 +156,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("pr")
             )
-            .localCheckpoint(eager=True)
         )
     return (
         pr.select(_node_str("node").alias("node"), F.col("pr").alias("pagerank"))
@@ -271,7 +274,12 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     pr = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     for _ in range(PR_ITERS):
-        pr = _bucketed_iteration(edges, pr, n_nodes).localCheckpoint(eager=True)
+        # Lazily chained (see graph_pagerank): each round's rank vector
+        # has exactly one consumer — the next round's shuffle side — so
+        # one final action runs all rounds without per-iteration
+        # localCheckpoint jobs; the edge side stays a bucket-co-located
+        # scan in every round.
+        pr = _bucketed_iteration(edges, pr, n_nodes)
     return (
         pr.select(_node_str("node").alias("node"), F.col("pr").alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("node"))

@@ -206,6 +206,11 @@ def pipeline_decontamination(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
     d = docs.select("doc_id", "source", w.alias("w")).filter(F.size("w") >= DECON_NGRAM)
+    # NOT checkpointed: the two consumers below re-derive this subtree,
+    # but materializing the corpus-shingle set (the operator's biggest
+    # intermediate) measured ~35% SLOWER than recomputing it (r12 A/B
+    # 1.41 → 1.87 s min) — recompute is two cheap scans; the checkpoint
+    # is a full write+read of O(corpus · n-grams) strings.
     sh = d.select(
         "doc_id",
         F.explode(
@@ -216,6 +221,8 @@ def pipeline_decontamination(spark, sf_dir):
         ).alias("shingle"),
     ).distinct()
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    # eval_sh is bounded by the held-out eval suite — ≪ corpus by
+    # construction (the decontamination premise) — so the hint stands.
     eval_sh = sh.filter(is_eval).select("shingle").distinct()
     hits = (
         sh.filter(~is_eval)
@@ -224,7 +231,9 @@ def pipeline_decontamination(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     train = docs.filter(F.col("doc_id") % EVAL_MOD != EVAL_REM)
-    joined = train.join(F.broadcast(hits), "doc_id", "left")
+    # No broadcast hint on hits: it is keyed by train doc_id — O(corpus)
+    # in the worst case (statistics pick a broadcast while it is small).
+    joined = train.join(hits, "doc_id", "left")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_train"),
         F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
