@@ -95,7 +95,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            # No broadcast hint: orders is a FACT table — O(rows) at scale
+            # (statistics pick a broadcast while it fits, a shuffle join
+            # beyond; forcing the hint would OOM the 100 TB edge build).
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -201,7 +204,10 @@ def _ensure_bucketed_edges(spark: SparkSession, sf_dir: str) -> str:
     e0 = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            # No broadcast hint: orders is a FACT table — O(rows) at scale
+            # (statistics pick a broadcast while it fits, a shuffle join
+            # beyond; forcing the hint would OOM the 100 TB edge build).
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(

@@ -982,7 +982,10 @@ def _khop_edges_view(spark, sf_dir: str) -> str:
     e0 = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            # No broadcast hint: orders is a FACT table — O(rows) at scale
+            # (statistics pick a broadcast while it fits, a shuffle join
+            # beyond; forcing the hint would OOM the 100 TB edge build).
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
