@@ -285,7 +285,13 @@ def ann_ivf_flat(spark, sf_dir):
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    # Query vectors ONLY (bounded by construction): cand.query_id comes
+    # from the probe set (vec_id < the query count), so pre-filtering the
+    # broadcast side changes nothing — broadcasting the unfiltered
+    # projection shipped the WHOLE embeddings table (O(corpus) at scale).
+    q_emb = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
     scored = (
         cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .join(F.broadcast(q_emb), "query_id")
@@ -500,7 +506,13 @@ def ann_ivf_kmeans(spark, sf_dir):
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    # Query vectors ONLY (bounded by construction): cand.query_id comes
+    # from the probe set (vec_id < the query count), so pre-filtering the
+    # broadcast side changes nothing — broadcasting the unfiltered
+    # projection shipped the WHOLE embeddings table (O(corpus) at scale).
+    q_emb = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
     scored = (
         cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .join(F.broadcast(q_emb), "query_id")
@@ -564,7 +576,13 @@ def ann_ivf_kmeans_mllib(spark, sf_dir: str, k: int = TOP_K, n_queries: int = N_
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    q_emb = embs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    # Query vectors ONLY (bounded by construction): cand.query_id comes
+    # from the probe set (vec_id < the query count), so pre-filtering the
+    # broadcast side changes nothing — broadcasting the unfiltered
+    # projection shipped the WHOLE embeddings table (O(corpus) at scale).
+    q_emb = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
     scored = (
         cand.join(embs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .join(F.broadcast(q_emb), "query_id")
