@@ -535,9 +535,10 @@ def pipeline_dsir_importance(spark, sf_dir):
     add-1 smoothing, carried as exact DECIMAL so partial sums commute;
     the top 20% per source by weight (ties -> lower doc_id) is selected.
 
-    Scale shape (100 TB): two linear token scans (bucket counts are
-    DSIR_BUCKETS rows — a broadcast), one (doc, bucket) agg that is
-    pre-combined map-side, and a per-source quota window — the same
+    Scale shape (100 TB): ONE linear token scan into a (doc, bucket)
+    aggregate that is pre-combined map-side and materialized once; the
+    bucket counts (DSIR_BUCKETS rows — a broadcast) and the global
+    totals derive from it, and a per-source quota window — the same
     bounded-partition window discipline as pipeline_domain_mix.  No
     global sort; no vector or model state.  Reference has no counterpart
     (CDC client, SURVEY §0)."""
@@ -558,10 +559,24 @@ def pipeline_dsir_importance(spark, sf_dir):
         ).alias("bucket"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
     )
-    bc = tok.groupBy("bucket").agg(
-        F.sum("is_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    # ONE corpus tokenize pass: is_t is constant per doc, so the
+    # (doc, bucket) count table can carry it, and the bucket counts
+    # (c_t = Σ n·is_t, c_r = Σ n — identical integers to the token-level
+    # sums) and the global totals both derive from the checkpointed
+    # aggregate instead of re-running the explode subtree three times
+    # (r12 plan sweep).  db2 is O(docs × buckets-per-doc) ≤ docs×256 —
+    # far below the token stream it replaces.
+    db2 = (
+        tok.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("is_t").alias("is_t"))
+        .localCheckpoint(eager=True)
     )
-    tot = tok.agg(F.sum("is_t").alias("n_t"), F.count(F.lit(1)).alias("n_r"))
+    bc = db2.groupBy("bucket").agg(
+        F.sum(F.col("n") * F.col("is_t")).alias("c_t"), F.sum("n").alias("c_r")
+    )
+    tot = db2.agg(
+        F.sum(F.col("n") * F.col("is_t")).alias("n_t"), F.sum("n").alias("n_r")
+    )
     lr = bc.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
@@ -572,7 +587,7 @@ def pipeline_dsir_importance(spark, sf_dir):
         .cast("decimal(18,6)")
         .alias("lr"),
     )
-    db = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    db = db2.select("doc_id", "bucket", "n")
     wt = (
         docs.select("doc_id", "source")
         .join(db, "doc_id", "left")

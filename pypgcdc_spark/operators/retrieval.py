@@ -91,9 +91,14 @@ def text_unigram_logprob(spark, sf_dir):
     groupBy(doc_id).  Total: two shuffles over the token stream + one
     broadcast — no Python, no driver loop.  At 100 TB the vocab table is
     the only state that must fit an executor (cap it with a min-df filter
-    if tokenization is pathological)."""
+    if tokenization is pathological).  The vocab materializes once
+    (eager localCheckpoint — vocab-sized, tiny): without it the
+    `n_total` scalar re-ran the whole tokenize+count subtree as a third
+    full corpus pass (r12 plan sweep: 3 Generate nodes → 2)."""
     tok = _tokens(spark, sf_dir)
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
     n_total = vocab.agg(F.sum("c").alias("n"))
     lp_term = F.round(
         F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
@@ -152,24 +157,46 @@ def text_unigram_logprob(spark, sf_dir):
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval over the corpus for a fixed query-term set.
 
-    Plan: the token stream is filtered to query terms BEFORE any shuffle
-    (predicate on the exploded value — the stream shrinks from |corpus|
-    to |postings of 3 terms|), then one groupBy(doc_id, t) builds term
-    frequencies; document length and global stats are one map-side-
-    partial agg each; df/idf (|Q| rows) and the (n_docs, avgdl) scalar
-    broadcast to the scoring join.  Top-k goes through
-    TakeOrderedAndProject — no global sort.  At 100 TB the only full-
-    corpus pass is the doclen aggregation, reusable across queries."""
+    Plan: ONE corpus tokenize pass.  A single conditional aggregation
+    per doc_id produces the document length AND the per-query-term
+    frequencies together (the query set is a compile-time constant, so
+    f(term) is a `sum(when(t = term, 1))` column each); the doc-level
+    result — O(n_docs) narrow rows, ≪ corpus — materializes once
+    (eager localCheckpoint) and every downstream table derives from it:
+    global stats (one tiny agg), the tf postings (an in-row unpivot +
+    f > 0 filter — identical row set to the old token-filtered groupBy),
+    df/idf (|Q| rows).  The old shape re-ran the tokenize+explode
+    subtree FOUR times (doclen, stats, tf, df each re-derived it —
+    caught by the r12 plan sweep); dl riding the unpivot also deletes
+    the scoring join against doclen.  Top-k goes through
+    TakeOrderedAndProject — no global sort."""
     tok = _tokens(spark, sf_dir)
-    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = doclen.agg(
+    perdoc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == q, 1).otherwise(0)).cast("long").alias(f"f{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        tok.filter(F.col("t").isin(*BM25_QUERY))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("f"))
+        perdoc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(q).alias("t"), F.col(f"f{i}").alias("f"))
+                        for i, q in enumerate(BM25_QUERY)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .filter(F.col("x.f") > 0)
+        .select("doc_id", "dl", F.col("x.t").alias("t"), F.col("x.f").alias("f"))
     )
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -188,7 +215,6 @@ def bm25_search(spark, sf_dir):
     ).cast("decimal(18,6)")
     scored = (
         tf.join(F.broadcast(df), "t")
-        .join(doclen, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
@@ -375,7 +401,16 @@ def text_bigram_logprob(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # The bigram-count table materializes once (eager localCheckpoint —
+    # O(bigram vocab), ≪ the stream): it feeds BOTH the context rollup
+    # and the count side of the scoring join, and without the checkpoint
+    # each consumer re-ran the zip+explode+groupBy subtree as its own
+    # full corpus pass (r12 plan sweep: 3 Generate nodes → 2, the
+    # scoring stream + one model-build pass — the structural floor for
+    # train-then-score).
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
     ctx = bc.groupBy("w1").agg(F.sum("c").alias("n"))
     # Attach the context total to the SMALL bigram-count table first, so
     # the O(tokens) bigram stream is joined (and shuffled) exactly once —

@@ -256,10 +256,22 @@ def sketch_count_min(spark, sf_dir):
         F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
 
+    # ONE corpus tokenize pass: the exact term-frequency table (vocab-
+    # sized) materializes eagerly and EVERYTHING derives from it — the
+    # sketch cells are sum(exact_n) over terms hashing to a cell
+    # (identical integers to counting token instances directly), and
+    # the md5+4-window explode now runs per VOCAB row, not per token.
+    # The old shape re-ran the tokenize subtree twice (cells + exact;
+    # r12 plan sweep) and hashed every token instance.
+    exact = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
     hashed = (
-        tokens.withColumn("h", _md5(F.col("term"), "cm:"))  # ONE md5 per token
+        exact.withColumn("h", _md5(F.col("term"), "cm:"))  # ONE md5 per term
         .select(
-            "term",
+            "exact_n",
             F.explode(
                 F.array(
                     *[
@@ -272,11 +284,10 @@ def sketch_count_min(spark, sf_dir):
                 )
             ).alias("rb"),
         )
-        .select("term", "rb.i", "rb.bucket")
+        .select("exact_n", "rb.i", "rb.bucket")
     )
-    cells = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    cells = hashed.groupBy("i", "bucket").agg(F.sum("exact_n").alias("cell_n"))
 
-    exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     top8 = exact.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(8)
 
     probes = top8.select(
@@ -356,9 +367,15 @@ def sketch_kmv_distinct(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = load(spark, sf_dir, "documents")
-    terms = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    ).distinct()
+    # The distinct (lang, term) vocabulary — the one full tokenize +
+    # distinct pass — materializes eagerly; the hash ranking AND the
+    # exact count both derive from it (the old shape re-ran the
+    # tokenize+distinct subtree per consumer; r12 plan sweep).
+    terms = (
+        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hashes = terms.select(
         "lang",
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("hv"),
@@ -470,9 +487,15 @@ def sketch_kmv_intersection(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = load(spark, sf_dir, "documents")
-    terms = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    ).distinct()
+    # One tokenize+distinct pass, materialized eagerly: the sketch build,
+    # the English vocabulary, and the exact-overlap join all read the
+    # checkpointed (lang, term) table instead of re-running the explode
+    # subtree three times (r12 plan sweep).
+    terms = (
+        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hashes = terms.select(
         "lang",
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("hv"),

@@ -734,3 +734,36 @@ def test_state_prune_pushes_static_partition_filter(spark, tmp_path):
     assert "bucket" in m.group(1) and ("IN (1,3)" in m.group(1).replace(" ", "") or "in(1,3" in m.group(1).replace(" ", "").lower()), m.group(1)
     # and the pruned read returns exactly the touched buckets
     assert df.select("bucket").distinct().count() == 2
+
+
+def test_tokenize_pass_runs_once_across_lm_sketch_family(spark, sf_dir):
+    """r12 §16 pin: the corpus tokenize+explode subtree must execute
+    exactly once per operator.  The (vocab/doc-level) aggregate each
+    operator derives everything from is eagerly checkpointed, so the
+    FINAL plan may contain at most the single scoring-stream explode —
+    never a re-run of the tokenize pass per consumer (the plan-sweep
+    defect this round fixed: bm25 ran it 4x, unigram/bigram/kmv/dsir
+    3x/3x/2-3x/3x)."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    budget = {
+        "bm25_search": 0,             # all consumers read the checkpoint
+        "sketch_kmv_distinct": 0,
+        "sketch_kmv_intersection": 0,
+        "pipeline_dsir_importance": 0,
+        "text_unigram_logprob": 1,    # the scoring stream itself
+        "text_bigram_logprob": 0,     # bigram zip-explode, counted below
+    }
+    for name, allowed in budget.items():
+        txt = plan_text(REGISTRY[name].fn(spark, sf_dir))
+        n = txt.count("explode(split(lower")
+        # formatted mode prints each operator twice (tree + detail), so
+        # one allowed subtree = at most 2 textual occurrences.
+        assert n <= 2 * allowed, (
+            f"{name}: tokenize explode appears {n}x in the final plan "
+            f"(budget {allowed} subtree)"
+        )
+    # bigram's stream is a zip_with explode, not split(lower(...)):
+    txt = plan_text(REGISTRY["text_bigram_logprob"].fn(spark, sf_dir))
+    n = txt.count("explode(zip_with")
+    assert n <= 2, f"bigram stream explode re-ran: {n} occurrences"
