@@ -1014,11 +1014,19 @@ _KHOP_SPARK_SQL = f"""
       FROM reach r JOIN {{edges_view}} e ON r.node = e.src
       WHERE r.depth < {KHOP_DEPTH}
     )
+    -- reach is referenced ONCE: the first-seen depth attaches as a
+    -- per-node window minimum instead of a self-join of two reach
+    -- subqueries — Spark plans one UnionLoop per reference, so the
+    -- old first_seen ⋈ walks shape executed the ENTIRE recursion
+    -- TWICE (two UnionLoop nodes, r12 plan audit).  Identical output:
+    -- rows at their node's minimum depth, counted per depth.
     SELECT depth,
            CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
            CAST(COUNT(*) AS BIGINT) AS n_walks
-    FROM (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node) first_seen
-    JOIN (SELECT node, depth FROM reach) walks USING (node, depth)
+    FROM (SELECT node, depth,
+                 MIN(depth) OVER (PARTITION BY node) AS first_depth
+          FROM reach)
+    WHERE depth = first_depth
     GROUP BY depth
 """
 

@@ -767,3 +767,14 @@ def test_tokenize_pass_runs_once_across_lm_sketch_family(spark, sf_dir):
     txt = plan_text(REGISTRY["text_bigram_logprob"].fn(spark, sf_dir))
     n = txt.count("explode(zip_with")
     assert n <= 2, f"bigram stream explode re-ran: {n} occurrences"
+
+
+def test_khop_recursion_executes_once(spark, sf_dir):
+    """r12 pin: the recursive CTE must be referenced once — Spark plans
+    one UnionLoop per reference, and the old first_seen ⋈ walks shape
+    ran the ENTIRE recursion twice (two UnionLoop nodes)."""
+    from pypgcdc_spark.plans.inspect import plan_text
+
+    df = REGISTRY["graph_khop_recursive_sql"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert txt.count("UnionLoop (") == 1, "recursion must execute exactly once"
