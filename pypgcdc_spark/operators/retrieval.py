@@ -162,15 +162,18 @@ def bm25_search(spark, sf_dir):
     frequencies together (the query set is a compile-time constant, so
     f(term) is a `sum(when(t = term, 1))` column each); the doc-level
     result — O(n_docs) narrow rows, ≪ corpus — materializes once
-    (eager localCheckpoint) and every downstream table derives from it:
-    global stats (one tiny agg), the tf postings (an in-row unpivot +
-    f > 0 filter — identical row set to the old token-filtered groupBy),
-    df/idf (|Q| rows).  The old shape re-ran the tokenize+explode
+    (eager localCheckpoint).  The old shape re-ran the tokenize+explode
     subtree FOUR times (doclen, stats, tf, df each re-derived it —
-    caught by the r12 plan sweep); dl riding the unpivot also deletes
-    the scoring join against doclen.  Top-k goes through
-    TakeOrderedAndProject — no global sort."""
+    caught by the r12 plan sweep).  The model state is FIVE scalars
+    (n_docs, avgdl, df per query term): one bounded metadata collect —
+    the same class as k-means centroids or LSH seeds — inlines them as
+    literals, so scoring is a join-free in-row expression over the
+    checkpointed doc table and the final plan is scan → filter →
+    project → TakeOrderedAndProject (no global sort, no broadcast, no
+    shuffle; the old per-term unpivot + df/stats broadcast joins cost
+    two broadcast builds and a re-aggregation per run)."""
     tok = _tokens(spark, sf_dir)
+    nq = len(BM25_QUERY)
     perdoc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
@@ -178,47 +181,46 @@ def bm25_search(spark, sf_dir):
             for i, q in enumerate(BM25_QUERY)
         ],
     ).localCheckpoint(eager=True)
-    stats = perdoc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    _df = [F.sum(F.when(F.col(f"f{i}") > 0, 1).otherwise(0)) for i in range(nq)]
+    g = perdoc.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        # Lucene's always-positive idf, computed INSIDE the aggregate so
+        # the log/divide arithmetic is Spark's own (a driver-side
+        # math.log could differ from the JVM's by an ulp and flip a
+        # 6-decimal rounding) — the scalars collected here are
+        # bit-identical to what the broadcast-joined column carried.
+        *[
+            F.log(
+                F.lit(1.0)
+                + (F.count(F.lit(1)) - _df[i] + F.lit(0.5)) / (_df[i] + F.lit(0.5))
+            ).alias(f"idf{i}")
+            for i in range(nq)
+        ],
+    ).first()
+    avgdl = g["avgdl"]
+    idf = [g[f"idf{i}"] for i in range(nq)]
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
     )
-    tf = (
-        perdoc.select(
-            "doc_id",
-            "dl",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(q).alias("t"), F.col(f"f{i}").alias("f"))
-                        for i, q in enumerate(BM25_QUERY)
-                    ]
-                )
-            ).alias("x"),
+
+    def term_score(i):
+        f = F.col(f"f{i}")
+        # Absent terms contribute exactly nothing (the old unpivot
+        # dropped their rows before the aggregate SUM); present terms
+        # round per term then sum as DECIMAL — addition is exact, so
+        # the expression-level sum equals the aggregate sum.
+        return F.coalesce(
+            F.when(f > 0, F.round(F.lit(idf[i]) * f / (f + norm), 6).cast("decimal(18,6)")),
+            F.lit(0).cast("decimal(18,6)"),
         )
-        .filter(F.col("x.f") > 0)
-        .select("doc_id", "dl", F.col("x.t").alias("t"), F.col("x.f").alias("f"))
-    )
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    term_score = F.round(
-        idf
-        * F.col("f")
-        / (
-            F.col("f")
-            + F.lit(BM25_K1)
-            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    scored = (
-        tf.join(F.broadcast(df), "t")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
-    )
+
+    score = term_score(0)
+    for i in range(1, nq):
+        score = score + term_score(i)
+    hit = F.col("f0") > 0
+    for i in range(1, nq):
+        hit = hit | (F.col(f"f{i}") > 0)
+    scored = perdoc.filter(hit).select("doc_id", score.alias("score"))
     return (
         scored.select("doc_id", F.round(F.col("score").cast("double"), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))

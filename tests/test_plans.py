@@ -303,14 +303,22 @@ def test_dedup_minhash_verify_broadcast_is_candidate_bounded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
 
 
-def test_bm25_broadcasts_stats_and_uses_topk(spark, sf_dir):
-    """BM25: the df/idf and corpus-stats sides must broadcast (|Q| rows +
-    one scalar row), and the final top-k must be TakeOrderedAndProject,
-    not a global sort."""
+def test_bm25_scoring_is_join_free_and_uses_topk(spark, sf_dir):
+    """BM25 (r12 shape): the model state is five collected scalars
+    inlined as literals, so the final scoring plan must be JOIN-FREE
+    (scan of the checkpointed doc table → filter → project) with the
+    top-k as TakeOrderedAndProject, not a global sort.  (Supersedes the
+    pre-r12 pin that asserted the df/stats broadcast joins — those
+    joins no longer exist, which is strictly stronger.)"""
+    from pypgcdc_spark.plans.inspect import plan_text, shuffle_count
+
     df = REGISTRY["bm25_search"].fn(spark, sf_dir)
-    assert has_broadcast_join(df)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in txt, f"scoring must be join-free, found {op}"
+    assert shuffle_count(df) == 0, "scoring must not shuffle the doc table"
 
 
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
