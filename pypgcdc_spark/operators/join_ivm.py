@@ -185,8 +185,6 @@ class JoinViewMaintainer:
     """
 
     AGG_SCHEMA = "priority STRING, n_lines LONG, total_cents LONG"
-    A_COLS = "orderkey LONG, custkey LONG, priority STRING, lsn LONG"
-    B_COLS = "orderkey LONG, b_n LONG, b_cents LONG"
     STATE_SCHEMA = (
         "tbl STRING, bucket INT, orderkey LONG, custkey LONG, "
         "priority STRING, lsn LONG, b_n LONG, b_cents LONG"
@@ -283,18 +281,6 @@ class JoinViewMaintainer:
         )
         self.rebucket_events.append((old_n, new_n))
 
-    def _read_part(self, tbl: str, cols: str, batch_buckets=None) -> DataFrame:
-        """One logical table out of the unified manifest-committed state,
-        bucket-pruned by partition-column filters from the batch's
-        collected bucket ids (bounded metadata; the manifest's
-        (tbl, bucket, _b) identity filter is itself all partition
-        columns, so only live directories are even listed)."""
-        flt = F.col("tbl") == tbl
-        if batch_buckets is not None:
-            flt = flt & F.col("bucket").isin([int(b) for b in batch_buckets])
-        df = self.state.read(self.STATE_SCHEMA, flt)
-        return df.select(*[c.split()[0] for c in cols.split(", ")])
-
     def _read_agg(self) -> DataFrame:
         return self.spark.createDataFrame(self._agg_rows, self.AGG_SCHEMA)
 
@@ -362,55 +348,46 @@ class JoinViewMaintainer:
             return
         if self.auto:
             self._churn.observe(batch_keys)
-        a_old = self._read_part("A", self.A_COLS, batch_buckets)
-        b_old = self._read_part("B", self.B_COLS, batch_buckets)
 
         # The whole per-key reconciliation is ONE aggregation, not a join
-        # tree: old A-state, the batch's A rows, old B-sums and the
-        # batch's B rows stack into one tall frame tagged by source, and
-        # a single groupBy(orderkey) — map-side partial aggregation, one
-        # shuffle — extracts per key the old A row (conditional max_by),
-        # the batch's NEWEST A row (max_by over lsn, which also subsumes
-        # the within-batch dedup), and both B partial sums.  The
-        # cross-batch LSN guard (hash chunking delivers keys out of
-        # global LSN order) is the `eff` flag below.
-        nul = F.lit(None)
-
-        def tagged(df, src, lsn, custkey, priority, n, cents):
-            return df.select(
+        # tree: old state and the batch stack into one tall frame tagged
+        # by source, and a single groupBy(orderkey) — map-side partial
+        # aggregation, one shuffle — extracts per key the old A row
+        # (conditional max_by), the batch's NEWEST A row (max_by over
+        # lsn, which also subsumes the within-batch dedup), and both B
+        # partial sums.  The cross-batch LSN guard (hash chunking
+        # delivers keys out of global LSN order) is the `eff` flag below.
+        #
+        # Both sides read ONCE (r12): old A-rows and B-sums live in the
+        # same unified dataset, so one bucket-pruned scan covers both tbl
+        # partitions (A rows carry NULL b_n/b_cents on disk and B rows
+        # NULL lsn/custkey/priority, so the straight projection below
+        # yields exactly the rows the per-tbl branches used to build);
+        # the batch parquet is likewise scanned once, with `when(tbl)`
+        # projections replacing the two filter branches that each re-read
+        # every micro-batch file.
+        old = self.state.read(
+            self.STATE_SCHEMA,
+            F.col("bucket").isin([int(b) for b in batch_buckets]),
+        )
+        is_a = F.col("tbl") == "A"
+        tall = old.select(
+            "orderkey",
+            F.concat(F.lit("O"), F.col("tbl")).alias("src"),
+            F.col("lsn").cast("long").alias("lsn"),
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("priority").cast("string").alias("priority"),
+            F.col("b_n").cast("long").alias("n"),
+            F.col("b_cents").cast("long").alias("cents"),
+        ).unionByName(
+            batch_df.filter(F.col("tbl").isin("A", "B")).select(
                 "orderkey",
-                F.lit(src).alias("src"),
-                lsn.cast("long").alias("lsn"),
-                custkey.cast("long").alias("custkey"),
-                priority.cast("string").alias("priority"),
-                n.cast("long").alias("n"),
-                cents.cast("long").alias("cents"),
-            )
-
-        tall = (
-            tagged(a_old, "OA", F.col("lsn"), F.col("custkey"), F.col("priority"), nul, nul)
-            .unionByName(
-                tagged(
-                    batch_df.filter(F.col("tbl") == "A"),
-                    "NA",
-                    F.col("lsn"),
-                    F.col("custkey"),
-                    F.col("priority"),
-                    nul,
-                    nul,
-                )
-            )
-            .unionByName(tagged(b_old, "OB", nul, nul, nul, F.col("b_n"), F.col("b_cents")))
-            .unionByName(
-                tagged(
-                    batch_df.filter(F.col("tbl") == "B"),
-                    "NB",
-                    nul,
-                    nul,
-                    nul,
-                    F.lit(1),
-                    F.col("cents"),
-                )
+                F.concat(F.lit("N"), F.col("tbl")).alias("src"),
+                F.when(is_a, F.col("lsn")).cast("long").alias("lsn"),
+                F.when(is_a, F.col("custkey")).cast("long").alias("custkey"),
+                F.when(is_a, F.col("priority")).cast("string").alias("priority"),
+                F.when(~is_a, F.lit(1)).cast("long").alias("n"),
+                F.when(~is_a, F.col("cents")).cast("long").alias("cents"),
             )
         )
         is_src = lambda s: F.when(F.col("src") == s, F.col("lsn"))  # noqa: E731
