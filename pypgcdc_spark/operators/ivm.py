@@ -174,6 +174,10 @@ class BucketedViewMaintainer:
         # — churn-sized layouts run to tens of thousands of buckets, but
         # the shuffle carries only the touched rows (~12% of state at the
         # default churn factor), not one partition per bucket.
+        # Deliberately NOT floored at defaultParallelism: A/B'd r12
+        # (paired, min-of-3) and the wider shuffle was 5-15% SLOWER across
+        # all three IVM gate rows — per-batch data is far too small to
+        # amortize the extra task scheduling.
         conf.set("spark.sql.shuffle.partitions", str(min(self.n_buckets, 64)))
         conf.set("spark.sql.join.preferSortMergeJoin", "false")
         # AQE off for the delta step: the shuffle width is already sized

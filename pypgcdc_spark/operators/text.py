@@ -591,15 +591,21 @@ def text_duplicate_spans(spark, sf_dir, max_span_df=None):
     exact-substring dedup (suffix-array ES-dedup approximated on n-gram
     boundaries; integer-exact {SPAN_FLAG_PCT}% flag).
 
-    Scale: one shuffle keyed by span text for document frequency, then a
-    SHUFFLE join of spans ⋈ df back on span text — the df side is
-    corpus-sized, so broadcasting it is not an option; AQE handles hot
-    span keys.  ``max_span_df`` bounds that join's skew tail: spans in
-    more than this many documents (boilerplate headers/footers) are
-    excluded from the metric entirely — numerator AND denominator — so a
-    single viral span cannot concentrate the reduce side.  Default
-    ``None`` = exact output (the registered/oracle-checked
-    configuration)."""
+    Scale: LINEAR plan — no self-join and no materialized span stream
+    (r12; the previous shape checkpointed the exploded spans and joined
+    them back against a corpus-sized df table).  One map-side-combining
+    groupBy(s, doc_id) compresses within-doc repeats, then document
+    frequency is a window ``count(*) over (partition by s)`` on the
+    compressed pairs — each span's pairs land in one reducer exactly as
+    the old df aggregation's final stage did, so skew exposure is
+    unchanged while the join (and its whole-stream shuffle) disappears.
+    ``max_span_df`` bounds the metric's skew tail: spans in more than
+    this many documents (boilerplate headers/footers) are excluded
+    entirely — numerator AND denominator — so a single viral span cannot
+    concentrate a reducer.  Default ``None`` = exact output (the
+    registered/oracle-checked configuration)."""
+    from pyspark.sql import Window
+
     (docs,) = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
@@ -613,20 +619,22 @@ def text_duplicate_spans(spark, sf_dir, max_span_df=None):
                 f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
             )
         ).alias("s"),
-    # Both consumers below (the df aggregation and the back-join) read
-    # the exploded span stream; materialize it once or the tokenize +
-    # explode subtree runs twice (measured r12: 2.26→1.76 s, identical).
-    ).localCheckpoint(eager=True)
-    df = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    )
+    pairs = spans.groupBy("s", "doc_id").agg(
+        F.any_value("source").alias("source"), F.count(F.lit(1)).alias("cnt")
+    )
+    # One row per (span, doc) ⇒ count over the span partition IS the
+    # distinct-document frequency.
+    pairs = pairs.withColumn(
+        "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
     if max_span_df is not None:
-        df = df.filter(F.col("n_docs_with") <= max_span_df)
-    per_doc = (
-        spans.join(df, "s")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_dup"),
-        )
+        pairs = pairs.filter(F.col("n_docs_with") <= max_span_df)
+    per_doc = pairs.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_spans"),
+        F.sum(F.when(F.col("n_docs_with") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "n_dup"
+        ),
     )
     flagged = F.col("n_dup") * 100 >= F.col("n_spans") * SPAN_FLAG_PCT
     return per_doc.groupBy("source").agg(
@@ -787,12 +795,19 @@ def text_dup_span_removal(spark, sf_dir):
     a span starting past prev_end+1 opens a new island), then per-source
     totals — affected docs, islands, removed words, exact removal ppm.
 
-    Scale shape: the df-side shuffle is the same keyed-by-span-text join
-    the detection op pins (AQE-skew-handled, df-cappable); the island
-    merge adds ONE window over each doc's dup spans — partitioned by
-    doc_id, never global.  The output is the byte-budget answer a
-    curation run needs: how much text does span-trimming actually
-    delete, per source."""
+    Scale shape: LINEAR plan — no self-join and no materialized span
+    stream (r12; the previous shape checkpointed the exploded positional
+    spans and semi-joined them against a duplicated-span set).  A span is
+    duplicated iff it occurs in ≥ 2 distinct documents ⇔
+    ``min(doc_id) ≠ max(doc_id)`` over its occurrences — two aggregates
+    of ONE window spec, so the whole duplicate test is a single
+    exchange-plus-sort on the span text (each span's occurrences land in
+    one reducer exactly as the old df aggregation's final stage did:
+    skew exposure unchanged, the join and its whole-stream shuffle
+    gone).  The island merge then adds ONE window over each doc's dup
+    spans — partitioned by doc_id, never global.  The output is the
+    byte-budget answer a curation run needs: how much text does
+    span-trimming actually delete, per source."""
     from pyspark.sql import Window
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -808,16 +823,14 @@ def text_dup_span_removal(spark, sf_dir):
                 f"i -> array_join(slice(w, i + 1, {SPAN_NGRAM}), ' '))"
             )
         ).alias("st", "s"),
-    ).withColumn("en", F.col("st") + (SPAN_NGRAM - 1)).localCheckpoint(
-        eager=True
-    )  # consumed by dupset AND the back-join — materialize the explode once
-    dupset = (
-        spans.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("s")
+    ).withColumn("en", F.col("st") + (SPAN_NGRAM - 1))
+    w_s = Window.partitionBy("s")
+    dup = (
+        spans.withColumn("mn", F.min("doc_id").over(w_s))
+        .withColumn("mx", F.max("doc_id").over(w_s))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "source", "st", "en")
     )
-    dup = spans.join(dupset, "s").select("doc_id", "source", "st", "en")
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("st")
@@ -841,7 +854,17 @@ def text_dup_span_removal(spark, sf_dir):
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("island_words").alias("removed_words"),
     )
-    lens = d.select("doc_id", F.size("w").alias("doc_words"))
+    # Per-doc word count WITHOUT a second tokenize of the corpus:
+    # size(split(text, ' ')) = spaces + 1 exactly (split keeps empty
+    # tokens, lower() preserves length), so byte-level length arithmetic
+    # replaces the split+lower re-run.  The >= SPAN_NGRAM filter is
+    # subsumed by the inner join (every per_doc entry has a span).
+    lens = docs.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.translate("text", " ", "")) + 1
+        ).alias("doc_words"),
+    )
     return (
         per_doc.join(lens, "doc_id")
         .groupBy("source")
