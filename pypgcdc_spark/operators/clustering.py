@@ -89,7 +89,11 @@ def _assign(vectors, cents):
 def _update(assigned):
     """New centroids: per-dimension rounded mean of the scaled members.
     ONE groupBy(cid) with DIM column sums (map-side partial agg) — only
-    k×DIM partial sums shuffle, never the vectors."""
+    k×DIM partial sums shuffle, never the vectors.
+
+    Kept as the JVM-arithmetic reference implementation: the training
+    loops call :func:`_train_update` (same integers, one map-only job);
+    ``tests/test_clustering_kernel.py`` pins the two equal."""
     sums = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}") for i in range(DIM)],
@@ -104,6 +108,77 @@ def _update(assigned):
         ).alias("cvec"),
     ).collect()
     return sorted((r.cid, list(r.cvec)) for r in rows)
+
+
+def _round_half_up(x: float) -> int:
+    """Exact replica of ``F.round(double)``: Spark rounds DoubleType via
+    ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``, i.e. half away from
+    zero decided on the shortest round-trip DECIMAL rendering of the
+    double.  Python's ``repr`` produces the same shortest round-trip
+    string as Java's ``Double.toString``, so quantizing that Decimal
+    with ROUND_HALF_UP reproduces the JVM result bit-for-bit (and the
+    DuckDB oracle's ``round()``, with which the JVM form already
+    hash-matches)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _train_update(vectors, cents):
+    """One Lloyd iteration as ONE map-only Spark job (no shuffle, no
+    per-iteration JVM aggregate): the same Arrow kernel that computes the
+    argmin assignment also folds the per-cluster partial sums inside the
+    batch loop, so only (partitions × k) rows of ``(cid, n, Σv)`` come
+    back — bounded metadata, the codebook convention.  The exact
+    fixed-point arithmetic is unchanged: int64 sums (numpy partials,
+    Python-int merge — both exact where the JVM long sum is), the same
+    long→double division, and HALF_UP rounding replicated bit-for-bit
+    (:func:`_round_half_up`).
+
+    Motivation (r12, guide §1.2/§2.4): ``_update(_assign(...))`` planned
+    a fresh 65-column HashAggregate every iteration — ~2 s of Catalyst +
+    codegen compile per call at ANY data size, dominating training walls
+    locally and pure driver latency at scale.  This shape plans one tiny
+    ``MapInPandas`` instead; returns exactly ``_update(_assign(...))``."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array([cvec for _, cvec in sorted(cents)], dtype=np.int64)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.int64)  # (n, DIM)
+            d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # ties -> first minimum == smallest cid
+            present = np.unique(a)
+            yield pd.DataFrame(
+                {
+                    "cid": present.astype("int32"),
+                    "n": [int((a == j).sum()) for j in present],
+                    "s": [
+                        mat[a == j].sum(axis=0, dtype=np.int64).tolist()
+                        for j in present
+                    ],
+                }
+            )
+
+    rows = (
+        vectors.select("v")  # guide §4.1: ship only the column the kernel reads
+        .mapInPandas(partials, "cid INT, n LONG, s ARRAY<BIGINT>")
+        .collect()
+    )
+    acc: dict = {}
+    for r in rows:
+        n, s = acc.setdefault(r.cid, (0, [0] * len(r.s)))
+        acc[r.cid] = (n + r.n, [a + b for a, b in zip(s, r.s)])
+    # float(x) first: the JVM divides cast(sum AS double) by n, so the
+    # long→double conversion must happen BEFORE the division here too.
+    return [
+        (cid, [_round_half_up(float(x) / float(n)) for x in s])
+        for cid, (n, s) in sorted(acc.items())
+    ]
 
 
 # DuckDB fragments shared by the unrolled oracle iterations.
@@ -174,10 +249,10 @@ def _final_assignment(vectors):
         for cid, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
     ]
     for _ in range(ITERS):
-        assigned = _assign(vectors, cents)
-        # ONE job per iteration: map-side assignment + k-row partial-agg
-        # shuffle, k×DIM ints back to the driver as the next literals.
-        cents = _update(assigned)
+        # ONE map-only job per iteration: the Arrow kernel assigns AND
+        # folds the k×DIM partial sums in the same pass (bounded collect,
+        # exact arithmetic — see _train_update).
+        cents = _train_update(vectors, cents)
     return _assign(vectors, cents)
 
 

@@ -361,7 +361,7 @@ def _ivf_trained_centroids(spark, emb):
     the exact kernel of ``operators/clustering.py`` so the DuckDB oracle
     can replay the training bit-for-bit.  Returns the scaled-vector frame
     and the trained centroid literals (bounded k×DIM metadata)."""
-    from pypgcdc_spark.operators.clustering import _assign, _scaled, _update
+    from pypgcdc_spark.operators.clustering import _scaled, _train_update
 
     vectors = emb.select(
         "vec_id", _scaled(F.col("embedding")).alias("v"), "label"
@@ -371,7 +371,9 @@ def _ivf_trained_centroids(spark, emb):
         (cid, list(r.v)) for cid, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
     ]
     for _ in range(IVF_ITERS):
-        cents = _update(_assign(vectors, cents))
+        # ONE map-only job per iteration (assignment + partial sums in
+        # the same Arrow kernel; exact arithmetic — see _train_update).
+        cents = _train_update(vectors, cents)
     return vectors, cents
 
 
