@@ -111,10 +111,22 @@ def q15_top_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(dec("l_extendedprice") * disc_factor).alias("total"))
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("mx", F.max("total").over(w)).filter(
-        F.col("total") == F.col("mx")
+    # Scalar-subquery max WITHOUT a global window: Window.partitionBy()
+    # moved every per-supplier row to ONE reducer (O(suppliers) in a
+    # single partition at scale — guide §2.4's window warning, and the
+    # bench's own WindowExec single-partition warning).  Instead the
+    # revenue view materializes once (it feeds both the max and the
+    # filter — no second lineitem pass) and the exact max rides the
+    # checkpoint job itself via observe(), so the filter compares
+    # against a broadcast-free literal: one pass, no re-aggregation,
+    # no single-partition exchange.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    revenue = revenue.observe(obs, F.max("total").alias("mx")).localCheckpoint(
+        eager=True
     )
+    top = revenue.filter(F.col("total") == F.lit(obs.get["mx"]))
     return (
         top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(

@@ -314,6 +314,12 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == RRF_DENSE_QUERY).select(
         F.col("embedding").alias("eq")
     )
+    # Top-k FIRST (TakeOrderedAndProject — never a global sort), THEN
+    # rank the bounded k rows: the previous shape ran the row_number
+    # window over the ENTIRE scored corpus, which moves every row to a
+    # single partition (the exact global-sort the docstring promises
+    # this operator avoids).  Ranks over the deterministic total order
+    # are identical either way.
     dense = (
         emb.filter(F.col("vec_id") != RRF_DENSE_QUERY)
         .crossJoin(F.broadcast(q))
@@ -321,11 +327,12 @@ def retrieval_hybrid_rrf(spark, sf_dir):
             F.col("vec_id").alias("doc_id"),
             F.round(_cosine(F.col("eq"), F.col("embedding")), 4).alias("cosine"),
         )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
         .withColumn(
             "dense_rank",
             F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
         )
-        .filter(F.col("dense_rank") <= RRF_TOPK)
         .select("doc_id", "dense_rank")
     )
     s = sparse.withColumnRenamed("doc_id", "s_doc")
