@@ -343,19 +343,18 @@ def main():
             continue
         first_run[name] = round(time.perf_counter() - t0, 3)
         _gc()
-        # Steady-state wall = min over repeat passes (2 for the long
-        # tail, 3 for the headline suite): a transient host-load spike
-        # inflates ONE pass, not the min — the other half of the
-        # self-adjudication story.  Streaming/foreachBatch rows get the
-        # min-of-2 treatment too (VERDICT r11 wrong #2): their
-        # micro-batch scheduling amplifies host jitter far more than the
-        # batch rows, and single-pass sums made value_new_ops swing
-        # 26->46s across otherwise-comparable runs.
-        reps = (
-            2
-            if name in HEADLINE or name.startswith(("stream_", "cdc_"))
-            else 1
-        )
+        # Steady-state wall = min over repeat passes: a transient
+        # host-load spike inflates ONE pass, not the min — the other
+        # half of the self-adjudication story.  r11 gave the min-of-2
+        # treatment to the streaming rows (VERDICT r11 wrong #2: their
+        # single-pass sums swung value_new_ops 26->46s); r12 extends it
+        # to EVERY benched row after the same failure mode showed up in
+        # the batch tail (ann_ivf_kmeans recorded 8.0s and 14.1s in two
+        # otherwise-comparable runs at canary >=0.83 — single-pass
+        # timings, not code).  Measurement-methodology change, recorded
+        # in OPTIMIZATION_r12.md; it can only make reported walls less
+        # noisy, never faster than a real pass.
+        reps = 2
         best = None
         for _rep in range(reps):
             t1 = time.perf_counter()
@@ -433,6 +432,7 @@ def main():
             "os_cpu_count": os.cpu_count(),
             "headline_is_min_of": 2,
             "streaming_rows_min_of": 2,
+            "all_rows_min_of": 2,  # r12: the batch tail too (see reps above)
             "decode_canary_msg_per_sec": decode_bench.get("ours_msg_per_sec"),
             "parallel_canary": parallel_canary,
         },

@@ -91,34 +91,41 @@ def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
 
-    n_li = lineitem.count()
-    n_o = orders.count()
-    n_d = documents.count()
-    n_e = events.count()
+    # The ten counts are independent single-pass jobs; running them
+    # sequentially leaves the cluster idle through each job's tail
+    # (guide §2.6 — overlap independent jobs from a small thread pool so
+    # the next job's tasks back-fill freed executors).  Each count is
+    # still exactly the same job; only the driver-side sequencing
+    # changed.  Measured r12 (ab_one, min-of-4): 2.19 -> 1.26 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    counts = {
+        "n_li": lineitem.count,
+        "n_o": orders.count,
+        "n_d": documents.count,
+        "n_e": events.count,
+        "li_orphan": li_orphan.count,
+        "o_childless": o_childless.count,
+        "o_orphan_cust": o_orphan_cust.count,
+        "o_distinct": orders.select("o_orderkey").distinct().count,
+        "d_empty": documents.filter(
+            F.col("text").isNull() | (F.length("text") == 0)
+        ).count,
+        "e_nonpos": events.filter(
+            F.col("value").isNull() | (F.col("value") <= 0)
+        ).count,
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {k: pool.submit(fn) for k, fn in counts.items()}
+        c = {k: f.result() for k, f in futs.items()}
 
     rows = [
-        ("lineitem_orphan_orderkey", li_orphan.count(), n_li),
-        ("orders_childless", o_childless.count(), n_o),
-        ("orders_orphan_custkey", o_orphan_cust.count(), n_o),
-        (
-            "orders_pkey_duplicates",
-            n_o - orders.select("o_orderkey").distinct().count(),
-            n_o,
-        ),
-        (
-            "documents_empty_text",
-            documents.filter(
-                F.col("text").isNull() | (F.length("text") == 0)
-            ).count(),
-            n_d,
-        ),
-        (
-            "events_nonpositive_value",
-            events.filter(
-                F.col("value").isNull() | (F.col("value") <= 0)
-            ).count(),
-            n_e,
-        ),
+        ("lineitem_orphan_orderkey", c["li_orphan"], c["n_li"]),
+        ("orders_childless", c["o_childless"], c["n_o"]),
+        ("orders_orphan_custkey", c["o_orphan_cust"], c["n_o"]),
+        ("orders_pkey_duplicates", c["n_o"] - c["o_distinct"], c["n_o"]),
+        ("documents_empty_text", c["d_empty"], c["n_d"]),
+        ("events_nonpositive_value", c["e_nonpos"], c["n_e"]),
     ]
     out = spark.createDataFrame(
         [(n, int(v), int(t)) for n, v, t in rows],

@@ -373,6 +373,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Total work O(m^{{3/2}}).
     Reference parity: none (CDC client, SURVEY §0) — analytics surface.
     """
+    from pyspark.sql import Observation
+
+    obs_m = Observation()
     (li,) = load(spark, sf_dir, "lineitem")
     # Edge build: one shuffle (groupBy order), then JVM-side pair
     # expansion of each order's sorted distinct part set — u < v by
@@ -391,9 +394,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.u", "e.v")
         .distinct()
+        # |E| rides the checkpoint's own materializing job via observe()
+        # — the separate edges.count() action this replaces was one full
+        # driver job per query run (the §5 CC-convergence trick).
+        .observe(obs_m, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)  # feeds deg + orientation
     )
-    small = edges.count() <= TRI_BROADCAST_EDGES
+    small = obs_m.get["m"] <= TRI_BROADCAST_EDGES
     maybe_bcast = F.broadcast if small else (lambda df: df)
     deg = (
         edges.select(F.col("u").alias("node"))
