@@ -110,18 +110,21 @@ def _update(assigned):
     return sorted((r.cid, list(r.cvec)) for r in rows)
 
 
-def _round_half_up(x: float) -> int:
-    """Exact replica of ``F.round(double)``: Spark rounds DoubleType via
-    ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``, i.e. half away from
-    zero decided on the shortest round-trip DECIMAL rendering of the
-    double.  Python's ``repr`` produces the same shortest round-trip
-    string as Java's ``Double.toString``, so quantizing that Decimal
-    with ROUND_HALF_UP reproduces the JVM result bit-for-bit (and the
-    DuckDB oracle's ``round()``, with which the JVM form already
-    hash-matches)."""
+def _round_half_up(x: float, scale: int = 0):
+    """Exact replica of ``F.round(double[, scale])``: Spark rounds
+    DoubleType via ``BigDecimal.valueOf(x).setScale(scale, HALF_UP)``,
+    i.e. half away from zero decided on the shortest round-trip DECIMAL
+    rendering of the double.  Python's ``repr`` produces the same
+    shortest round-trip string as Java's ``Double.toString``, so
+    quantizing that Decimal with ROUND_HALF_UP reproduces the JVM result
+    bit-for-bit (and the DuckDB oracle's ``round()``, with which the JVM
+    form already hash-matches).  Returns int at scale 0 (the centroid
+    use), float otherwise (``F.round(c, 3)``'s double)."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+    q = Decimal(1).scaleb(-scale)
+    v = Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+    return float(v) if scale else int(v)
 
 
 def _train_update(vectors, cents):

@@ -386,52 +386,62 @@ _EMB_PLANES_SQL = f"""
 def _emb_band_signatures(spark, emb):
     """Per-(vector, band) sign signature from md5-derived hyperplanes —
     deterministic and engine-independent, so the DuckDB oracle computes the
-    exact same candidate set."""
-    planes = (
-        spark.range(EMB_BANDS)
-        .select(F.col("id").cast("int").alias("b"))
-        .crossJoin(spark.range(EMB_BITS).select(F.col("id").cast("int").alias("j")))
-        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "b",
-            "j",
-            "i",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.lit("e"),
-                                F.col("b").cast("string"),
-                                F.col("j").cast("string"),
-                                F.col("i").cast("string"),
-                            )
-                        ),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
+    exact same candidate set.
+
+    One map-only Arrow pass (r12): the previous shape posexploded every
+    vector (64 rows each), joined the broadcast plane table (×96
+    hyperplane rows per component), and ran TWO aggregations — ~12M
+    intermediate rows and 7 of the query's 9 warm seconds at sf0.1 for
+    what is a (n×64)·(64×96) matrix multiply.  The plane matrix is k×DIM
+    driver metadata (the codebook convention), closed over by a
+    mapInPandas kernel that computes all projections per batch and packs
+    the per-band sign bits directly.  Projection add-order changes
+    (numpy dot vs shuffle-order JVM sum) — irrelevant to the output by
+    the same argument the JVM↔DuckDB parity already rests on: only the
+    SIGN of each projection is consumed, and the md5-derived planes are
+    quantized so projections are never at the epsilon scale where
+    summation order could flip one (oracle re-verified at both SFs)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    plane = np.array(
+        [
+            [
+                int(hashlib.md5(f"e:{b}:{j}:{i}".encode()).hexdigest()[:4], 16)
                 / 32768.0
                 - 1
-            ).alias("c"),
-        )
-    )
-    comp = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .withColumn("i", F.col("pos") + 1)
-        .join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "b", "j")
-        .agg(F.sum(F.col("val").cast("double") * F.col("c")).alias("proj"))
-    )
-    return comp.groupBy("vec_id", "b").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(1L, j)")).otherwise(
-                F.lit(0).cast("long")
+                for i in range(1, 65)
+            ]
+            for b in range(EMB_BANDS)
+            for j in range(EMB_BITS)
+        ],
+        dtype=np.float64,
+    )  # (EMB_BANDS*EMB_BITS, 64) in (b, j) row order
+    bits = (1 << np.arange(EMB_BITS, dtype=np.int64))
+
+    def sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            proj = mat @ plane.T  # (n, bands*bits)
+            packed = (
+                (proj > 0).reshape(len(mat), EMB_BANDS, EMB_BITS) * bits
+            ).sum(axis=2)  # (n, bands): s = Σ 1<<j over positive projections
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), EMB_BANDS),
+                    "b": np.tile(
+                        np.arange(EMB_BANDS, dtype=np.int32), len(mat)
+                    ),
+                    "s": packed.ravel(),
+                }
             )
-        ).alias("s")
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sigs, "vec_id LONG, b INT, s LONG"
     )
 
 
@@ -489,13 +499,48 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
     embs_a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     embs_b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        cand.join(embs_a, "vec_a")
-        .join(embs_b, "vec_b")
-        .withColumn("c", vcosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("c") >= COSINE_NEARDUP)
-        .select("vec_a", "vec_b", F.round("c", 3).alias("cosine"))
-    )
+    paired = cand.join(embs_a, "vec_a").join(embs_b, "vec_b")
+
+    # Exact-cosine verify as an Arrow batch kernel (r12, guide §4.2): the
+    # fixture's deliberately weak threshold makes the candidate set ~78%
+    # of ALL pairs (1.56M at sf0.1), and the interpreted zip_with/
+    # aggregate cosine was 5.3 of the query's 7.3 warm seconds.  The
+    # kernel replays the JVM fold EXACTLY — products added in dimension
+    # order (one vectorized add per dimension = the aggregate()'s
+    # fold-left), same IEEE sqrt/divide — so every cosine is
+    # bit-identical to the zip_with form, and survivors round through
+    # the same BigDecimal-HALF_UP replica the k-means kernel uses.
+    import numpy as np
+    import pandas as pd
+
+    from pypgcdc_spark.operators.clustering import _round_half_up
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["ea"].tolist(), dtype=np.float64)
+            b = np.array(pdf["eb"].tolist(), dtype=np.float64)
+
+            def fold(mat):  # left-to-right adds == F.aggregate's fold
+                acc = mat[:, 0].copy()
+                for i in range(1, mat.shape[1]):
+                    acc += mat[:, i]
+                return acc
+
+            c = fold(a * b) / (np.sqrt(fold(a * a)) * np.sqrt(fold(b * b)))
+            keep = c >= COSINE_NEARDUP  # False for NaN, like the JVM filter
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cosine": [
+                        _round_half_up(x, 3) for x in c[keep]
+                    ],
+                }
+            )
+
+    return paired.mapInPandas(verify, "vec_a LONG, vec_b LONG, cosine DOUBLE")
 
 
 def dedup_embedding_cosine_exact(spark, sf_dir, max_vectors: int = 10_000):

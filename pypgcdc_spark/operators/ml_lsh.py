@@ -162,12 +162,18 @@ def ml_minhash_lsh_jaccard_pairs(spark, sf_dir):
             ],
         )
 
+    # Materialize ONCE (r12, the §16 defect class): the self-join below
+    # consumes `bands` on both sides, and without the checkpoint the
+    # whole HashingTF + 32-table MinHash transform + explode executed
+    # TWICE (the dumped plan showed the pipeline duplicated under each
+    # join side).  The checkpointed frame is the narrow (doc_id, band,
+    # sig) stream — O(docs × bands) rows, never the token payload.
     bands = hashed.select(
         "doc_id",
         F.posexplode(F.array(*[band_sig(b) for b in range(MINHASH_BANDS)])).alias(
             "band", "sig"
         ),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "sig"])

@@ -190,17 +190,52 @@ def approx_distinct_and_quantiles(spark, sf_dir):
             .cast("bigint")
         )
 
-    agg = li.groupBy("l_returnflag").agg(
+    # Three aggregations, not one (guide §2.3): the single agg mixed two
+    # DISTINCT columns (planning an Expand that tripled every lineitem
+    # row) with the rsd=1% HLL++ registers AND six TypedImperative
+    # percentile buffers, every buffer consuming the multiplied stream —
+    # measured 40.8 s warm at sf0.1.  Profiled per family (min-of-3,
+    # same host window): exact distincts alone 0.39 s, HLL++ pair alone
+    # 1.48 s, exact+approx distincts COMBINED 6.36 s (the wide HLL
+    # buffers under the distinct Expand are the superlinear term), exact
+    # percentile 1.03 s, approx percentile 0.42 s.  So: each family
+    # aggregates separately (the Expand now multiplies only the cheap
+    # count buffers), and each percentile family computes ONE buffer
+    # over an array of quantiles instead of three (identical values —
+    # the same algorithm evaluates the same rank list).  The joins are
+    # 3 rows (one per returnflag), broadcast.  Measured 40.8 -> 3.0 s
+    # warm; hash-identical at sf0.001 AND sf0.01.
+    exacts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    approxes = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("apx_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("apx_p95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("apx_p99"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+        ).alias("exact_p"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("apx_p"),
+    )
+    agg = (
+        exacts.join(F.broadcast(approxes), "l_returnflag")
+        .join(F.broadcast(pcts), "l_returnflag")
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        "approx_parts",
+        "approx_supps",
+        F.col("exact_p")[0].alias("exact_p50"),
+        F.col("exact_p")[1].alias("exact_p95"),
+        F.col("exact_p")[2].alias("exact_p99"),
+        F.col("apx_p")[0].alias("apx_p50"),
+        F.col("apx_p")[1].alias("apx_p95"),
+        F.col("apx_p")[2].alias("apx_p99"),
     )
     return agg.select(
         "l_returnflag",
