@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypgcdc_spark.functions.text_kernels import distinct_shingles, hash32
-from pypgcdc_spark.operators.dedup import MINHASH_PRIME, N_MINHASH, minhash_signatures_wide
+from pypgcdc_spark.operators.dedup import (
+    MINHASH_PRIME,
+    N_MINHASH,
+    minhash_signatures_from_text,
+)
 from pypgcdc_spark.operators.retrieval import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
 from pypgcdc_spark.operators.batch_guard import already_applied, mark_applied
 from pypgcdc_spark.operators.state_prune import prune_buckets, touched_buckets
@@ -100,8 +104,31 @@ class SignatureIndexMaintainer:
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if already_applied(self.work, batch_id, self.guard_id):
             return  # foreachBatch replay (at-least-once): already committed
-        spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        conf = self.spark.conf
+        # Same delta-step conf discipline as the IVM maintainers (r12):
+        # per-batch data is bucket-sized, so right-size the tiny shuffles
+        # to the bucket count, prefer hash joins (no sort), and skip
+        # AQE's per-stage materialize+replan barrier (measured ~0.7 s per
+        # 4-batch drain on the sibling BucketedViewMaintainer).
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.join.preferSortMergeJoin",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        conf.set("spark.sql.shuffle.partitions", str(min(self.n_buckets, 64)))
+        conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            self._apply(batch_df, batch_id)
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         # The touched-bucket collect doubles as the empty probe (the
@@ -111,11 +138,13 @@ class SignatureIndexMaintainer:
             mark_applied(self.work, batch_id, self.guard_id)
             return
 
-        w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
+        # Newest version per doc as ONE partial aggregation (max_by) —
+        # the window/row_number form this replaces sorted every batch row
+        # (r12, the ivm.py tall-agg discipline).
         latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            batch_df.groupBy("doc_id")
+            .agg(F.max_by(F.struct("lsn", "op", "text"), "lsn").alias("r"))
+            .select("doc_id", "r.lsn", "r.op", "r.text")
         )
         old = self._read_state(batch_buckets)
 
@@ -129,32 +158,22 @@ class SignatureIndexMaintainer:
             .localCheckpoint(eager=True)
         )
 
-        live = fresh.filter(F.col("op") != "D").select("doc_id", "lsn", "text")
-        sigs = minhash_signatures_wide(_shingles_of(live)).join(
-            live.select("doc_id", "lsn"), "doc_id"
-        )
-        # Docs whose new text yields no shingles (<3 words) still need a
-        # state row so their LSN is tracked; mh columns stay null.
-        no_sig = live.join(sigs.select("doc_id"), "doc_id", "left_anti").select(
-            "doc_id", "lsn"
-        )
-        tombs = fresh.filter(F.col("op") == "D").select("doc_id", "lsn")
-
-        parts = [
-            sigs.withColumn("deleted", F.lit(False)),
-            no_sig.withColumn("deleted", F.lit(False)),
-            tombs.withColumn("deleted", F.lit(True)),
-        ]
+        # ONE left join replaces the r11 shape's no_sig anti-join + 3-way
+        # union with per-part null padding: a fresh doc with shingles
+        # picks up its mh columns, a live doc with <3 words or a
+        # tombstone (null text → no shingles) gets nulls, and `deleted`
+        # is just op='D'.  Row-for-row identical state.
+        live = fresh.filter(F.col("op") != "D").select("doc_id", "text")
+        # Fused Arrow signature kernel (see minhash_signatures_from_text):
+        # identical integers to minhash_signatures_wide(_shingles_of(live)),
+        # ~6x cheaper per micro-batch than the interpreted shingle lambda.
+        sigs = minhash_signatures_from_text(live)
         mh_all = [f"mh{s}" for s in range(N_MINHASH)]
-        normalized = []
-        for p in parts:
-            for c in mh_all:
-                if c not in p.columns:
-                    p = p.withColumn(c, F.lit(None).cast("long"))
-            normalized.append(p.select("doc_id", "lsn", "deleted", *mh_all))
-        replacement = normalized[0]
-        for p in normalized[1:]:
-            replacement = replacement.unionByName(p)
+        replacement = (
+            fresh.select("doc_id", "lsn", (F.col("op") == "D").alias("deleted"))
+            .join(sigs, "doc_id", "left")
+            .select("doc_id", "lsn", "deleted", *mh_all)
+        )
 
         untouched_docs = old.join(
             fresh.select("doc_id"), "doc_id", "left_anti"
@@ -355,8 +374,29 @@ class PostingsIndexMaintainer:
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if already_applied(self.work, batch_id, self.guard_id):
             return  # foreachBatch replay (at-least-once): already committed
-        spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        conf = self.spark.conf
+        # Same delta-step conf discipline as the IVM maintainers (r12):
+        # bucket-sized shuffles, hash joins, AQE's micro-batch replan
+        # barrier off (saved/restored).
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.join.preferSortMergeJoin",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        conf.set("spark.sql.shuffle.partitions", str(min(self.n_buckets, 64)))
+        conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            self._apply(batch_df, batch_id)
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
 
         # The touched-bucket collect doubles as the empty probe (the
@@ -366,11 +406,13 @@ class PostingsIndexMaintainer:
             mark_applied(self.work, batch_id, self.guard_id)
             return
 
-        w = Window.partitionBy("doc_id").orderBy(F.col("lsn").desc())
+        # Newest version per doc as ONE partial aggregation (max_by) —
+        # the window/row_number form this replaces sorted every batch row
+        # (r12, the ivm.py tall-agg discipline).
         latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            batch_df.groupBy("doc_id")
+            .agg(F.max_by(F.struct("lsn", "op", "text"), "lsn").alias("r"))
+            .select("doc_id", "r.lsn", "r.op", "r.text")
         )
         old = self._read_state(batch_buckets)
         prior = old.groupBy("doc_id").agg(F.max("lsn").alias("old_lsn"))
@@ -381,53 +423,31 @@ class PostingsIndexMaintainer:
             .localCheckpoint(eager=True)
         )
 
-        live = fresh.filter(F.col("op") != "D").select("doc_id", "lsn", "text")
+        live = fresh.filter(F.col("op") != "D").select("doc_id", "text")
         toks = live.select(
             "doc_id",
-            "lsn",
             F.explode(F.split(F.lower("text"), " ")).alias("t"),
         )
-        tf = toks.groupBy("doc_id", "t").agg(
-            F.any_value("lsn").alias("lsn"), F.count(F.lit(1)).alias("f")
+        # ONE pass over the exploded token stream: dl = Σf per doc is the
+        # same integer as a second count over toks (r12; the old shape
+        # re-aggregated the explode).
+        tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("f"))
+        term_rows = tf.withColumn(
+            "dl", F.sum("f").over(Window.partitionBy("doc_id"))
         )
-        dl = toks.groupBy("doc_id").agg(
-            F.any_value("lsn").alias("lsn"), F.count(F.lit(1)).alias("dl")
-        )
-        postings = (
-            tf.join(dl.select("doc_id", "dl"), "doc_id")
-            .withColumn("deleted", F.lit(False))
+        # ONE left join replaces the no_tok anti-join + 3-way union: docs
+        # with terms pick up one row per term; a live doc with no tokens
+        # or a tombstone (null text → no rows in toks) gets the null
+        # marker row, and `deleted` is just op='D'.  Row-for-row
+        # identical state, LSN tracking included.
+        replacement = (
+            fresh.select("doc_id", "lsn", (F.col("op") == "D").alias("deleted"))
+            .join(term_rows, "doc_id", "left")
             .select("doc_id", "lsn", "deleted", "t", "f", "dl")
-        )
-        # A live doc whose tokenization yields NO rows (null text) would
-        # otherwise leave no state row, so its LSN would be untracked and
-        # a later stale update could pass the out-of-order guard.  Emit
-        # an LSN-carrying marker row (null term), the postings twin of
-        # SignatureIndexMaintainer's no_sig marker.
-        no_tok = (
-            live.select("doc_id", "lsn")
-            .join(toks.select("doc_id").distinct(), "doc_id", "left_anti")
-            .select(
-                "doc_id",
-                "lsn",
-                F.lit(False).alias("deleted"),
-                F.lit(None).cast("string").alias("t"),
-                F.lit(None).cast("long").alias("f"),
-                F.lit(None).cast("long").alias("dl"),
-            )
-        )
-        tombs = fresh.filter(F.col("op") == "D").select(
-            "doc_id",
-            "lsn",
-            F.lit(True).alias("deleted"),
-            F.lit(None).cast("string").alias("t"),
-            F.lit(None).cast("long").alias("f"),
-            F.lit(None).cast("long").alias("dl"),
         )
         untouched = old.join(fresh.select("doc_id"), "doc_id", "left_anti")
         new_state = (
-            untouched.unionByName(postings)
-            .unionByName(no_tok)
-            .unionByName(tombs)
+            untouched.unionByName(replacement)
             .withColumn("bucket", bucket)
             .localCheckpoint(eager=True)
         )

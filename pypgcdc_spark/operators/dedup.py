@@ -176,6 +176,64 @@ def minhash_signatures_wide(sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures_from_text(docs: DataFrame) -> DataFrame:
+    """``minhash_signatures_wide(_shingles_of(docs))`` fused into ONE
+    map-only Arrow pass over ``(doc_id, text)`` — integer-exact (md5-hex
+    parse, (2s+1)·h+s mod P in int64 with the same <2^38 bound), unit-
+    pinned equal to the expression form.  Motivation (r12): the shingle
+    builder is an interpreted higher-order ``transform`` lambda, measured
+    2.5 s per 2500-doc micro-batch in the CDC signature maintainer —
+    ~20 µs per shingle of pure expression-interpreter overhead vs 0.44 s
+    for the fused kernel.  Used on the per-batch maintainer path, where
+    the shingle stream has exactly one consumer; the corpus-side
+    ``_shingles`` stream keeps the expression form (it is shared by the
+    jaccard/containment family, which needs the shingle ROWS)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    seeds = np.arange(N_MINHASH, dtype=np.int64)
+    coef = 2 * seeds + 1
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_mh = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.lower().split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+                }
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                out_id.append(doc_id)
+                out_mh.append(
+                    ((coef[None, :] * h[:, None] + seeds[None, :]) % MINHASH_PRIME).min(
+                        axis=0
+                    )
+                )
+            if not out_id:
+                continue
+            m = np.array(out_mh)
+            d = {"doc_id": out_id}
+            for s in range(N_MINHASH):
+                d[f"mh{s}"] = m[:, s]
+            yield pd.DataFrame(d)
+
+    schema = "doc_id LONG, " + ", ".join(f"mh{s} LONG" for s in range(N_MINHASH))
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long layout (doc_id, seed, mh) — thin unpivot of the wide form."""
     wide = minhash_signatures_wide(_shingles(spark, sf_dir))

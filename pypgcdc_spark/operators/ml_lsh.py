@@ -104,19 +104,76 @@ def ml_brp_lsh_neighbor_pairs(spark, sf_dir):
     oracle-checked; recall vs the exact kernel is additionally pinned in
     tests."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
 
     df = _vector_df(spark, sf_dir)
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=16, seed=42
     ).fit(df)
-    pairs = model.approxSimilarityJoin(df, df, EUCLIDEAN_RADIUS, distCol="dist").filter(
-        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    # Same candidates as model.approxSimilarityJoin (any shared
+    # (table, bucket) — OR over the 16 MLlib hash tables), built by hand
+    # (r12): approxSimilarityJoin computed its exact-distance filter as
+    # a per-row UDF over ML Vector objects on the ~1.8M candidate pairs
+    # this fixture's geometry produces (random unit vectors × 0.5
+    # buckets collide ~91% of all pairs across 16 OR'd tables) —
+    # measured 17.4 s warm at sf0.1.  The hash family is still MLlib's
+    # (the row's interop point); the narrow (vec_id, table, bucket)
+    # stream checkpoints once and self-equi-joins, and the exact
+    # euclidean verify runs as the same fold-exact Arrow kernel shape as
+    # dedup_embedding_cosine (squared diffs added in dimension order ==
+    # MLlib sqdist's ascending loop == the oracle's list_sum; survivors
+    # round through the BigDecimal-HALF_UP replica).  Measured 5.9 s
+    # warm min-of-3 (−66%); hash-identical at sf0.001 AND sf0.01.
+    hashed = model.transform(df)
+    buckets = hashed.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    vector_to_array(F.col("hashes")[t])[0].cast("long")
+                    for t in range(16)
+                ]
+            )
+        ).alias("t", "h"),
+    ).localCheckpoint(eager=True)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["t", "h"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    return pairs.select(
-        F.col("datasetA.vec_id").alias("vec_a"),
-        F.col("datasetB.vec_id").alias("vec_b"),
-        F.round("dist", 2).alias("dist"),
-    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    paired = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    import numpy as np
+    import pandas as pd
+
+    from pypgcdc_spark.operators.clustering import _round_half_up
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["ea"].tolist(), dtype=np.float64)
+            b = np.array(pdf["eb"].tolist(), dtype=np.float64)
+            sq = (a - b) ** 2
+            acc = sq[:, 0].copy()
+            for i in range(1, sq.shape[1]):  # ascending == sqdist's loop
+                acc += sq[:, i]
+            dist = np.sqrt(acc)
+            keep = dist < EUCLIDEAN_RADIUS  # strict, as approxSimilarityJoin
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "dist": [_round_half_up(x, 2) for x in dist[keep]],
+                }
+            )
+
+    return paired.mapInPandas(verify, "vec_a LONG, vec_b LONG, dist DOUBLE")
 
 
 @query("ml_minhash_lsh_jaccard_pairs", oracle=_MINHASH_ORACLE)
