@@ -745,7 +745,11 @@ def dedup_rate_by_source(spark, sf_dir):
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        # No broadcast hint (r12, the §7 class): dup_docs is ∝ duplicates
+        # — usually ≪ corpus, but O(corpus) in the worst case (everything
+        # duplicated).  Statistics pick a broadcast while it fits and a
+        # shuffle join beyond.
+        docs.join(dup_docs, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -814,7 +818,10 @@ def dedup_canonical_selection(spark, sf_dir):
     wc = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-        .join(F.broadcast(q), "doc_id")
+        # No broadcast hint (r12, the §7 class): q is one row per
+        # CORPUS document — forcing it would OOM the 100 TB build.  The
+        # labels side (∝ dup docs) is the small side; statistics plan it.
+        .join(q, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
