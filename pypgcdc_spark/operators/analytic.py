@@ -40,7 +40,7 @@ def win_topk_per_group(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select(
@@ -453,7 +453,7 @@ def subq_above_avg(spark, sf_dir):
     return (
         orders.join(avg_per_cust, F.col("o_custkey") == F.col("a_custkey"))
         .filter(F.col("o_totalprice") > F.col("avg_price"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )

@@ -5,9 +5,12 @@ The reference implements none of these (it is a CDC client); our engine
 exposes them as first-class queries over the fixture star schema, designed
 scale-first:
 
-* dimension tables (region/nation/supplier/part/customer) are explicitly
-  ``broadcast()`` — at 100 TB the fact tables shuffle ~nothing for these
-  joins;
+* fixed-cardinality dimension tables (region: 5 rows, nation: 25 rows) and
+  tiny computed tables are explicitly ``broadcast()``; SF-scaling dimensions
+  (customer/part/supplier grow linearly with scale — multi-TB at 100 TB) are
+  joined WITHOUT a hint so statistics pick the strategy: at bench scale the
+  estimates choose the identical broadcast-hash join, at 100 TB they refuse
+  the broadcast instead of OOMing the driver;
 * aggregations are expressed so Catalyst plans partial (map-side) +
   final aggregation;
 * every filter is a plain column predicate → parquet pushdown
@@ -123,7 +126,7 @@ def q3_shipping_priority(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -186,7 +189,9 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5: 6-way join; all dims broadcast, one fact-fact shuffle."""
+    """TPC-H Q5: 6-way join; dims join hint-free (stats pick broadcast at
+    bench scale, refuse it for the SF-scaling ones at 100 TB), one
+    fact-fact shuffle."""
     cust, orders, li, supp, nat, reg = load(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
@@ -199,9 +204,9 @@ def q5_local_supplier_volume(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(cust),
+            cust,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -273,8 +278,8 @@ def q7_nation_volume(spark, sf_dir):
     return (
         li.filter(F.year("l_shipdate").isin(1995, 1996))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -308,7 +313,7 @@ def q10_returned_items(spark, sf_dir):
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -343,7 +348,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1995-12-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -382,7 +387,7 @@ def q18_large_volume_customer(spark, sf_dir):
         .agg(F.sum(dec("l_quantity")).alias("_qty"))
         .filter(F.col("_qty") > 212)
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),

@@ -38,9 +38,9 @@ def q9_profit(spark, sf_dir):
     )
     disc_factor = (F.lit(1) - dec("l_discount")).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(part.filter(F.col("p_name").like("%a%"))),
+            part.filter(F.col("p_name").like("%a%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -128,7 +128,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     top = revenue.filter(F.col("total") == F.lit(obs.get["mx"]))
     return (
-        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        top.join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -156,10 +156,8 @@ def q16_part_suppliers(spark, sf_dir):
     return (
         li.join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(
-                part.filter(
-                    (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17))
-                )
+            part.filter(
+                (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17))
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -193,7 +191,7 @@ def q17_small_quantity(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+            part.filter(F.col("p_brand") == "Brand#3"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
@@ -222,7 +220,7 @@ def q19_disjunctive(spark, sf_dir):
     (exercises CNF conversion / partial pushdown)."""
     li, part = load(spark, sf_dir, "lineitem", "part")
     disc_factor = (F.lit(1) - dec("l_discount")).cast("decimal(18,4)")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     bracket = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -296,7 +294,7 @@ def q21_sole_late(spark, sf_dir):
     )
     return (
         flags.filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("name"))
@@ -799,27 +797,28 @@ def q2_minimum_cost_supplier(spark, sf_dir):
     ps = li.groupBy("l_suppkey", "l_partkey").agg(
         F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_cents")
     )
-    esup = (
-        supp.join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+    # The region-filtered nation list (≤25 rows, fixed cardinality) is the
+    # only explicit broadcast; supplier grows with SF (~10 GB of EUROPE
+    # suppliers at 100 TB), so it joins hint-free — stats pick the same
+    # broadcast-hash join at bench scale and refuse it at 100 TB.
+    eur_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    offers = (
+        ps.join(
+            supp.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    offers = ps.join(
-        F.broadcast(esup), F.col("l_suppkey") == F.col("s_suppkey")
-    ).withColumn(
-        "min_cents", F.min("cost_cents").over(Window.partitionBy("l_partkey"))
+        .join(F.broadcast(eur_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn(
+            "min_cents", F.min("cost_cents").over(Window.partitionBy("l_partkey"))
+        )
     )
     return (
         offers.filter(F.col("cost_cents") == F.col("min_cents"))
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "SMALL")),
+            part.filter(F.col("p_type") == "SMALL"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(

@@ -760,8 +760,11 @@ def stream_static_enrich(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")  # one key-range chunk per batch
         .parquet(log_dir)
     )
+    # No broadcast hint: part grows with SF, and for a stream-static join a
+    # forced hint re-broadcasts the full dim every micro-batch regardless of
+    # size.  Stats pick broadcast at bench scale and refuse it at 100 TB.
     enriched = stream.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        part.select("p_partkey", "p_brand"),
         stream.l_partkey == F.col("p_partkey"),
     )
     agg = enriched.groupBy("p_brand").agg(
