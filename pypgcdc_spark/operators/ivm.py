@@ -261,31 +261,80 @@ class BucketedViewMaintainer:
             F.col("new.event_type").alias("new_type"),
             F.col("new.cents").alias("new_cents"),
             F.col("new.is_deleted").alias("new_deleted"),
-        ).localCheckpoint(eager=True)
+        )
+        # The per-type delta fold rides W's checkpoint job via observe()
+        # — one Spark job fewer per batch (VERDICT r12 next-round #4).
+        # observe() computes scalar aggregates only, so the fold is
+        # conditional sums over the event types KNOWN at plan time (the
+        # maintained aggregate's current rows); a counter of contributions
+        # outside that set guards the fast path — a batch introducing a
+        # new (or NULL) type falls back to the exact collect job below.
+        from pyspark.sql import Observation
 
-        # Retract/add delta fold (bounded collect: types × counters).
-        retract = w.filter(
-            F.col("eff") & F.col("lsn").isNotNull() & ~F.col("is_deleted")
-        ).select(
-            "event_type",
-            F.lit(-1).cast("long").alias("n_keys"),
-            (-F.col("cents")).alias("total_cents"),
-        )
-        add = w.filter(F.col("eff") & ~F.col("new_deleted")).select(
-            F.col("new_type").alias("event_type"),
-            F.lit(1).cast("long").alias("n_keys"),
-            F.col("new_cents").alias("total_cents"),
-        )
-        agg = (
-            self._read_agg()
-            .unionByName(retract)
-            .unionByName(add)
-            .groupBy("event_type")
-            .agg(
-                F.sum("n_keys").alias("n_keys"),
-                F.sum("total_cents").alias("total_cents"),
+        known = sorted({r[0] for r in self._agg_rows if r[0] is not None})
+        obs = Observation()
+        zero = F.lit(0).cast("long")
+        in_known = (lambda c: F.col(c).isin(known)) if known else (lambda c: F.lit(False))
+        ret_cond = F.col("eff") & F.col("lsn").isNotNull() & ~F.col("is_deleted")
+        add_cond = F.col("eff") & ~F.col("new_deleted")
+        metrics = [
+            F.sum(
+                F.when(ret_cond & (F.col("event_type").isNull()
+                                   | ~in_known("event_type")), 1)
+                .when(add_cond & (F.col("new_type").isNull()
+                                  | ~in_known("new_type")), 1)
+                .otherwise(0)
+            ).alias("unknown"),
+        ]
+        for i, t in enumerate(known):
+            r_t = ret_cond & (F.col("event_type") == t)
+            a_t = add_cond & (F.col("new_type") == t)
+            metrics.append(
+                F.sum(
+                    F.coalesce(F.when(r_t, F.lit(-1).cast("long")), zero)
+                    + F.coalesce(F.when(a_t, F.lit(1).cast("long")), zero)
+                ).alias(f"dk{i}")
             )
-        )
+            metrics.append(
+                F.sum(
+                    F.coalesce(F.when(r_t, -F.col("cents")), zero)
+                    + F.coalesce(F.when(a_t, F.col("new_cents")), zero)
+                ).alias(f"dc{i}")
+            )
+        w = w.observe(obs, *metrics).localCheckpoint(eager=True)
+        got = obs.get  # the eager checkpoint already ran the job
+        fold_fast = not got["unknown"]
+        if fold_fast:
+            by_t = {r[0]: (int(r[1]), int(r[2])) for r in self._agg_rows}
+            for i, t in enumerate(known):
+                n0, c0 = by_t.get(t, (0, 0))
+                by_t[t] = (n0 + int(got[f"dk{i}"] or 0), c0 + int(got[f"dc{i}"] or 0))
+            folded_rows = sorted((t, n, c) for t, (n, c) in by_t.items())
+
+        # Retract/add delta fold (bounded collect: types × counters) —
+        # only built when the observe fast path could not cover the batch.
+        agg = None
+        if not fold_fast:
+            retract = w.filter(ret_cond).select(
+                "event_type",
+                F.lit(-1).cast("long").alias("n_keys"),
+                (-F.col("cents")).alias("total_cents"),
+            )
+            add = w.filter(add_cond).select(
+                F.col("new_type").alias("event_type"),
+                F.lit(1).cast("long").alias("n_keys"),
+                F.col("new_cents").alias("total_cents"),
+            )
+            agg = (
+                self._read_agg()
+                .unionByName(retract)
+                .unionByName(add)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_keys").alias("n_keys"),
+                    F.sum("total_cents").alias("total_cents"),
+                )
+            )
         # New contents of the TOUCHED buckets: applied after-images where
         # the guard passed (deletes stay as tombstones), old rows
         # otherwise — survivors ride through the same W.
@@ -318,13 +367,22 @@ class BucketedViewMaintainer:
         # 137.8s for a 2048-dir dynamic overwrite vs 10.8s with one file
         # per bucket dir (r12 dir-cost probe).  The extra shuffle moves
         # only the touched rows.
-        self._agg_rows = _concurrently(
-            lambda: agg.collect(),
+        write_state = (
             lambda: new_state.repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(self.key_path),
+            .parquet(self.key_path)
         )
+        if fold_fast:
+            # Fold already observed on W's checkpoint job: the only
+            # remaining Spark job this batch is the state write.
+            write_state()
+            self._agg_rows = [tuple(r) for r in folded_rows]
+        else:
+            self._agg_rows = [
+                (r.event_type, r.n_keys, r.total_cents)
+                for r in _concurrently(lambda: agg.collect(), write_state)
+            ]
         self._has_keys = os.path.isdir(self.key_path)
         if self.auto:
             from pypgcdc_spark.operators.relayout import save_layout

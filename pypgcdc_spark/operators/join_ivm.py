@@ -419,11 +419,65 @@ class JoinViewMaintainer:
             F.coalesce("b_cents", F.lit(0)).alias("b_c0"),
             F.coalesce("db_n", F.lit(0)).alias("dn"),
             F.coalesce("db_cents", F.lit(0)).alias("dc"),
-        ).localCheckpoint(eager=True)
+        )
+        # The per-priority delta fold rides W's checkpoint job itself via
+        # observe() — one Spark job fewer per batch (VERDICT r12 next-round
+        # #4; the q15/CC-convergence trick applied to the maintainer).
+        # observe() can only compute scalar aggregates, so the fold is
+        # expressed as conditional sums over the priorities KNOWN at plan
+        # time (the maintained aggregate's current rows); a counter of
+        # delta contributions outside that set (or with a NULL current
+        # priority) guards the fast path — when it fires (first batch, or
+        # a batch introducing a new priority) the fold falls back to the
+        # exact collect job below, so the observe path never has to guess.
+        from pyspark.sql import Observation
+
+        known = sorted({r[0] for r in self._agg_rows if r[0] is not None})
+        obs = Observation()
+        zero = F.lit(0).cast("long")
+        in_known = (lambda c: F.col(c).isin(known)) if known else (lambda c: F.lit(False))
+        retract_p = lambda p: F.col("eff") & (F.col("old_priority") == p)  # noqa: E731
+        add_p = lambda p: F.col("eff") & (F.col("cur_priority") == p)  # noqa: E731
+        badd_p = lambda p: (F.col("dn") > 0) & (F.col("cur_priority") == p)  # noqa: E731
+        metrics = [
+            F.sum(
+                F.when(F.col("eff") & F.col("old_priority").isNotNull()
+                       & ~in_known("old_priority"), 1)
+                .when(F.col("eff")
+                      & (F.col("cur_priority").isNull() | ~in_known("cur_priority")), 1)
+                .when((F.col("dn") > 0) & F.col("cur_priority").isNotNull()
+                      & ~in_known("cur_priority"), 1)
+                .otherwise(0)
+            ).alias("unknown"),
+        ]
+        for i, p in enumerate(known):
+            metrics.append(
+                F.sum(
+                    F.coalesce(F.when(retract_p(p), -F.col("b_n0")), zero)
+                    + F.coalesce(F.when(add_p(p), F.col("b_n0")), zero)
+                    + F.coalesce(F.when(badd_p(p), F.col("dn")), zero)
+                ).alias(f"dn{i}")
+            )
+            metrics.append(
+                F.sum(
+                    F.coalesce(F.when(retract_p(p), -F.col("b_c0")), zero)
+                    + F.coalesce(F.when(add_p(p), F.col("b_c0")), zero)
+                    + F.coalesce(F.when(badd_p(p), F.col("dc")), zero)
+                ).alias(f"dc{i}")
+            )
+        w = w.observe(obs, *metrics).localCheckpoint(eager=True)
         # W materializes exactly ONCE (a cache/persist would let the
         # union branches below race the first fill and recompute the
         # aggregation concurrently); the checkpoint also severs lineage
         # on the state path, so the overwrite below is hazard-free.
+        got = obs.get  # checkpoint job already ran — no extra action
+        fold_fast = not got["unknown"]
+        if fold_fast:
+            by_p = {r[0]: (int(r[1]), int(r[2])) for r in self._agg_rows}
+            for i, p in enumerate(known):
+                n0, c0 = by_p.get(p, (0, 0))
+                by_p[p] = (n0 + int(got[f"dn{i}"] or 0), c0 + int(got[f"dc{i}"] or 0))
+            folded_rows = sorted((p, n, c) for p, (n, c) in by_p.items())
 
         a_new = w.filter(F.col("cur_priority").isNotNull()).select(
             "orderkey",
@@ -469,26 +523,28 @@ class JoinViewMaintainer:
                 ),
             ),
         )
-        deltas = (
-            w.select(F.explode(contrib).alias("c"))
-            .filter(F.col("c").isNotNull())
-            .select("c.priority", "c.d_n", "c.d_cents")
-            .groupBy("priority")
-            .agg(F.sum("d_n").alias("d_n"), F.sum("d_cents").alias("d_cents"))
-        )
-        agg_new = (
-            self._read_agg()
-            .join(deltas, "priority", "full_outer")
-            .select(
-                "priority",
-                (F.coalesce("n_lines", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
-                    "n_lines"
-                ),
-                (
-                    F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
-                ).alias("total_cents"),
+        agg_new = None
+        if not fold_fast:
+            deltas = (
+                w.select(F.explode(contrib).alias("c"))
+                .filter(F.col("c").isNotNull())
+                .select("c.priority", "c.d_n", "c.d_cents")
+                .groupBy("priority")
+                .agg(F.sum("d_n").alias("d_n"), F.sum("d_cents").alias("d_cents"))
             )
-        )
+            agg_new = (
+                self._read_agg()
+                .join(deltas, "priority", "full_outer")
+                .select(
+                    "priority",
+                    (F.coalesce("n_lines", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                        "n_lines"
+                    ),
+                    (
+                        F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+                    ).alias("total_cents"),
+                )
+            )
         # -- single commit: A-rows and B-sums (narrow projections of the
         # checkpointed W) union into one frame; ONE dynamic partition
         # overwrite replaces exactly the touched partitions.
@@ -514,27 +570,32 @@ class JoinViewMaintainer:
                 "b_cents",
             )
         )
-        # The delta fold (bounded collect: priorities × counters) and the
-        # data STAGING write both stream from checkpointed W blocks and
-        # depend on nothing of each other: run them as concurrent Spark
-        # jobs.  Staged data is invisible until the manifest swap below —
+        # Commit: staged data is invisible until the manifest swap below —
         # state rows, batch marker AND the new aggregate commit in ONE
         # atomic rename, so a crash anywhere in this function re-applies
         # the batch against the OLD state (no double-count window).
+        # Fast path (steady batches): the fold already rode W's checkpoint
+        # job, so the only remaining Spark job is the staging write.
+        # Fallback (new/NULL priority seen): the exact delta fold runs as a
+        # bounded collect concurrent with the write, as before.
         touched = [(t, b) for t in ("A", "B") for b in batch_buckets]
-        staged: list = []
-        rows = _concurrently(
-            lambda: agg_new.collect(),
-            lambda: staged.append(self.state.stage(unified, batch_id)),
-        )
+        if fold_fast:
+            rows = [tuple(r) for r in folded_rows]
+            staged_one = self.state.stage(unified, batch_id)
+        else:
+            staged: list = []
+            rows = _concurrently(
+                lambda: agg_new.collect(),
+                lambda: staged.append(self.state.stage(unified, batch_id)),
+            )
+            rows = [(r.priority, r.n_lines, r.total_cents) for r in rows]
+            staged_one = staged[0] if staged else None
         self.state.finalize(
-            staged[0] if staged else None,
+            staged_one,
             touched,
             batch_id,
             self.guard_id,
-            extra=self._extras(
-                [[r.priority, r.n_lines, r.total_cents] for r in rows]
-            ),
+            extra=self._extras([list(r) for r in rows]),
         )
         self._agg_rows = rows
         if self.auto:
