@@ -269,39 +269,58 @@ class BucketedViewMaintainer:
         # maintained aggregate's current rows); a counter of contributions
         # outside that set guards the fast path — a batch introducing a
         # new (or NULL) type falls back to the exact collect job below.
+        # CollectMetrics evaluates its aggregates INTERPRETED (no codegen):
+        # the per-row conditional logic lives in codegen'd projection
+        # columns and the metrics are plain sums of those, pruned again
+        # right after observe() so the checkpoint never materializes them.
+        # Driver-cost discipline: indicators/metrics build as SQL strings
+        # (one py4j call each, parsed JVM-side) — Column algebra cost
+        # ~0.5 s/batch of py4j + re-analysis (OPTIMIZATION_r13.md §4).
         from pyspark.sql import Observation
 
         known = sorted({r[0] for r in self._agg_rows if r[0] is not None})
         obs = Observation()
-        zero = F.lit(0).cast("long")
-        in_known = (lambda c: F.col(c).isin(known)) if known else (lambda c: F.lit(False))
-        ret_cond = F.col("eff") & F.col("lsn").isNotNull() & ~F.col("is_deleted")
-        add_cond = F.col("eff") & ~F.col("new_deleted")
-        metrics = [
-            F.sum(
-                F.when(ret_cond & (F.col("event_type").isNull()
-                                   | ~in_known("event_type")), 1)
-                .when(add_cond & (F.col("new_type").isNull()
-                                  | ~in_known("new_type")), 1)
-                .otherwise(0)
-            ).alias("unknown"),
+        core = [
+            "user_id", "eff", "lsn", "event_type", "cents", "is_deleted",
+            "new_lsn", "new_type", "new_cents", "new_deleted",
         ]
+        ret_sql = "eff AND lsn IS NOT NULL AND NOT is_deleted"
+        add_sql = "eff AND NOT new_deleted"
+        qt = lambda t: "'" + str(t).replace("'", "''") + "'"  # noqa: E731
+        if known:
+            known_sql = ", ".join(qt(t) for t in known)
+            unk = (
+                f"CASE WHEN ({ret_sql}) AND (event_type IS NULL "
+                f"OR event_type NOT IN ({known_sql})) THEN 1 "
+                f"WHEN ({add_sql}) AND (new_type IS NULL "
+                f"OR new_type NOT IN ({known_sql})) THEN 1 ELSE 0 END"
+            )
+        else:
+            unk = f"CASE WHEN ({ret_sql}) OR ({add_sql}) THEN 1 ELSE 0 END"
+        indicators = [F.expr(f"{unk} AS _unk")]
         for i, t in enumerate(known):
-            r_t = ret_cond & (F.col("event_type") == t)
-            a_t = add_cond & (F.col("new_type") == t)
-            metrics.append(
-                F.sum(
-                    F.coalesce(F.when(r_t, F.lit(-1).cast("long")), zero)
-                    + F.coalesce(F.when(a_t, F.lit(1).cast("long")), zero)
-                ).alias(f"dk{i}")
-            )
-            metrics.append(
-                F.sum(
-                    F.coalesce(F.when(r_t, -F.col("cents")), zero)
-                    + F.coalesce(F.when(a_t, F.col("new_cents")), zero)
-                ).alias(f"dc{i}")
-            )
-        w = w.observe(obs, *metrics).localCheckpoint(eager=True)
+            indicators.append(F.expr(
+                f"coalesce(CASE WHEN ({ret_sql}) AND event_type = {qt(t)} "
+                f"THEN CAST(-1 AS BIGINT) END, CAST(0 AS BIGINT))"
+                f" + coalesce(CASE WHEN ({add_sql}) AND new_type = {qt(t)} "
+                f"THEN CAST(1 AS BIGINT) END, CAST(0 AS BIGINT)) AS _dk{i}"
+            ))
+            indicators.append(F.expr(
+                f"coalesce(CASE WHEN ({ret_sql}) AND event_type = {qt(t)} "
+                f"THEN -cents END, CAST(0 AS BIGINT))"
+                f" + coalesce(CASE WHEN ({add_sql}) AND new_type = {qt(t)} "
+                f"THEN new_cents END, CAST(0 AS BIGINT)) AS _dc{i}"
+            ))
+        metrics = [F.expr("sum(_unk)").alias("unknown")]
+        for i in range(len(known)):
+            metrics.append(F.expr(f"sum(_dk{i})").alias(f"dk{i}"))
+            metrics.append(F.expr(f"sum(_dc{i})").alias(f"dc{i}"))
+        w = (
+            w.select("*", *indicators)
+            .observe(obs, *metrics)
+            .select(*core)
+            .localCheckpoint(eager=True)
+        )
         got = obs.get  # the eager checkpoint already ran the job
         fold_fast = not got["unknown"]
         if fold_fast:
@@ -315,12 +334,12 @@ class BucketedViewMaintainer:
         # only built when the observe fast path could not cover the batch.
         agg = None
         if not fold_fast:
-            retract = w.filter(ret_cond).select(
+            retract = w.filter(F.expr(ret_sql)).select(
                 "event_type",
                 F.lit(-1).cast("long").alias("n_keys"),
                 (-F.col("cents")).alias("total_cents"),
             )
-            add = w.filter(add_cond).select(
+            add = w.filter(F.expr(add_sql)).select(
                 F.col("new_type").alias("event_type"),
                 F.lit(1).cast("long").alias("n_keys"),
                 F.col("new_cents").alias("total_cents"),

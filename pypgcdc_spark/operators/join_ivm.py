@@ -430,42 +430,66 @@ class JoinViewMaintainer:
         # priority) guards the fast path — when it fires (first batch, or
         # a batch introducing a new priority) the fold falls back to the
         # exact collect job below, so the observe path never has to guess.
+        # CollectMetrics evaluates its aggregates INTERPRETED (no codegen),
+        # so the per-row conditional logic lives in codegen'd projection
+        # columns below W's select and the metrics are plain sums of those
+        # columns; a select right after observe() prunes them again before
+        # the checkpoint materializes (measured: deep when-trees inside the
+        # metrics cost ~0.5 s/batch at sf0.1; as projections they are
+        # noise).
+        # Driver-cost discipline: the whole indicator/metric graph builds
+        # as SQL strings (one py4j call per expression, parsed JVM-side) —
+        # the Column-algebra form cost ~0.5-0.8 s of py4j round-trips and
+        # re-analysis PER BATCH, eating the saved job (measured; see
+        # OPTIMIZATION_r13.md §4).
         from pyspark.sql import Observation
 
         known = sorted({r[0] for r in self._agg_rows if r[0] is not None})
         obs = Observation()
-        zero = F.lit(0).cast("long")
-        in_known = (lambda c: F.col(c).isin(known)) if known else (lambda c: F.lit(False))
-        retract_p = lambda p: F.col("eff") & (F.col("old_priority") == p)  # noqa: E731
-        add_p = lambda p: F.col("eff") & (F.col("cur_priority") == p)  # noqa: E731
-        badd_p = lambda p: (F.col("dn") > 0) & (F.col("cur_priority") == p)  # noqa: E731
-        metrics = [
-            F.sum(
-                F.when(F.col("eff") & F.col("old_priority").isNotNull()
-                       & ~in_known("old_priority"), 1)
-                .when(F.col("eff")
-                      & (F.col("cur_priority").isNull() | ~in_known("cur_priority")), 1)
-                .when((F.col("dn") > 0) & F.col("cur_priority").isNotNull()
-                      & ~in_known("cur_priority"), 1)
-                .otherwise(0)
-            ).alias("unknown"),
+        core = [
+            "orderkey", "eff", "cur_priority", "cur_custkey", "cur_lsn",
+            "old_priority", "b_n0", "b_c0", "dn", "dc",
         ]
+        qp = lambda p: "'" + str(p).replace("'", "''") + "'"  # noqa: E731
+        if known:
+            known_sql = ", ".join(qp(p) for p in known)
+            unk = (
+                "CASE WHEN eff AND old_priority IS NOT NULL "
+                f"AND old_priority NOT IN ({known_sql}) THEN 1 "
+                "WHEN eff AND (cur_priority IS NULL "
+                f"OR cur_priority NOT IN ({known_sql})) THEN 1 "
+                "WHEN dn > 0 AND cur_priority IS NOT NULL "
+                f"AND cur_priority NOT IN ({known_sql}) THEN 1 ELSE 0 END"
+            )
+        else:
+            unk = (
+                "CASE WHEN eff THEN 1 "
+                "WHEN dn > 0 AND cur_priority IS NOT NULL THEN 1 ELSE 0 END"
+            )
+        indicators = [F.expr(f"{unk} AS _unk")]
         for i, p in enumerate(known):
-            metrics.append(
-                F.sum(
-                    F.coalesce(F.when(retract_p(p), -F.col("b_n0")), zero)
-                    + F.coalesce(F.when(add_p(p), F.col("b_n0")), zero)
-                    + F.coalesce(F.when(badd_p(p), F.col("dn")), zero)
-                ).alias(f"dn{i}")
-            )
-            metrics.append(
-                F.sum(
-                    F.coalesce(F.when(retract_p(p), -F.col("b_c0")), zero)
-                    + F.coalesce(F.when(add_p(p), F.col("b_c0")), zero)
-                    + F.coalesce(F.when(badd_p(p), F.col("dc")), zero)
-                ).alias(f"dc{i}")
-            )
-        w = w.observe(obs, *metrics).localCheckpoint(eager=True)
+            indicators.append(F.expr(
+                f"coalesce(CASE WHEN eff AND old_priority = {qp(p)} THEN -b_n0 END, 0)"
+                f" + coalesce(CASE WHEN eff AND cur_priority = {qp(p)} THEN b_n0 END, 0)"
+                f" + coalesce(CASE WHEN dn > 0 AND cur_priority = {qp(p)} THEN dn END, 0)"
+                f" AS _dn{i}"
+            ))
+            indicators.append(F.expr(
+                f"coalesce(CASE WHEN eff AND old_priority = {qp(p)} THEN -b_c0 END, 0)"
+                f" + coalesce(CASE WHEN eff AND cur_priority = {qp(p)} THEN b_c0 END, 0)"
+                f" + coalesce(CASE WHEN dn > 0 AND cur_priority = {qp(p)} THEN dc END, 0)"
+                f" AS _dc{i}"
+            ))
+        metrics = [F.expr("sum(_unk)").alias("unknown")]
+        for i in range(len(known)):
+            metrics.append(F.expr(f"sum(_dn{i})").alias(f"dn{i}"))
+            metrics.append(F.expr(f"sum(_dc{i})").alias(f"dc{i}"))
+        w = (
+            w.select("*", *indicators)
+            .observe(obs, *metrics)
+            .select(*core)
+            .localCheckpoint(eager=True)
+        )
         # W materializes exactly ONCE (a cache/persist would let the
         # union branches below race the first fill and recompute the
         # aggregation concurrently); the checkpoint also severs lineage
